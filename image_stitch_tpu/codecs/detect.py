@@ -1,0 +1,74 @@
+"""Magic-byte image format detection.
+
+Counterpart of the reference's ``src/decoders/format-detection.ts``: PNG
+8-byte signature (:15-26), JPEG ``FF D8 FF`` (:30), HEIC via the ISO-BMFF
+``ftyp`` box with brand + compatible-brand scan (:36-65). ``read_magic_bytes``
+reads the first 32 bytes of a path / buffer / stream (:76-114).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+from ..errors import StitchError
+from ..utils import PNG_SIGNATURE
+
+MAGIC_BYTES_LENGTH = 32
+
+HEIC_BRANDS = {
+    # reference: format-detection.ts:44-55
+    b"heic", b"heix", b"hevc", b"hevx",
+    b"heim", b"heis", b"hevm", b"hevs",
+    b"mif1", b"msf1",
+}
+
+
+def detect_image_format(magic: bytes) -> str | None:
+    """Return 'png' | 'jpeg' | 'heic' | None from leading bytes
+    (reference: detectImageFormat, format-detection.ts:9-73)."""
+    if len(magic) >= 8 and magic[:8] == PNG_SIGNATURE:
+        return "png"
+    if len(magic) >= 3 and magic[0] == 0xFF and magic[1] == 0xD8 and magic[2] == 0xFF:
+        return "jpeg"
+    if len(magic) >= 12 and magic[4:8] == b"ftyp":
+        major = magic[8:12]
+        if major in HEIC_BRANDS:
+            return "heic"
+        # Scan compatible brands in the remainder of what we have.
+        for off in range(16, len(magic) - 3, 4):
+            if magic[off : off + 4] in HEIC_BRANDS:
+                return "heic"
+    return None
+
+
+def read_magic_bytes(source: Any) -> bytes:
+    """First 32 bytes of a file path, buffer, or readable stream
+    (reference: readMagicBytes, format-detection.ts:76-114)."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return bytes(source[:MAGIC_BYTES_LENGTH])
+    if isinstance(source, np.ndarray):
+        return source.tobytes()[:MAGIC_BYTES_LENGTH]
+    if isinstance(source, (str, os.PathLike)):
+        with open(source, "rb") as f:
+            return f.read(MAGIC_BYTES_LENGTH)
+    if hasattr(source, "read"):
+        pos = source.tell() if hasattr(source, "tell") else None
+        data = source.read(MAGIC_BYTES_LENGTH)
+        if pos is not None and hasattr(source, "seek"):
+            source.seek(pos)
+        return bytes(data or b"")
+    raise StitchError(f"Cannot read magic bytes from {type(source).__name__}")
+
+
+def detect_format(source: Any) -> str | None:
+    """Detect the format of any supported input source
+    (reference: detectFormat, format-detection.ts:122-130)."""
+    return detect_image_format(read_magic_bytes(source))
+
+
+def validate_format(source: Any, expected: str) -> bool:
+    """(reference: validateFormat, format-detection.ts:133-137)."""
+    return detect_format(source) == expected

@@ -1,0 +1,207 @@
+"""Decoder factory: turn any supported input into an ``ImageDecoder``.
+
+Counterpart of the reference's ``src/decoders/decoder-factory.ts``:
+``create_decoder`` unwraps ``PositionedImage`` (extractSource,
+decoder-factory.ts:87-113), passes through existing decoders (:126-133),
+wraps lazy ``ImageSource`` inputs in a deferred decoder (LazyImageDecoder,
+:43-85), and otherwise magic-byte detects the format and dispatches to a
+plugin (:143-193). ``create_decoders`` builds all decoders up front
+(:216-264); positioned-mode guards mirror :285-321.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Mapping, Sequence
+
+from ..errors import StitchError
+from ..types import DecoderOptions, ImageHeader, ImageSource, PositionedImage
+from .detect import detect_format
+from .registry import DecoderPlugin, get_default_decoder_plugins
+
+
+def _is_decoder(obj: Any) -> bool:
+    return (
+        hasattr(obj, "get_header")
+        and hasattr(obj, "scanlines")
+        and hasattr(obj, "close")
+    )
+
+
+class LazyImageDecoder:
+    """Defers the inner decoder until pixels are first needed; the header
+    comes from the declared metadata (reference: LazyImageDecoder,
+    decoder-factory.ts:43-85). Used so huge grids don't allocate every
+    input up front."""
+
+    def __init__(self, source: ImageSource, options: DecoderOptions, plugins):
+        self._source = source
+        self._options = options
+        self._plugins = plugins
+        self._inner = None
+        self._factory_calls = 0
+
+    @property
+    def factory_calls(self) -> int:
+        return self._factory_calls
+
+    def get_header(self) -> ImageHeader:
+        if self._inner is not None:
+            return self._inner.get_header()
+        fmt = self._source.format or "png"
+        channels = 4
+        return ImageHeader(
+            width=self._source.width,
+            height=self._source.height,
+            channels=channels,
+            bit_depth=8,
+            format=fmt,
+        )
+
+    def _materialize(self):
+        if self._inner is None:
+            self._factory_calls += 1
+            produced = self._source.factory()
+            self._inner = create_decoder(produced, self._options, self._plugins)
+            inner_header = self._inner.get_header()
+            if (
+                inner_header.width != self._source.width
+                or inner_header.height != self._source.height
+            ):
+                raise StitchError(
+                    f"ImageSource declared {self._source.width}x{self._source.height} "
+                    f"but produced {inner_header.width}x{inner_header.height}"
+                )
+        return self._inner
+
+    def scanlines(self):
+        return self._materialize().scanlines()
+
+    def bands(self, band_height=None):
+        inner = self._materialize()
+        if hasattr(inner, "bands"):
+            return inner.bands(band_height)
+        return _bands_from_scanlines(inner, band_height or 256)
+
+    def close(self) -> None:
+        if self._inner is not None:
+            self._inner.close()
+
+
+def _bands_from_scanlines(decoder, band_height: int):
+    """Adapter for row-only decoders."""
+    import numpy as np
+
+    rows = []
+    for row in decoder.scanlines():
+        rows.append(np.asarray(row, dtype=np.uint8))
+        if len(rows) == band_height:
+            yield np.stack(rows)
+            rows = []
+    if rows:
+        yield np.stack(rows)
+
+
+def extract_source(input_obj: Any) -> Any:
+    """Unwrap PositionedImage (reference: extractSource,
+    decoder-factory.ts:87-113)."""
+    if isinstance(input_obj, PositionedImage):
+        return input_obj.source
+    if isinstance(input_obj, Mapping) and "source" in input_obj and "x" in input_obj:
+        return input_obj["source"]
+    return input_obj
+
+
+def is_positioned(input_obj: Any) -> bool:
+    if isinstance(input_obj, PositionedImage):
+        return True
+    return (
+        isinstance(input_obj, Mapping)
+        and "source" in input_obj
+        and "x" in input_obj
+        and "y" in input_obj
+    )
+
+
+def has_positioned_images(inputs: Sequence[Any]) -> bool:
+    """(reference: hasPositionedImages, decoder-factory.ts:285-291)."""
+    return any(is_positioned(i) for i in inputs)
+
+
+def extract_positions(inputs: Sequence[Any]) -> list[dict | None]:
+    """(reference: extractPositions, decoder-factory.ts:293-306)."""
+    out: list[dict | None] = []
+    for i in inputs:
+        if isinstance(i, PositionedImage):
+            out.append({"x": i.x, "y": i.y, "z_index": i.z_index})
+        elif is_positioned(i):
+            out.append(
+                {
+                    "x": i["x"],
+                    "y": i["y"],
+                    "z_index": i.get("z_index", i.get("zIndex")),
+                }
+            )
+        else:
+            out.append(None)
+    return out
+
+
+def validate_positioned_inputs(inputs: Sequence[Any]) -> None:
+    """All-or-nothing positioned mode (reference: validatePositionedInputs,
+    decoder-factory.ts:308-321)."""
+    positioned = [is_positioned(i) for i in inputs]
+    if any(positioned) and not all(positioned):
+        raise StitchError(
+            "Cannot mix positioned and non-positioned images. "
+            "If any input is positioned, all inputs must be positioned."
+        )
+
+
+def create_decoder(
+    input_obj: Any,
+    options: DecoderOptions | None = None,
+    plugins: Sequence[DecoderPlugin] | None = None,
+):
+    """(reference: createDecoder, decoder-factory.ts:116-214)."""
+    options = options or DecoderOptions()
+    plugins = list(plugins) if plugins is not None else get_default_decoder_plugins()
+    source = extract_source(input_obj)
+
+    if _is_decoder(source):
+        return source
+    if isinstance(source, ImageSource):
+        return LazyImageDecoder(source, options, plugins)
+
+    fmt = detect_format(source)
+    if fmt is None:
+        raise StitchError(
+            "Unsupported or unrecognized image format (checked PNG/JPEG/HEIC magic bytes)"
+        )
+    for plugin in plugins:
+        if plugin.format == fmt:
+            return plugin.create(source, options)
+    raise StitchError(
+        f"No decoder plugin registered for format '{fmt}'. "
+        f"Available: {[p.format for p in plugins]}"
+    )
+
+
+def create_decoders(
+    inputs: Iterable[Any],
+    options: DecoderOptions | None = None,
+    plugins: Sequence[DecoderPlugin] | None = None,
+) -> list:
+    """Build decoders for every input (reference: createDecoders /
+    createDecodersFromIterable, decoder-factory.ts:216-283)."""
+    created = []
+    try:
+        for input_obj in inputs:
+            created.append(create_decoder(input_obj, options, plugins))
+    except Exception:
+        for d in created:
+            try:
+                d.close()
+            except Exception:
+                pass
+        raise
+    return created

@@ -1,0 +1,239 @@
+"""Streaming PNG decoder yielding raw scanlines in bands.
+
+Counterpart of the reference's ``src/decoders/png-decoder.ts``. Non-interlaced
+images decode incrementally: IDAT fragments feed a streaming inflator and
+complete rows are defiltered band-at-a-time (reference decodes row-at-a-time,
+png-decoder.ts:92-229). Interlaced images are fully inflated then Adam7
+deinterlaced (reference: png-decoder.ts:73-90). File inputs stream chunk by
+chunk from the file descriptor rather than loading the whole file (reference
+PngFileDecoder scans an IDAT chunk table, png-decoder.ts:286-331).
+
+Superset vs the reference: PLTE/tRNS are captured so paletted images decode
+(the reference's conversion throws on color type 3).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterator
+
+import numpy as np
+
+from ...errors import StitchError
+from ...io.inflate import StreamingInflator
+from ...types import ImageHeader, PngHeader
+from ...utils import get_bytes_per_pixel, read_u32be, scanline_byte_length
+from ...ops.adam7 import deinterlace_adam7
+from ...ops.png_filter import unfilter_band
+from .parser import parse_header_chunk, validate_signature
+
+DEFAULT_BAND_HEIGHT = 256
+
+
+class PngDecoder:
+    """Decodes PNG from a byte buffer or a readable binary stream."""
+
+    format = "png"
+
+    def __init__(self, source, band_height: int | None = None):
+        self._band_height = band_height or DEFAULT_BAND_HEIGHT
+        self._closed = False
+        self._owns_stream = False
+        if isinstance(source, (bytes, bytearray, memoryview, np.ndarray)):
+            if isinstance(source, np.ndarray):
+                source = source.tobytes()
+            self._stream: io.BufferedIOBase = io.BytesIO(bytes(source))
+            self._owns_stream = True
+        elif isinstance(source, (str, os.PathLike)):
+            self._stream = open(source, "rb")
+            self._owns_stream = True
+        elif hasattr(source, "read"):
+            self._stream = source
+        else:
+            raise StitchError(f"Unsupported PNG source type: {type(source).__name__}")
+        self._header: PngHeader | None = None
+        self._palette: np.ndarray | None = None
+        self._trns: np.ndarray | None = None
+        self._idat_started = False
+        self._pre_idat_done = False
+        self._scan_exhausted = False
+
+    # -- header -------------------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        data = self._stream.read(n)
+        if data is None or len(data) != n:
+            raise StitchError(
+                f"Truncated PNG: expected {n} bytes, got {0 if data is None else len(data)}"
+            )
+        return data
+
+    def _read_pre_idat(self) -> None:
+        """Walk chunks up to (not including) the first IDAT, capturing IHDR,
+        PLTE and tRNS. Leaves the stream positioned at the first IDAT header."""
+        if self._pre_idat_done:
+            return
+        validate_signature(self._read_exact(8))
+        while True:
+            head = self._read_exact(8)
+            length = read_u32be(head, 0)
+            ctype = head[4:8]
+            if ctype == b"IDAT":
+                self._pending_idat_header = (length,)
+                self._idat_started = True
+                break
+            data = self._read_exact(length)
+            self._read_exact(4)  # CRC — verified in parse paths; streaming skips
+            if ctype == b"IHDR":
+                self._header = parse_header_chunk(data)
+            elif ctype == b"PLTE":
+                if len(data) % 3 != 0:
+                    raise StitchError(f"PLTE length {len(data)} not a multiple of 3")
+                self._palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).copy()
+            elif ctype == b"tRNS":
+                self._trns = np.frombuffer(data, dtype=np.uint8).copy()
+            elif ctype == b"IEND":
+                raise StitchError("PNG has no IDAT chunk")
+        if self._header is None:
+            raise StitchError("PNG missing IHDR chunk")
+        self._pre_idat_done = True
+
+    def get_header(self) -> ImageHeader:
+        self._read_pre_idat()
+        h = self._header
+        assert h is not None
+        channels = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[h.color_type]
+        meta: dict = {"png_header": h}
+        if self._palette is not None:
+            meta["palette"] = self._palette
+        if self._trns is not None:
+            meta["trns"] = self._trns
+        return ImageHeader(
+            width=h.width,
+            height=h.height,
+            channels=channels,
+            bit_depth=h.bit_depth,
+            format="png",
+            metadata=meta,
+        )
+
+    @property
+    def png_header(self) -> PngHeader:
+        self._read_pre_idat()
+        assert self._header is not None
+        return self._header
+
+    # -- pixel data ---------------------------------------------------------
+
+    def _iter_idat(self) -> Iterator[bytes]:
+        """Yield raw IDAT payload fragments, streaming from the source."""
+        self._read_pre_idat()
+        if not self._idat_started:
+            return
+        (length,) = self._pending_idat_header
+        while True:
+            # Stream current IDAT payload in bounded pieces.
+            remaining = length
+            while remaining > 0:
+                piece = self._stream.read(min(remaining, 1 << 16))
+                if not piece:
+                    raise StitchError("Truncated PNG: IDAT data incomplete")
+                remaining -= len(piece)
+                yield piece
+            self._read_exact(4)  # CRC
+            head = self._stream.read(8)
+            if head is None or len(head) < 8:
+                return  # tolerate missing IEND like a stream EOF
+            length = read_u32be(head, 0)
+            ctype = head[4:8]
+            if ctype != b"IDAT":
+                # Skip/stop at first non-IDAT chunk (IEND etc.).
+                return
+
+    def bands(self, band_height: int | None = None) -> Iterator[np.ndarray]:
+        """Yield (h, row_bytes) uint8 bands of raw (defiltered) scanlines."""
+        if self._scan_exhausted:
+            raise StitchError("PNG decoder scanlines already consumed")
+        self._scan_exhausted = True
+        band_height = band_height or self._band_height
+        header = self.png_header
+        row_bytes = scanline_byte_length(header.width, header.bit_depth, header.color_type)
+        bpp = get_bytes_per_pixel(header.bit_depth, header.color_type)
+        unit = 1 + row_bytes
+
+        if header.interlace_method == 1:
+            # Interlaced: full inflate then Adam7 (reference: png-decoder.ts:73-90).
+            inflator = StreamingInflator()
+            parts = [inflator.push(c) for c in self._iter_idat()]
+            parts.append(inflator.finish())
+            raw = deinterlace_adam7(b"".join(parts), header)
+            for y0 in range(0, header.height, band_height):
+                yield raw[y0 : y0 + band_height]
+            return
+
+        inflator = StreamingInflator()
+        buf = bytearray()
+        rows_done = 0
+        prev_row: np.ndarray | None = None
+
+        def drain(final: bool) -> Iterator[np.ndarray]:
+            nonlocal rows_done, prev_row
+            while rows_done < header.height:
+                avail_rows = len(buf) // unit
+                if avail_rows == 0:
+                    return
+                take = min(avail_rows, band_height, header.height - rows_done)
+                if not final and take < band_height and rows_done + take < header.height:
+                    # Wait for a fuller band unless the stream is ending.
+                    if avail_rows < band_height:
+                        return
+                block = np.frombuffer(bytes(buf[: take * unit]), dtype=np.uint8).reshape(
+                    take, unit
+                )
+                del buf[: take * unit]
+                band = unfilter_band(block[:, 0], block[:, 1:], prev_row, bpp)
+                prev_row = band[-1]
+                rows_done += take
+                yield band
+
+        for fragment in self._iter_idat():
+            buf.extend(inflator.push(fragment))
+            yield from drain(final=False)
+        buf.extend(inflator.finish())
+        yield from drain(final=True)
+
+        if rows_done < header.height:
+            raise StitchError(
+                f"Expected {header.height} scanlines, got {rows_done}"
+            )
+        if len(buf) > 0:
+            # Residual decompressed data check (reference: png-decoder.ts:218-228).
+            raise StitchError(
+                f"Unexpected {len(buf)} residual decompressed bytes after final scanline"
+            )
+
+    def scanlines(self) -> Iterator[np.ndarray]:
+        """Per-row iterator (reference-compatible contract)."""
+        for band in self.bands():
+            for row in band:
+                yield row
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            if self._owns_stream:
+                self._stream.close()
+
+
+def png_plugin():
+    """Decoder plugin descriptor (reference: pngDecoder plugin,
+    png-decoder.ts:455-472)."""
+    from ..registry import DecoderPlugin
+
+    return DecoderPlugin(
+        format="png",
+        create=lambda source, options=None: PngDecoder(
+            source, band_height=getattr(options, "band_height", None) if options else None
+        ),
+    )

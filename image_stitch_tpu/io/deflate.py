@@ -1,0 +1,82 @@
+"""Streaming deflate with Z_SYNC_FLUSH batching.
+
+Counterpart of ``StreamingDeflator`` (reference: src/streaming-deflate.ts:41-242):
+level-6 deflate, batched writes, periodic ``Z_SYNC_FLUSH`` so compressed bytes
+emerge incrementally with bounded memory, and a final ``Z_FINISH``. Sits on
+the TPU-VM host; its 1 MB cadence mirrors the reference's IDAT batching
+(image-concat-core.ts:336-338).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Iterable, Iterator
+
+DEFAULT_LEVEL = 6  # reference: streaming-deflate.ts:55, image-concat-core.ts:342
+DEFAULT_MAX_BATCH = 1 * 1024 * 1024  # reference: image-concat-core.ts:336
+
+
+class StreamingDeflator:
+    """Push raw bytes, receive compressed chunks through ``on_data``."""
+
+    def __init__(
+        self,
+        level: int = DEFAULT_LEVEL,
+        max_batch_size: int = DEFAULT_MAX_BATCH,
+        on_data: Callable[[bytes], None] | None = None,
+    ) -> None:
+        self._obj = zlib.compressobj(level)
+        self._on_data = on_data or (lambda _b: None)
+        self._max_batch = max_batch_size
+        self._pending = 0
+        self._finished = False
+
+    def initialize(self, on_data: Callable[[bytes], None]) -> None:
+        """Late callback binding (mirrors reference initialize(),
+        streaming-deflate.ts:60-110)."""
+        self._on_data = on_data
+
+    def push(self, data: bytes | memoryview) -> None:
+        if self._finished:
+            raise RuntimeError("Deflator already finished")
+        out = self._obj.compress(bytes(data))
+        if out:
+            self._on_data(out)
+        self._pending += len(data)
+        if self._pending >= self._max_batch:
+            self.flush()
+
+    def flush(self) -> None:
+        """Z_SYNC_FLUSH: emit everything buffered while keeping the deflate
+        state (reference: flushInternal, streaming-deflate.ts:223-238)."""
+        if self._finished:
+            return
+        out = self._obj.flush(zlib.Z_SYNC_FLUSH)
+        if out:
+            self._on_data(out)
+        self._pending = 0
+
+    def finish(self) -> None:
+        if self._finished:
+            return
+        out = self._obj.flush(zlib.Z_FINISH)
+        self._finished = True
+        if out:
+            self._on_data(out)
+
+
+def compress_streaming(
+    chunks: Iterable[bytes],
+    level: int = DEFAULT_LEVEL,
+    max_batch_size: int = DEFAULT_MAX_BATCH,
+) -> Iterator[bytes]:
+    """Generator wrapper (reference: compressStreaming, streaming-deflate.ts:244-267)."""
+    produced: list[bytes] = []
+    deflator = StreamingDeflator(level, max_batch_size, produced.append)
+    for chunk in chunks:
+        deflator.push(chunk)
+        while produced:
+            yield produced.pop(0)
+    deflator.finish()
+    while produced:
+        yield produced.pop(0)
