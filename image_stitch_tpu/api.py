@@ -1,0 +1,134 @@
+"""Public entry points.
+
+Counterpart of the reference's ``src/image-concat.ts`` +
+``src/image-concat-browser.ts`` surface: ``concat_to_buffer`` (:34),
+``concat_to_stream`` (:38), ``concat_to_file`` (:43), ``concat_streaming``
+and the ``StreamingConcatenator`` wrapper (:9-28), plus the deprecated
+``concat`` alias (:50) and an array-in/array-out convenience
+(``concat_arrays``) standing in for the browser's ``concatCanvases``
+(image-concat-browser.ts:287-323 — canvases become numpy arrays here).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import warnings
+from typing import Any, Iterator, Mapping
+
+import numpy as np
+
+from .core import CoreStreamingConcatenator
+from .types import ConcatOptions
+
+
+class StreamingConcatenator:
+    """Streaming facade (reference: NodeStreamingConcatenator,
+    image-concat.ts:9-28). Iterate it, or pipe it to a writable."""
+
+    def __init__(self, options: ConcatOptions | Mapping[str, Any]):
+        self._core = CoreStreamingConcatenator(options)
+
+    def __iter__(self) -> Iterator[bytes]:
+        return self._core.stream()
+
+    def stream(self) -> Iterator[bytes]:
+        return self._core.stream()
+
+    def to_stream(self, writable) -> None:
+        """Write all chunks to a file-like object (demand-driven)."""
+        for chunk in self._core.stream():
+            writable.write(chunk)
+
+
+def concat_streaming(options: ConcatOptions | Mapping[str, Any]) -> Iterator[bytes]:
+    """Generator of encoded output chunks (reference: concatStreaming,
+    image-concat-core.ts:1505-1511)."""
+    return CoreStreamingConcatenator(options).stream()
+
+
+def concat_to_buffer(options: ConcatOptions | Mapping[str, Any]) -> bytes:
+    """Concatenate and return the full encoded file
+    (reference: concatToBuffer, image-concat.ts:34-36)."""
+    return b"".join(concat_streaming(options))
+
+
+def concat_to_stream(options: ConcatOptions | Mapping[str, Any]):
+    """Return a lazy byte-chunk iterator (reference: concatToStream,
+    image-concat.ts:38-41 — Python's iterator protocol is the
+    backpressure-pulling Readable here)."""
+    return StreamingConcatenator(options)
+
+
+def concat_to_file(
+    options: ConcatOptions | Mapping[str, Any], path: str | os.PathLike
+) -> None:
+    """Stream output directly into a file (reference: concatToFile,
+    image-concat.ts:43-45)."""
+    with open(path, "wb") as f:
+        for chunk in concat_streaming(options):
+            f.write(chunk)
+
+
+def concat(options: ConcatOptions | Mapping[str, Any]) -> bytes:
+    """Deprecated alias of concat_to_buffer (reference: concat,
+    image-concat.ts:50-52)."""
+    warnings.warn(
+        "concat() is deprecated; use concat_to_buffer()",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return concat_to_buffer(options)
+
+
+def concat_arrays(
+    arrays: list[np.ndarray],
+    layout: Mapping[str, int] | None = None,
+    output: str = "array",
+    **kwargs,
+):
+    """Array-native convenience (stand-in for the browser concatCanvases,
+    image-concat-browser.ts:287-323): stitch (H, W, 3|4) uint8 arrays.
+
+    ``output``: 'array' decodes the result back to an (H, W, 4) array;
+    'png'/'jpeg' return encoded bytes.
+    """
+    inputs = [_array_to_png(a) for a in arrays]
+    opts: dict[str, Any] = {"inputs": inputs, "layout": dict(layout or {})}
+    if output == "jpeg":
+        opts["output_format"] = "jpeg"
+    opts.update(kwargs)
+    data = concat_to_buffer(opts)
+    if output in ("png", "jpeg"):
+        return data
+    from .codecs.png.decoder import PngDecoder
+    from .ops.pixel import convert_band
+
+    dec = PngDecoder(data)
+    header = dec.png_header
+    bands = [
+        convert_band(b, header.width, header.bit_depth, header.color_type, header.bit_depth)
+        for b in dec.bands()
+    ]
+    dec.close()
+    return np.vstack(bands)
+
+
+def _array_to_png(arr: np.ndarray) -> bytes:
+    import zlib
+
+    from .codecs.png.writer import build_png
+    from .types import PngHeader
+
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return build_png(
+        PngHeader(width=w, height=h, bit_depth=8, color_type=color_type),
+        zlib.compress(raw, 6),
+    )

@@ -1,0 +1,309 @@
+"""Streaming baseline JPEG encoder: TPU DCT/quantization + host Huffman.
+
+Counterpart of the reference's Rust→WASM streaming encoder and its wrapper
+(src/jpeg-encoder.ts:96-264). Contract preserved:
+- consumes 8-row RGBA MCU strips; SOI + headers are emitted with the first
+  strip so ``header()`` yields nothing (jpeg-encoder.ts:123-152);
+- partial final strips are padded by edge-pixel repetition
+  (jpeg-encoder.ts:155-172);
+- EOI is emitted by ``finish()`` (jpeg-encoder.ts:174-190);
+- dimensions and quality (1-100) validated at construction
+  (jpeg-encoder.ts:108-115);
+- alpha is ignored (RGBA -> YCbCr drops A), like the reference encoder
+  (tests/integration/background-color.test.ts:182-196).
+
+TPU-first redesign: color convert + 8x8 DCT + quantize run as one fused
+device pass over an entire band of strips (ops/device.py — the DCT is a pair
+of 8x8 matmuls, MXU-shaped); the entropy coder (sequential by nature) stays
+on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from ...errors import StitchError
+from .huffman import BitPacker, HuffmanEncoder, interleave_mcus
+from .tables import (
+    STD_AC_CHROMA_BITS,
+    STD_AC_CHROMA_VALS,
+    STD_AC_LUMA_BITS,
+    STD_AC_LUMA_VALS,
+    STD_DC_CHROMA_BITS,
+    STD_DC_CHROMA_VALS,
+    STD_DC_LUMA_BITS,
+    STD_DC_LUMA_VALS,
+    ZIGZAG,
+    build_huffman_codes,
+    quality_scaled_tables,
+)
+
+MCU_HEIGHT = 8
+
+
+def dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m.astype(np.float32)
+
+
+_DCT = dct_matrix()
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF BT.601 full-range RGB->YCbCr, float32 (..., 3)."""
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _quantize(coefs: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero quantization (matches Rust f32 round)."""
+    scaled = coefs / qtable.reshape(8, 8).astype(np.float32)
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
+
+
+def _band_to_blocks_numpy(
+    band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(8k, W, 4) uint8 -> three (k*W/8, 64) int32 quantized natural-order
+    blocks in strip-major order.
+
+    Host oracle path; expression forms match ops/device._jpeg_quantize_jit
+    exactly so host and device produce identical quantized coefficients.
+    """
+    h, w = band_rgba.shape[:2]
+    assert h % MCU_HEIGHT == 0 and w % 8 == 0
+    r = band_rgba[:, :, 0].astype(np.float32)
+    g = band_rgba[:, :, 1].astype(np.float32)
+    b = band_rgba[:, :, 2].astype(np.float32)
+    y = np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b - np.float32(128.0)
+    cb = np.float32(-0.168735892) * r + np.float32(-0.331264108) * g + np.float32(0.5) * b
+    cr = np.float32(0.5) * r + np.float32(-0.418687589) * g + np.float32(-0.081312411) * b
+    out = []
+    for plane, q in ((y, luma_q), (cb, chroma_q), (cr, chroma_q)):
+        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        coefs = (_DCT @ blocks) @ _DCT.T  # same association as the device path
+        out.append(_quantize(coefs, q).reshape(-1, 64))
+    return out[0], out[1], out[2]
+
+
+class StreamingJpegEncoder:
+    """Band-level streaming encoder used by the orchestrator."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        quality: int = 85,
+        backend: str = "numpy",
+    ):
+        if width < 1 or height < 1:
+            raise StitchError(f"Invalid JPEG dimensions: {width}x{height}")
+        if not (1 <= quality <= 100):
+            raise StitchError("JPEG quality must be between 1 and 100")
+        self.width = width
+        self.height = height
+        self.quality = quality
+        self._backend_name = backend
+        self.luma_q, self.chroma_q = quality_scaled_tables(quality)
+        self._dc_luma = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+        self._ac_luma = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+        self._dc_chroma = build_huffman_codes(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+        self._ac_chroma = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+        self._enc_luma = HuffmanEncoder(self._dc_luma, self._ac_luma)
+        self._enc_chroma = HuffmanEncoder(self._dc_chroma, self._ac_chroma)
+        self._packer = BitPacker()
+        self._prev_dc = [0, 0, 0]
+        self._header_emitted = False
+        self._finished = False
+        self._rows_consumed = 0
+        self._pending: np.ndarray | None = None  # buffered rows < 8
+        self._last_row: np.ndarray | None = None
+        self._pad_w = (-width) % 8
+        self._device = None
+        if backend in ("tpu", "jax"):
+            from ...ops.device import JaxBackend
+
+            self._device = JaxBackend()
+
+    # ----- headers ------------------------------------------------------ #
+
+    def _header_bytes(self) -> bytes:
+        out = bytearray()
+        out += b"\xff\xd8"  # SOI
+        # APP0 JFIF
+        out += b"\xff\xe0" + (16).to_bytes(2, "big")
+        out += b"JFIF\x00" + bytes([1, 1, 0]) + (1).to_bytes(2, "big") + (1).to_bytes(
+            2, "big"
+        ) + bytes([0, 0])
+        # DQT x2 (zigzag order payload)
+        for tid, q in ((0, self.luma_q), (1, self.chroma_q)):
+            out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
+            out += bytes(int(v) for v in q[ZIGZAG])  # table in zigzag order
+        # SOF0: baseline, 3 components, 4:4:4
+        out += b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+        out += self.height.to_bytes(2, "big") + self.width.to_bytes(2, "big")
+        out += bytes([3])
+        out += bytes([1, 0x11, 0])  # Y: h1v1, qtable 0
+        out += bytes([2, 0x11, 1])  # Cb
+        out += bytes([3, 0x11, 1])  # Cr
+        # DHT x4
+        for tc_th, bits, vals in (
+            (0x00, STD_DC_LUMA_BITS, STD_DC_LUMA_VALS),
+            (0x10, STD_AC_LUMA_BITS, STD_AC_LUMA_VALS),
+            (0x01, STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS),
+            (0x11, STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS),
+        ):
+            payload = bytes([tc_th]) + bytes(bits[1:17]) + bytes(vals)
+            out += b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload
+        # SOS
+        out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes([3])
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        out += bytes([0, 63, 0])
+        return bytes(out)
+
+    def header(self) -> Iterator[bytes]:
+        """Yields nothing: SOI+headers ride the first strip, matching the
+        reference's WASM behavior (jpeg-encoder.ts:123-152)."""
+        return iter(())
+
+    # ----- strips ------------------------------------------------------- #
+
+    def _quantize_band(self, band: np.ndarray):
+        """Pad width to a block multiple (edge repetition) and quantize the
+        whole multi-strip band in one device call."""
+        if self._pad_w:
+            band = np.concatenate(
+                [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
+            )
+        if self._device is not None:
+            return self._device.jpeg_quantize_band(band, self.luma_q, self.chroma_q)
+        return _band_to_blocks_numpy(band, self.luma_q, self.chroma_q)
+
+    def _entropy_code(self, yb, cbb, crb) -> bytes:
+        """Huffman-encode quantized blocks (any number of strips)."""
+        yc, yl, self._prev_dc[0] = self._enc_luma.encode_component_blocks(
+            yb, self._prev_dc[0]
+        )
+        cbc, cbl, self._prev_dc[1] = self._enc_chroma.encode_component_blocks(
+            cbb, self._prev_dc[1]
+        )
+        crc, crl, self._prev_dc[2] = self._enc_chroma.encode_component_blocks(
+            crb, self._prev_dc[2]
+        )
+        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        return self._packer.pack(codes, lens)
+
+    def _encode_strip(self, strip: np.ndarray) -> bytes:
+        """Encode one full (8, W, 4) strip to entropy-coded bytes."""
+        yb, cbb, crb = self._quantize_band(strip)
+        return self._entropy_code(yb, cbb, crb)
+
+    def encode_band(self, band: np.ndarray) -> Iterator[bytes]:
+        """Consume an (h, W, 4) uint8 band; yields encoded bytes."""
+        if self._finished:
+            raise StitchError("JPEG encoder already finished")
+        band = np.asarray(band, dtype=np.uint8)
+        if band.shape[1] != self.width:
+            raise StitchError(
+                f"Band width {band.shape[1]} != encoder width {self.width}"
+            )
+        if not self._header_emitted:
+            self._header_emitted = True
+            yield self._header_bytes()
+        if self._pending is not None:
+            band = np.concatenate([self._pending, band], axis=0)
+            self._pending = None
+        n_full = band.shape[0] // MCU_HEIGHT
+        if n_full:
+            # One device call for the whole band, then per-strip entropy
+            # coding so bytes stream out progressively.
+            yb, cbb, crb = self._quantize_band(band[: n_full * MCU_HEIGHT])
+            bps = (self.width + self._pad_w) // 8  # blocks per strip
+            for i in range(n_full):
+                sl = slice(i * bps, (i + 1) * bps)
+                data = self._entropy_code(yb[sl], cbb[sl], crb[sl])
+                self._rows_consumed += MCU_HEIGHT
+                if data:
+                    yield data
+        rest = band[n_full * MCU_HEIGHT :]
+        if rest.shape[0]:
+            self._pending = rest.copy()
+        if band.shape[0]:
+            self._last_row = band[-1:].copy()
+
+    def encode_strip_bytes(self, strip_rgba: bytes | np.ndarray) -> Iterator[bytes]:
+        """Reference-shaped API: raw RGBA strip bytes of <=8 rows
+        (jpeg-encoder.ts:155-172)."""
+        arr = np.frombuffer(bytes(strip_rgba), dtype=np.uint8)
+        rows = arr.size // (self.width * 4)
+        yield from self.encode_band(arr.reshape(rows, self.width, 4))
+
+    def finish(self) -> Iterator[bytes]:
+        """Pad any partial final strip with edge-row repetition, flush bits,
+        emit EOI (jpeg-encoder.ts:157-190)."""
+        if self._finished:
+            return
+        self._finished = True
+        out = bytearray()
+        if not self._header_emitted:
+            self._header_emitted = True
+            out += self._header_bytes()
+        if self._pending is not None and self._pending.shape[0]:
+            part = self._pending
+            self._pending = None
+            pad_rows = MCU_HEIGHT - part.shape[0]
+            strip = np.concatenate(
+                [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
+            )
+            out += self._encode_strip(strip)
+            self._rows_consumed += MCU_HEIGHT
+        out += self._packer.flush()
+        out += b"\xff\xd9"  # EOI
+        yield bytes(out)
+
+
+class JpegEncoder:
+    """Reference-compatible wrapper class (src/jpeg-encoder.ts:96-245)."""
+
+    def __init__(self, width: int, height: int, quality: int = 85, backend: str = "numpy"):
+        self._inner = StreamingJpegEncoder(width, height, quality, backend)
+        self.width = width
+        self.height = height
+        self.quality = quality
+
+    def header(self) -> Iterator[bytes]:
+        return self._inner.header()
+
+    def encode_strip(self, strip: bytes | np.ndarray, _last_scanline=None) -> Iterator[bytes]:
+        return self._inner.encode_strip_bytes(strip)
+
+    def finish(self) -> Iterator[bytes]:
+        return self._inner.finish()
+
+    def encode_to_buffer(self, rgba: bytes | np.ndarray) -> bytes:
+        """Batch helper (reference: encodeToBuffer, jpeg-encoder.ts:199-245)."""
+        arr = np.frombuffer(bytes(rgba), dtype=np.uint8).reshape(
+            self.height, self.width, 4
+        )
+        chunks = list(self._inner.encode_band(arr))
+        chunks += list(self._inner.finish())
+        return b"".join(chunks)
+
+
+def encode_jpeg(
+    rgba: np.ndarray, width: int, height: int, quality: int = 85, backend: str = "numpy"
+) -> bytes:
+    """One-shot encode (reference: encodeJpeg, jpeg-encoder.ts:256-264)."""
+    enc = JpegEncoder(width, height, quality, backend)
+    return enc.encode_to_buffer(np.asarray(rgba, dtype=np.uint8).tobytes())

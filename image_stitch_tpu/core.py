@@ -1,0 +1,538 @@
+"""The streaming orchestrator (L6) — band-at-a-time canvas assembly.
+
+Counterpart of the reference's ``CoreStreamingConcatenator``
+(src/image-concat-core.ts:279-1473), redesigned TPU-first: where the
+reference pulls one scanline per image per output row through per-pixel JS
+loops (generateFilteredScanlines, :389-549), this engine assembles whole
+*row bands* — (band_height, W, 4) canvases — with vectorized conversion,
+placement and compositing, then runs PNG filter-selection or JPEG DCT over
+the full band on the accelerator and streams encoded bytes from the host.
+
+The memory contract is the reference's O(canvas_width) guarantee with a
+constant band factor: peak live pixels = O(W * band_height), independent of
+canvas height (reference contract: src/image-concat-core.ts:263-277).
+
+Two-pass structure preserved (stream(): pass 1 headers, pass 2 pixels,
+reference :927-1003), including:
+- grid/positioned mode split + mixing validation (:951-955)
+- common format: RGBA, 16-bit iff any input 16-bit; JPEG forces 8-bit
+  (:1022-1027, pixel-ops.ts:293-307)
+- per-input progress callback firing as each input's rows are exhausted
+  (:1401-1428)
+- dimension-mismatch diagnostics naming input/row/column (:429-474)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Mapping, Sequence
+
+import numpy as np
+
+from .codecs.factory import (
+    create_decoders,
+    extract_positions,
+    has_positioned_images,
+    validate_positioned_inputs,
+)
+from .codecs.png.writer import create_idat, create_iend, create_ihdr, serialize_chunk
+from .codecs.registry import get_default_decoder_plugins
+from .errors import StitchError, format_pixels
+from .io.deflate import StreamingDeflator
+from .layout.grid import GridLayout, calculate_layout
+from .layout.positioned import (
+    build_band_plan,
+    calculate_canvas_size,
+    clip_images_to_canvas,
+)
+from .ops.pixel import (
+    background_pixel,
+    composite_band,
+    convert_band,
+    determine_common_format,
+)
+from .types import (
+    ConcatOptions,
+    ImageHeader,
+    PngHeader,
+    image_header_to_png_header,
+)
+from .utils import PNG_SIGNATURE, get_bytes_per_pixel, scanline_byte_length
+
+
+class ProgressTracker:
+    """Fires on_progress(completed, total) as inputs finish streaming
+    (reference: createProgressTracker, image-concat-core.ts:1401-1428)."""
+
+    def __init__(self, headers: Sequence[PngHeader], callback: Callable[[int, int], None]):
+        self.remaining = [h.height for h in headers]
+        self.total = len(headers)
+        self.completed = 0
+        self.callback = callback
+        # Zero-height inputs complete immediately (reference :1417-1425).
+        for i, h in enumerate(headers):
+            if h.height == 0:
+                self.completed += 1
+        if self.completed:
+            self.callback(self.completed, self.total)
+
+    def consumed(self, image_idx: int, n_rows: int) -> None:
+        if self.remaining[image_idx] > 0:
+            self.remaining[image_idx] -= n_rows
+            if self.remaining[image_idx] <= 0:
+                self.remaining[image_idx] = 0
+                self.completed += 1
+                self.callback(self.completed, self.total)
+
+
+class RowSource:
+    """Streams converted RGBA rows from one decoder with band buffering.
+
+    Pulls raw bands from the decoder, validates their byte width (the
+    reference's per-row checks, image-concat-core.ts:437-447), converts to
+    the common RGBA format, and serves arbitrary row ranges to the canvas
+    assembler.
+    """
+
+    def __init__(
+        self,
+        image_idx: int,
+        decoder,
+        header: PngHeader,
+        metadata: Mapping[str, Any],
+        target_bit_depth: int,
+        band_height: int,
+        progress: ProgressTracker | None = None,
+    ):
+        self.image_idx = image_idx
+        self.header = header
+        self._meta = metadata
+        self._target_depth = target_bit_depth
+        self._iter = decoder.bands(band_height) if hasattr(decoder, "bands") else None
+        if self._iter is None:
+            self._iter = _bands_from_rows(decoder.scanlines(), band_height)
+        self._expected_row_bytes = scanline_byte_length(
+            header.width, header.bit_depth, header.color_type
+        )
+        self._buf: np.ndarray | None = None  # converted rows not yet served
+        self.rows_served = 0
+        self._progress = progress
+        self._context: tuple[int, int] | None = None  # (grid_row, grid_col) 1-based
+
+    def set_context(self, grid_row: int, grid_col: int) -> None:
+        self._context = (grid_row, grid_col)
+
+    def _where(self) -> str:
+        if self._context:
+            return (
+                f"while assembling row {self._context[0]}, column {self._context[1]}"
+            )
+        return f"at source row {self.rows_served + 1}"
+
+    def _pull(self) -> bool:
+        try:
+            raw = next(self._iter)
+        except StopIteration:
+            return False
+        except StitchError as exc:
+            # Surface decoder failures with input context (reference error
+            # style: image-concat-core.ts:429-447).
+            raise StitchError(
+                f"decode failed for input #{self.image_idx + 1} {self._where()}", exc
+            ) from exc
+        raw = np.atleast_2d(np.asarray(raw, dtype=np.uint8))
+        if raw.shape[1] != self._expected_row_bytes:
+            bits_per_pixel = (
+                self.header.bit_depth
+                * (self._expected_row_bytes * 8 // max(1, self.header.width * self.header.bit_depth))
+            )
+            actual_w = (
+                raw.shape[1] * 8 * self.header.width / (self._expected_row_bytes * 8)
+                if self._expected_row_bytes
+                else 0
+            )
+            raise StitchError(
+                f"dimension mismatch for input #{self.image_idx + 1} {self._where()}. "
+                f"Expected {format_pixels(self.header.width)} wide scanline "
+                f"({self._expected_row_bytes} raw bytes) but decoder produced "
+                f"{format_pixels(actual_w)} ({raw.shape[1]} raw bytes)."
+            )
+        try:
+            converted = convert_band(
+                raw,
+                self.header.width,
+                self.header.bit_depth,
+                self.header.color_type,
+                self._target_depth,
+                palette=self._meta.get("palette"),
+                trns=self._meta.get("trns"),
+            )
+        except StitchError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise StitchError(
+                f"unable to normalize input #{self.image_idx + 1} {self._where()}", exc
+            ) from exc
+        self._buf = converted if self._buf is None else np.vstack([self._buf, converted])
+        return True
+
+    def take(self, n: int) -> np.ndarray:
+        """Return the next ``n`` converted rows as (n, W, 4)."""
+        while self._buf is None or self._buf.shape[0] < n:
+            if not self._pull():
+                produced = self.rows_served + (0 if self._buf is None else self._buf.shape[0])
+                raise StitchError(
+                    f"dimension mismatch for input #{self.image_idx + 1} {self._where()}. "
+                    f"Expected {format_pixels(self.header.height)} tall image but "
+                    f"decoder ended after {format_pixels(produced)}."
+                )
+        out = self._buf[:n]
+        self._buf = self._buf[n:] if self._buf.shape[0] > n else None
+        self.rows_served += n
+        if self._progress is not None:
+            self._progress.consumed(self.image_idx, n)
+        return out
+
+    def skip(self, n: int) -> None:
+        """Discard ``n`` rows (positioned-mode top clipping,
+        reference: image-concat-core.ts:592-599)."""
+        if n <= 0:
+            return
+        self.take(n)
+
+
+def _bands_from_rows(rows: Iterator[np.ndarray], band_height: int):
+    buf: list[np.ndarray] = []
+    for row in rows:
+        buf.append(np.asarray(row, dtype=np.uint8))
+        if len(buf) == band_height:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        yield np.stack(buf)
+
+
+class CoreStreamingConcatenator:
+    """Band-streaming concatenator (reference: CoreStreamingConcatenator,
+    image-concat-core.ts:279)."""
+
+    def __init__(self, options: ConcatOptions | Mapping[str, Any]):
+        self.options = ConcatOptions.from_any(options)
+        self.options.validate()
+
+    # ------------------------------------------------------------------ #
+
+    def stream(self) -> Iterator[bytes]:
+        """Two-pass streaming generator (reference: stream(),
+        image-concat-core.ts:927-1003)."""
+        opts = self.options
+        inputs = opts.inputs
+        if not isinstance(inputs, (list, tuple)):
+            inputs = list(inputs)
+        inputs = list(inputs)
+        if len(inputs) == 0:
+            raise StitchError("At least one input image is required")
+
+        positioned_mode = has_positioned_images(inputs)
+        if positioned_mode:
+            validate_positioned_inputs(inputs)
+
+        plugins = (
+            list(opts.decoders) if opts.decoders is not None else get_default_decoder_plugins()
+        )
+        decoders = create_decoders(inputs, opts.decoder_options, plugins)
+        try:
+            image_headers: list[ImageHeader] = [d.get_header() for d in decoders]
+            headers = [image_header_to_png_header(h) for h in image_headers]
+            target_depth, target_ct = determine_common_format(headers)
+
+            if positioned_mode:
+                yield from self._stream_positioned(
+                    inputs, decoders, image_headers, headers, target_depth
+                )
+            else:
+                yield from self._stream_grid(
+                    decoders, image_headers, headers, target_depth
+                )
+        finally:
+            for d in decoders:
+                try:
+                    d.close()
+                except Exception:
+                    pass
+
+    # ---------------------------- grid mode --------------------------- #
+
+    def _stream_grid(
+        self,
+        decoders: Sequence,
+        image_headers: Sequence[ImageHeader],
+        headers: Sequence[PngHeader],
+        target_depth: int,
+    ) -> Iterator[bytes]:
+        opts = self.options
+        layout = opts.layout
+        if not (layout.columns or layout.rows or layout.width or layout.height):
+            raise StitchError("Grid mode requires layout: columns, rows, width, or height")
+
+        grid_layout = calculate_layout(headers, layout)
+        out_format = opts.output_format
+        final_depth = 8 if out_format == "jpeg" else target_depth
+
+        out_header = PngHeader(
+            width=grid_layout.total_width,
+            height=grid_layout.total_height,
+            bit_depth=final_depth,
+            color_type=6,
+        )
+
+        progress = (
+            ProgressTracker(headers, opts.on_progress) if opts.on_progress else None
+        )
+        sources = [
+            RowSource(
+                i,
+                decoders[i],
+                headers[i],
+                image_headers[i].metadata or {},
+                final_depth,
+                opts.band_height,
+                progress,
+            )
+            for i in range(len(decoders))
+        ]
+        bands = self._grid_canvas_bands(grid_layout, sources, out_header)
+
+        if out_format == "jpeg":
+            yield from self._encode_jpeg(bands, out_header)
+        else:
+            yield PNG_SIGNATURE
+            yield serialize_chunk(create_ihdr(out_header))
+            yield from self._encode_png(bands, out_header)
+            yield serialize_chunk(create_iend())
+
+    def _grid_canvas_bands(
+        self,
+        gl: GridLayout,
+        sources: Sequence[RowSource],
+        out_header: PngHeader,
+    ) -> Iterator[np.ndarray]:
+        """Assemble output bands for the grid (reference hot loop:
+        generateFilteredScanlines / generateRawScanlines,
+        image-concat-core.ts:389-549 / :691-836 — here whole bands at once)."""
+        opts = self.options
+        bg = background_pixel(out_header.bit_depth, opts.background_color)
+        dtype = np.uint16 if out_header.bit_depth == 16 else np.uint8
+        band_h = opts.band_height
+        width = out_header.width
+
+        # Precompute each placed image's (y0, x0) on the canvas and its grid
+        # position for diagnostics.
+        placements = []  # (image_idx, y0, x0, grid_row, grid_col)
+        y_cursor = 0
+        for r, row in enumerate(gl.grid):
+            x_cursor = 0
+            for c, image_idx in enumerate(row):
+                col_w = gl.col_widths[r][c]
+                if image_idx >= 0:
+                    placements.append((image_idx, y_cursor, x_cursor, r + 1, c + 1))
+                    sources[image_idx].set_context(r + 1, c + 1)
+                x_cursor += col_w
+            y_cursor += gl.row_heights[r]
+
+        total_h = out_header.height
+        for band_y0 in range(0, total_h, band_h):
+            h = min(band_h, total_h - band_y0)
+            canvas = np.empty((h, width, 4), dtype=dtype)
+            canvas[:] = bg
+            for image_idx, y0, x0, _r, _c in placements:
+                img_h = sources[image_idx].header.height
+                img_w = sources[image_idx].header.width
+                seg_y0 = max(band_y0, y0)
+                seg_y1 = min(band_y0 + h, y0 + img_h)
+                if seg_y1 <= seg_y0:
+                    continue
+                rows = sources[image_idx].take(seg_y1 - seg_y0)
+                canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+            yield canvas
+
+    # -------------------------- positioned mode ------------------------ #
+
+    def _stream_positioned(
+        self,
+        inputs: Sequence,
+        decoders: Sequence,
+        image_headers: Sequence[ImageHeader],
+        headers: Sequence[PngHeader],
+        target_depth: int,
+    ) -> Iterator[bytes]:
+        opts = self.options
+        positions_raw = extract_positions(inputs)
+        positions = []
+        for pos in positions_raw:
+            if pos is None:
+                raise StitchError("Internal error: non-positioned image in positioned mode")
+            positions.append(pos)
+
+        canvas_w, canvas_h = calculate_canvas_size(
+            [
+                {
+                    "x": p["x"],
+                    "y": p["y"],
+                    "width": headers[i].width,
+                    "height": headers[i].height,
+                }
+                for i, p in enumerate(positions)
+            ],
+            opts.layout.width,
+            opts.layout.height,
+        )
+        clipped, placed = clip_images_to_canvas(positions, headers, canvas_w, canvas_h)
+        clip_by_idx = {c.image_idx: c for c in clipped}
+
+        out_format = opts.output_format
+        final_depth = 8 if out_format == "jpeg" else target_depth
+        out_header = PngHeader(
+            width=canvas_w, height=canvas_h, bit_depth=final_depth, color_type=6
+        )
+
+        progress = (
+            ProgressTracker(headers, opts.on_progress) if opts.on_progress else None
+        )
+        sources = [
+            RowSource(
+                i,
+                decoders[i],
+                headers[i],
+                image_headers[i].metadata or {},
+                final_depth,
+                opts.band_height,
+                progress,
+            )
+            for i in range(len(decoders))
+        ]
+        bands = self._positioned_canvas_bands(
+            placed, clip_by_idx, sources, out_header
+        )
+
+        if out_format == "jpeg":
+            yield from self._encode_jpeg(bands, out_header)
+        else:
+            yield PNG_SIGNATURE
+            yield serialize_chunk(create_ihdr(out_header))
+            yield from self._encode_png(bands, out_header)
+            yield serialize_chunk(create_iend())
+
+    def _positioned_canvas_bands(
+        self,
+        placed,
+        clip_by_idx,
+        sources: Sequence[RowSource],
+        out_header: PngHeader,
+    ) -> Iterator[np.ndarray]:
+        """Assemble positioned-mode bands back-to-front
+        (reference: generatePositionedScanlines, image-concat-core.ts:551-686;
+        z-order per band instead of per scanline)."""
+        opts = self.options
+        bg = background_pixel(out_header.bit_depth, opts.background_color)
+        dtype = np.uint16 if out_header.bit_depth == 16 else np.uint8
+        band_h = opts.band_height
+        blend = opts.enable_alpha_blending is not False
+
+        plans = build_band_plan(placed, out_header.height, band_h)
+        # Per-image caches: positioned images can span bands; rows are read
+        # once and in order (sources are streams). Because z-order within a
+        # band can interleave images arbitrarily but rows are consumed
+        # band-by-band monotonically per image, streaming works: each band
+        # touches a contiguous, increasing row range per image.
+        for band_idx, segs in enumerate(plans):
+            band_y0 = band_idx * band_h
+            h = min(band_h, out_header.height - band_y0)
+            canvas = np.empty((h, out_header.width, 4), dtype=dtype)
+            canvas[:] = bg
+            for seg in segs:
+                src = sources[seg.image_idx]
+                clip = clip_by_idx.get(seg.image_idx)
+                src_off_x = clip.source_offset_x if clip else 0
+                src_off_y = clip.source_offset_y if clip else 0
+                # Absolute source rows wanted for this segment.
+                want_lo = seg.local_y0 + src_off_y
+                want_hi = seg.local_y1 + src_off_y
+                if src.rows_served < want_lo:
+                    src.skip(want_lo - src.rows_served)
+                rows = src.take(want_hi - max(want_lo, src.rows_served))
+                seg_w = seg.end_x - seg.start_x
+                rows = rows[:, src_off_x : src_off_x + seg_w]
+                composite_band(
+                    canvas[seg.band_y0 : seg.band_y0 + rows.shape[0]],
+                    rows,
+                    start_x=seg.start_x,
+                    use_alpha_blending=blend,
+                )
+            yield canvas
+
+    # ----------------------------- encoders ---------------------------- #
+
+    def _encode_png(
+        self, bands: Iterator[np.ndarray], out_header: PngHeader
+    ) -> Iterator[bytes]:
+        """Filter-select each band, feed the streaming deflator, emit IDAT
+        chunks as they materialize (reference: streamCompressedData,
+        image-concat-core.ts:309-383)."""
+        from .ops.backend import get_backend
+
+        backend = get_backend(
+            self.options.backend, out_header.width * out_header.height
+        )
+        bpp = get_bytes_per_pixel(out_header.bit_depth, out_header.color_type)
+        chunks: list[bytes] = []
+        deflator = StreamingDeflator(on_data=chunks.append)
+        prev_row: np.ndarray | None = None
+        for canvas in bands:
+            ftypes, filtered, last_raw = backend.png_filter_band(canvas, prev_row)
+            prev_row = last_raw
+            h = filtered.shape[0]
+            interleaved = np.empty((h, 1 + filtered.shape[1]), dtype=np.uint8)
+            interleaved[:, 0] = ftypes
+            interleaved[:, 1:] = filtered
+            deflator.push(interleaved.tobytes())
+            while chunks:
+                yield serialize_chunk(create_idat(chunks.pop(0)))
+        deflator.finish()
+        while chunks:
+            yield serialize_chunk(create_idat(chunks.pop(0)))
+
+    def _encode_jpeg(
+        self, bands: Iterator[np.ndarray], out_header: PngHeader
+    ) -> Iterator[bytes]:
+        """JPEG encode over 8-row MCU strips (reference: streamJpegData,
+        image-concat-core.ts:837-925; edge-pixel repetition for the partial
+        final strip happens inside the encoder)."""
+        from .codecs.jpeg.encoder import StreamingJpegEncoder
+
+        from .ops.backend import resolve_backend_name
+
+        encoder = StreamingJpegEncoder(
+            width=out_header.width,
+            height=out_header.height,
+            quality=self.options.jpeg_quality,
+            backend=resolve_backend_name(
+                self.options.backend, out_header.width * out_header.height
+            ),
+        )
+        yield from encoder.header()
+        for canvas in bands:
+            if canvas.dtype != np.uint8:
+                raise StitchError("JPEG encoding requires 8-bit canvas bands")
+            yield from encoder.encode_band(canvas)
+        yield from encoder.finish()
+
+
+def concat_core(options) -> bytes:
+    """Collect the full stream (reference: concat core fn,
+    image-concat-core.ts:1475-1503)."""
+    return b"".join(CoreStreamingConcatenator(options).stream())
+
+
+def concat_streaming_core(options) -> Iterator[bytes]:
+    """(reference: concatStreaming, image-concat-core.ts:1505-1511)."""
+    return CoreStreamingConcatenator(options).stream()

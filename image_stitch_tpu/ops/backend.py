@@ -1,0 +1,71 @@
+"""Compute backends for the band pipeline.
+
+The orchestrator is backend-agnostic: ``numpy`` (the host oracle — float64
+semantics identical to the reference's JS) and ``tpu``/``jax`` (device
+compute: vectorized filter selection and JPEG DCT/quantization on the
+accelerator via XLA/Pallas; see :mod:`image_stitch_tpu.ops.device`).
+
+Both backends are bit-exact for everything the reference's grid mode does
+(pure integer math); see ops/device.py for the alpha-blend exactness notes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import get_bytes_per_pixel
+from .pixel import band_to_bytes
+from .png_filter import filter_select_band
+
+
+class NumpyBackend:
+    """Host-side oracle backend."""
+
+    name = "numpy"
+
+    def png_filter_band(
+        self, canvas: np.ndarray, prev_row: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Filter-select a canvas band.
+
+        ``canvas``: (H, W, 4) uint8/uint16. ``prev_row``: previous *raw* row
+        bytes (W*bpp,) or None. Returns (filter_types (H,), filtered rows
+        (H, W*bpp), last raw row (W*bpp,)) — the carry for the next band.
+        """
+        bpp = 8 if canvas.dtype == np.uint16 else 4
+        raw = band_to_bytes(canvas)
+        types, filtered = filter_select_band(raw, prev_row, bpp)
+        return types, filtered, raw[-1]
+
+
+_BACKENDS: dict[str, object] = {}
+
+# Below this many canvas pixels the per-call XLA dispatch overhead beats the
+# device win; host numpy is faster end-to-end.
+AUTO_DEVICE_THRESHOLD_PIXELS = 1 << 21
+
+
+def resolve_backend_name(name: str, canvas_pixels: int | None = None) -> str:
+    """Map option strings to a concrete backend, with 'auto' sizing."""
+    key = {"oracle": "numpy", "tpu": "jax"}.get(name, name)
+    if key == "auto":
+        if canvas_pixels is not None and canvas_pixels >= AUTO_DEVICE_THRESHOLD_PIXELS:
+            return "jax"
+        return "numpy"
+    return key
+
+
+def get_backend(name: str, canvas_pixels: int | None = None):
+    """'oracle'/'numpy' -> NumpyBackend; 'tpu'/'jax' -> JaxBackend;
+    'auto' -> sized choice."""
+    key = resolve_backend_name(name, canvas_pixels)
+    if key not in _BACKENDS:
+        if key == "numpy":
+            _BACKENDS[key] = NumpyBackend()
+        elif key == "jax":
+            from .device import JaxBackend
+
+            _BACKENDS[key] = JaxBackend()
+        else:
+            raise ValueError(f"Unknown backend: {name}")
+    return _BACKENDS[key]

@@ -1,0 +1,184 @@
+"""JAX/XLA device backend — the TPU compute path.
+
+The two band-level hot ops the accelerator owns end-to-end:
+
+1. **PNG filter selection** (encode): all five filter candidates for every
+   row of a band at once, |signed byte| sums, argmin with first-min
+   tie-breaking — semantics identical to the reference's per-row loop
+   (png-filter.ts:148-183) but one fused XLA program over (H, row_bytes).
+   The VPU-shaped elementwise work fuses into two passes over the band.
+
+2. **JPEG color-convert + 8x8 DCT + quantize** (encode): RGB→YCbCr, level
+   shift, DCT as a pair of 8x8 matmuls (MXU-shaped, batched over every block
+   of the band), round-half-away quantization — the on-device half of the
+   reference's Rust WASM encoder (SURVEY §2 native item 1).
+
+Both are jitted per input shape; band heights are constant through a stream,
+so each canvas size compiles exactly twice (full band + final partial band).
+
+Exactness: all integer paths (filter select, placement, conversion) are
+bit-exact by construction. JPEG DCT runs in f32 on device vs f32 on host —
+the quantized outputs are validated equal in tests for 8-bit inputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# PNG filter selection
+# --------------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("bpp",))
+def _filter_select_jit(raw: jax.Array, prev_row: jax.Array, bpp: int):
+    """raw: (H, N) uint8 rows; prev_row: (N,) uint8 (zeros at image start).
+
+    Returns (choice (H,) int32, filtered (H, N) uint8, last_raw (N,) uint8).
+    """
+    h, n = raw.shape
+    r = raw.astype(jnp.int32)
+
+    up = jnp.concatenate([prev_row[None, :], raw[:-1]], axis=0).astype(jnp.int32)
+    left = jnp.pad(r[:, :-bpp], ((0, 0), (bpp, 0)))
+    upleft = jnp.pad(up[:, :-bpp], ((0, 0), (bpp, 0)))
+
+    # Paeth predictor (png-filter.ts:16-26).
+    p = left + up - upleft
+    pa = jnp.abs(p - left)
+    pb = jnp.abs(p - up)
+    pc = jnp.abs(p - upleft)
+    paeth = jnp.where((pa <= pb) & (pa <= pc), left, jnp.where(pb <= pc, up, upleft))
+
+    cand = jnp.stack(
+        [
+            r,
+            (r - left) & 0xFF,
+            (r - up) & 0xFF,
+            (r - ((left + up) >> 1)) & 0xFF,
+            (r - paeth) & 0xFF,
+        ]
+    )  # (5, H, N) int32 in [0, 255]
+
+    signed = jnp.where(cand > 127, cand - 256, cand)
+    sums = jnp.sum(jnp.abs(signed), axis=2)  # (5, H)
+    choice = jnp.argmin(sums, axis=0)  # first min -> earlier filter wins
+    filtered = jnp.take_along_axis(cand, choice[None, :, None], axis=0)[0]
+    return choice, filtered.astype(jnp.uint8), raw[-1]
+
+
+@jax.jit
+def _u16_band_to_bytes(canvas: jax.Array) -> jax.Array:
+    """(H, W, 4) uint16 -> (H, W*8) big-endian uint8."""
+    hi = (canvas >> 8).astype(jnp.uint8)
+    lo = (canvas & 0xFF).astype(jnp.uint8)
+    h, w, _ = canvas.shape
+    return jnp.stack([hi, lo], axis=-1).reshape(h, w * 8)
+
+
+@jax.jit
+def _u8_band_to_bytes(canvas: jax.Array) -> jax.Array:
+    h, w, _ = canvas.shape
+    return canvas.reshape(h, w * 4)
+
+
+# --------------------------------------------------------------------------- #
+# JPEG band quantization
+# --------------------------------------------------------------------------- #
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m.astype(np.float32)
+
+
+_DCT_M = _dct_matrix()
+
+
+@jax.jit
+def _jpeg_quantize_jit(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
+    """band: (H, W, 4) uint8, H and W multiples of 8.
+
+    Returns (y, cb, cr) quantized natural-order blocks, each
+    (H//8 * W//8, 64) int32, strip-major (row of blocks, then column).
+    """
+    h, w, _ = band.shape
+    r = band[:, :, 0].astype(jnp.float32)
+    g = band[:, :, 1].astype(jnp.float32)
+    b = band[:, :, 2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b  # 128 offset cancels shift
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    dct = jnp.asarray(_DCT_M)
+
+    def one(plane: jax.Array, q: jax.Array) -> jax.Array:
+        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        # precision='highest': full-f32 MXU passes so quantized coefficients
+        # match the host's f32 DCT (TPU matmuls otherwise use bf16 passes).
+        coefs = jnp.matmul(
+            jnp.matmul(
+                dct, blocks, preferred_element_type=jnp.float32, precision="highest"
+            ),
+            dct.T,
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
+        scaled = coefs / q.reshape(8, 8).astype(jnp.float32)
+        rounded = jnp.where(
+            scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+        )
+        return rounded.astype(jnp.int32).reshape(-1, 64)
+
+    return one(y, luma_q), one(cb, chroma_q), one(cr, chroma_q)
+
+
+# --------------------------------------------------------------------------- #
+# Backend object
+# --------------------------------------------------------------------------- #
+
+
+class JaxBackend:
+    """Device backend plugged into the orchestrator's band pipeline."""
+
+    name = "jax"
+
+    def png_filter_band(
+        self, canvas: np.ndarray, prev_row: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if canvas.dtype == np.uint16:
+            bpp = 8
+            raw = _u16_band_to_bytes(jnp.asarray(canvas))
+        else:
+            bpp = 4
+            raw = _u8_band_to_bytes(jnp.asarray(canvas))
+        prev = (
+            jnp.zeros((raw.shape[1],), dtype=jnp.uint8)
+            if prev_row is None
+            else jnp.asarray(prev_row, dtype=jnp.uint8)
+        )
+        choice, filtered, last = _filter_select_jit(raw, prev, bpp)
+        choice, filtered, last = jax.device_get((choice, filtered, last))
+        return choice.astype(np.uint8), filtered, last
+
+    def jpeg_quantize_band(
+        self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(8k, W8, 4) uint8 -> three (k*W8/8, 64) int32 block arrays."""
+        yb, cbb, crb = _jpeg_quantize_jit(
+            jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
+        )
+        return jax.device_get((yb, cbb, crb))
+
+    def jpeg_quantize_strip(
+        self, strip: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.jpeg_quantize_band(strip, luma_q, chroma_q)

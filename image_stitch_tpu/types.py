@@ -139,9 +139,11 @@ class ConcatOptions:
     # --- TPU-native extensions (not in the reference) ---
     # Rows per streamed band; the O(canvas_width * band_height) memory knob.
     band_height: int = 256
-    # 'tpu' (device compute) or 'oracle' (numpy float64 host path that matches
-    # the reference's JS float64 semantics bit-for-bit).
-    backend: str = "tpu"
+    # 'auto' (device compute for large canvases, host numpy below the
+    # dispatch-overhead threshold), 'tpu'/'jax' (force device), or
+    # 'numpy'/'oracle' (host float64 path matching the reference's JS
+    # semantics bit-for-bit).
+    backend: str = "auto"
 
     _CAMEL = {
         "decoderOptions": "decoder_options",

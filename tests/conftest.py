@@ -6,7 +6,9 @@ Must set env vars before jax initializes (any jax import in the suite).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the ambient environment may point JAX at a tunneled TPU whose
+# per-call latency would dominate the suite; bench.py uses the real device).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
