@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Headline benchmark: N x N grid of PNG tiles -> JPEG q85, end to end.
+
+Measures megapixels/second/chip through the full pipeline — streaming PNG
+decode (host inflate + native defilter), band compositing, device
+YCbCr+DCT+quantize, host native Huffman pack — i.e. BASELINE.md configs
+2/5 ("4x4 grid of JPEG photo tiles -> JPEG q85", "streaming 16x16 grid of 4K
+tiles") at a size controlled by BENCH_GRID/BENCH_TILE env vars.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the fraction of the 1 GP/s/chip north-star target
+(BASELINE.md "North-star targets").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GRID = int(os.environ.get("BENCH_GRID", "8"))  # grid side (GRID x GRID tiles)
+TILE = int(os.environ.get("BENCH_TILE", "1024"))  # tile side in px
+QUALITY = 85
+TARGET_MPPS = 1000.0  # 1 GP/s/chip north-star
+
+
+def make_tile_png(seed: int, size: int) -> bytes:
+    """A photo-like tile: smooth gradients + structured noise, RGBA8 PNG."""
+    import zlib
+
+    from image_stitch_tpu import PngHeader, build_png
+    from image_stitch_tpu.ops.png_filter import filter_select_band
+
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, size, dtype=np.float32)
+    arr = np.empty((size, size, 4), dtype=np.uint8)
+    arr[:, :, 0] = (x[None, :] * 0.7 + x[:, None] * 0.3).astype(np.uint8)
+    arr[:, :, 1] = (x[:, None]).astype(np.uint8)
+    arr[:, :, 2] = rng.integers(0, 64, (size, size), dtype=np.uint8) + 96
+    arr[:, :, 3] = 255
+    raw = arr.reshape(size, size * 4)
+    types, filtered = filter_select_band(raw, None, 4)
+    payload = np.empty((size, 1 + size * 4), dtype=np.uint8)
+    payload[:, 0] = types
+    payload[:, 1:] = filtered
+    return build_png(
+        PngHeader(width=size, height=size, bit_depth=8, color_type=6),
+        zlib.compress(payload.tobytes(), 6),
+    )
+
+
+def main() -> None:
+    from image_stitch_tpu import concat_streaming
+
+    n_tiles = GRID * GRID
+    tiles = [make_tile_png(s, TILE) for s in range(min(n_tiles, 8))]
+    inputs = [tiles[i % len(tiles)] for i in range(n_tiles)]
+    total_mp = (GRID * TILE) ** 2 / 1e6
+
+    from image_stitch_tpu.ops.backend import resolve_backend_name
+
+    backend = resolve_backend_name(
+        os.environ.get("BENCH_BACKEND", "auto"), (GRID * TILE) ** 2
+    )
+    opts = {
+        "inputs": inputs,
+        "layout": {"columns": GRID},
+        "outputFormat": "jpeg",
+        "jpegQuality": QUALITY,
+        "backend": backend,
+        "band_height": int(os.environ.get("BENCH_BAND", "512")),
+    }
+
+    # Warmup: same canvas width, same band shapes, same (forced) backend —
+    # compiles the device programs and opens the host link outside the
+    # timed region.
+    warm = {**opts, "inputs": inputs[:GRID], "layout": {"columns": GRID}}
+    for _ in concat_streaming(warm):
+        pass
+
+    t0 = time.perf_counter()
+    out_bytes = 0
+    for chunk in concat_streaming(opts):
+        out_bytes += len(chunk)
+    dt = time.perf_counter() - t0
+
+    mpps = total_mp / dt
+    result = {
+        "metric": f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> JPEG q{QUALITY} (MP/s/chip, end-to-end)",
+        "value": round(mpps, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(mpps / TARGET_MPPS, 4),
+        "detail": {
+            "canvas": f"{GRID * TILE}x{GRID * TILE}",
+            "megapixels": round(total_mp, 1),
+            "seconds": round(dt, 3),
+            "output_bytes": out_bytes,
+            "backend": opts["backend"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

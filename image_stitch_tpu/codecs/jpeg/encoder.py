@@ -69,7 +69,7 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
 def _quantize(coefs: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     """Round-half-away-from-zero quantization (matches Rust f32 round)."""
     scaled = coefs / qtable.reshape(8, 8).astype(np.float32)
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int32)
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int16)
 
 
 def _band_to_blocks_numpy(
@@ -123,6 +123,19 @@ class StreamingJpegEncoder:
         self._enc_luma = HuffmanEncoder(self._dc_luma, self._ac_luma)
         self._enc_chroma = HuffmanEncoder(self._dc_chroma, self._ac_chroma)
         self._packer = BitPacker()
+        # Native entropy tier (C++): the serial bitstream stage; falls back
+        # to the vectorized-numpy packer when the toolchain is unavailable.
+        self._native_coder = None
+        try:
+            from ...native import NativeEntropyCoder, make_huff_table, native_available
+
+            if native_available():
+                self._native_coder = NativeEntropyCoder(
+                    make_huff_table(self._dc_luma, self._ac_luma),
+                    make_huff_table(self._dc_chroma, self._ac_chroma),
+                )
+        except Exception:
+            self._native_coder = None
         self._prev_dc = [0, 0, 0]
         self._header_emitted = False
         self._finished = False
@@ -131,6 +144,8 @@ class StreamingJpegEncoder:
         self._last_row: np.ndarray | None = None
         self._pad_w = (-width) % 8
         self._device = None
+        # One-band device lookahead: (pending device arrays, n_strips, bps).
+        self._inflight = None
         if backend in ("tpu", "jax"):
             from ...ops.device import JaxBackend
 
@@ -192,6 +207,8 @@ class StreamingJpegEncoder:
 
     def _entropy_code(self, yb, cbb, crb) -> bytes:
         """Huffman-encode quantized blocks (any number of strips)."""
+        if self._native_coder is not None:
+            return self._native_coder.encode(yb, cbb, crb)
         yc, yl, self._prev_dc[0] = self._enc_luma.encode_component_blocks(
             yb, self._prev_dc[0]
         )
@@ -207,7 +224,22 @@ class StreamingJpegEncoder:
     def _encode_strip(self, strip: np.ndarray) -> bytes:
         """Encode one full (8, W, 4) strip to entropy-coded bytes."""
         yb, cbb, crb = self._quantize_band(strip)
-        return self._entropy_code(yb, cbb, crb)
+        return b"".join(self._emit_blocks(yb, cbb, crb))
+
+    def _emit_blocks(self, yb, cbb, crb) -> Iterator[bytes]:
+        """Entropy-code quantized blocks strip-by-strip so bytes stream."""
+        bps = (self.width + self._pad_w) // 8  # blocks per strip
+        n_strips = yb.shape[0] // bps
+        for i in range(n_strips):
+            sl = slice(i * bps, (i + 1) * bps)
+            data = self._entropy_code(yb[sl], cbb[sl], crb[sl])
+            self._rows_consumed += MCU_HEIGHT
+            if data:
+                yield data
+
+    def _drain_inflight(self, handle) -> Iterator[bytes]:
+        yb, cbb, crb = self._device.jpeg_quantize_band_wait(handle)
+        yield from self._emit_blocks(yb, cbb, crb)
 
     def encode_band(self, band: np.ndarray) -> Iterator[bytes]:
         """Consume an (h, W, 4) uint8 band; yields encoded bytes."""
@@ -226,16 +258,25 @@ class StreamingJpegEncoder:
             self._pending = None
         n_full = band.shape[0] // MCU_HEIGHT
         if n_full:
-            # One device call for the whole band, then per-strip entropy
-            # coding so bytes stream out progressively.
-            yb, cbb, crb = self._quantize_band(band[: n_full * MCU_HEIGHT])
-            bps = (self.width + self._pad_w) // 8  # blocks per strip
-            for i in range(n_full):
-                sl = slice(i * bps, (i + 1) * bps)
-                data = self._entropy_code(yb[sl], cbb[sl], crb[sl])
-                self._rows_consumed += MCU_HEIGHT
-                if data:
-                    yield data
+            full = band[: n_full * MCU_HEIGHT]
+            if self._device is not None:
+                # Pipeline: submit this band's quantize (device compute +
+                # async readback), entropy-code the previous band meanwhile.
+                if self._pad_w:
+                    full = np.concatenate(
+                        [full, np.repeat(full[:, -1:, :], self._pad_w, axis=1)],
+                        axis=1,
+                    )
+                handle = self._device.jpeg_quantize_band_async(
+                    full, self.luma_q, self.chroma_q
+                )
+                prev = self._inflight
+                self._inflight = handle
+                if prev is not None:
+                    yield from self._drain_inflight(prev)
+            else:
+                yb, cbb, crb = self._quantize_band(full)
+                yield from self._emit_blocks(yb, cbb, crb)
         rest = band[n_full * MCU_HEIGHT :]
         if rest.shape[0]:
             self._pending = rest.copy()
@@ -259,6 +300,10 @@ class StreamingJpegEncoder:
         if not self._header_emitted:
             self._header_emitted = True
             out += self._header_bytes()
+        if self._inflight is not None:
+            pending, self._inflight = self._inflight, None
+            for data in self._drain_inflight(pending):
+                out += data
         if self._pending is not None and self._pending.shape[0]:
             part = self._pending
             self._pending = None
@@ -268,7 +313,10 @@ class StreamingJpegEncoder:
             )
             out += self._encode_strip(strip)
             self._rows_consumed += MCU_HEIGHT
-        out += self._packer.flush()
+        if self._native_coder is not None:
+            out += self._native_coder.flush()
+        else:
+            out += self._packer.flush()
         out += b"\xff\xd9"  # EOI
         yield bytes(out)
 

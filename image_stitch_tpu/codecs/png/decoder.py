@@ -25,7 +25,7 @@ from ...io.inflate import StreamingInflator
 from ...types import ImageHeader, PngHeader
 from ...utils import get_bytes_per_pixel, read_u32be, scanline_byte_length
 from ...ops.adam7 import deinterlace_adam7
-from ...ops.png_filter import unfilter_band
+from ...ops.png_filter import defilter_band
 from .parser import parse_header_chunk, validate_signature
 
 DEFAULT_BAND_HEIGHT = 256
@@ -192,7 +192,7 @@ class PngDecoder:
                     take, unit
                 )
                 del buf[: take * unit]
-                band = unfilter_band(block[:, 0], block[:, 1:], prev_row, bpp)
+                band = defilter_band(block[:, 0], block[:, 1:], prev_row, bpp)
                 prev_row = band[-1]
                 rows_done += take
                 yield band

@@ -480,16 +480,17 @@ class CoreStreamingConcatenator:
         image-concat-core.ts:309-383)."""
         from .ops.backend import get_backend
 
+        from .ops.pixel import band_to_bytes
+
         backend = get_backend(
             self.options.backend, out_header.width * out_header.height
         )
         bpp = get_bytes_per_pixel(out_header.bit_depth, out_header.color_type)
         chunks: list[bytes] = []
         deflator = StreamingDeflator(on_data=chunks.append)
-        prev_row: np.ndarray | None = None
-        for canvas in bands:
-            ftypes, filtered, last_raw = backend.png_filter_band(canvas, prev_row)
-            prev_row = last_raw
+
+        def emit(pending) -> Iterator[bytes]:
+            ftypes, filtered, _last = backend.png_filter_band_wait(pending)
             h = filtered.shape[0]
             interleaved = np.empty((h, 1 + filtered.shape[1]), dtype=np.uint8)
             interleaved[:, 0] = ftypes
@@ -497,6 +498,21 @@ class CoreStreamingConcatenator:
             deflator.push(interleaved.tobytes())
             while chunks:
                 yield serialize_chunk(create_idat(chunks.pop(0)))
+
+        # One-band lookahead: submit filter-select for band N (device compute
+        # + async readback), then deflate band N-1 on the host. The filter
+        # carry (previous raw row) is input data, so submission never waits
+        # on device results.
+        prev_row: np.ndarray | None = None
+        pending = None
+        for canvas in bands:
+            handle = backend.png_filter_band_async(canvas, prev_row)
+            prev_row = band_to_bytes(canvas[-1:])[0]
+            if pending is not None:
+                yield from emit(pending)
+            pending = handle
+        if pending is not None:
+            yield from emit(pending)
         deflator.finish()
         while chunks:
             yield serialize_chunk(create_idat(chunks.pop(0)))

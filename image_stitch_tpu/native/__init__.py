@@ -1,0 +1,208 @@
+"""Native host kernels: build-on-first-use C++ library with ctypes bindings.
+
+TPU-native replacement for the reference's native/WASM tier (SURVEY §2):
+PNG defiltering (the byte-serial 2D recurrence) and the JPEG Huffman bit
+packer (serial bitstream) — the two host-bound stages that bracket the
+device compute. Falls back to the pure numpy implementations when the
+toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "stitchnative.cpp")
+_LIB = None
+_LIB_TRIED = False
+
+
+class HuffTableC(ctypes.Structure):
+    _fields_ = [
+        ("dc_code", ctypes.c_uint32 * 16),
+        ("dc_len", ctypes.c_uint8 * 16),
+        ("ac_code", ctypes.c_uint32 * 256),
+        ("ac_len", ctypes.c_uint8 * 256),
+    ]
+
+
+class EntropyStateC(ctypes.Structure):
+    _fields_ = [
+        ("bits", ctypes.c_uint64),
+        ("count", ctypes.c_int),
+        ("prev_dc", ctypes.c_int32 * 3),
+    ]
+
+
+def _build_library() -> str | None:
+    """Compile the shared library into a cache dir keyed by source hash."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "image_stitch_tpu",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, f"stitchnative-{digest}.so")
+    if os.path.exists(lib_path):
+        return lib_path
+    with tempfile.NamedTemporaryFile(suffix=".so", dir=cache_dir, delete=False) as tmp:
+        tmp_path = tmp.name
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", tmp_path, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, lib_path)
+        return lib_path
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        return None
+
+
+def get_native_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if os.environ.get("STITCH_TPU_NO_NATIVE"):
+        return None
+    path = _build_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.png_defilter_band.restype = ctypes.c_int
+    lib.png_defilter_band.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+    for name in ("jpeg_entropy_encode_444", "jpeg_entropy_encode_420"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
+            ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
+        ]
+    lib.jpeg_entropy_flush.restype = ctypes.c_int64
+    lib.jpeg_entropy_flush.argtypes = [
+        ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_native_lib() is not None
+
+
+# ------------------------------------------------------------------------- #
+# PNG defilter binding
+# ------------------------------------------------------------------------- #
+
+
+def defilter_band_native(
+    filter_types: np.ndarray,
+    rows: np.ndarray,
+    previous_row: np.ndarray | None,
+    bpp: int,
+) -> np.ndarray | None:
+    """Native counterpart of ops.png_filter.unfilter_band; returns None when
+    the native tier is unavailable (caller falls back to numpy)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(rows, dtype=np.uint8).copy()
+    ftypes = np.ascontiguousarray(filter_types, dtype=np.uint8)
+    prev = (
+        None
+        if previous_row is None
+        else np.ascontiguousarray(previous_row, dtype=np.uint8)
+    )
+    rc = lib.png_defilter_band(
+        out.ctypes.data_as(ctypes.c_void_p),
+        ftypes.ctypes.data_as(ctypes.c_void_p),
+        out.shape[0],
+        out.shape[1],
+        bpp,
+        prev.ctypes.data_as(ctypes.c_void_p) if prev is not None else None,
+    )
+    if rc != 0:
+        from ..errors import StitchError
+
+        raise StitchError(f"Unknown filter type in band (native rc={rc})")
+    return out
+
+
+# ------------------------------------------------------------------------- #
+# JPEG entropy coding binding
+# ------------------------------------------------------------------------- #
+
+
+def make_huff_table(dc_codes: dict, ac_codes: dict) -> HuffTableC:
+    t = HuffTableC()
+    for sym, (code, length) in dc_codes.items():
+        t.dc_code[sym] = code
+        t.dc_len[sym] = length
+    for sym, (code, length) in ac_codes.items():
+        t.ac_code[sym] = code
+        t.ac_len[sym] = length
+    return t
+
+
+class NativeEntropyCoder:
+    """Streaming JPEG entropy coder over the native library."""
+
+    def __init__(self, luma_table: HuffTableC, chroma_table: HuffTableC,
+                 sampling: str = "444"):
+        self._luma = luma_table
+        self._chroma = chroma_table
+        self._state = EntropyStateC()
+        self._fn_name = (
+            "jpeg_entropy_encode_444" if sampling == "444" else "jpeg_entropy_encode_420"
+        )
+
+    def encode(self, yb: np.ndarray, cbb: np.ndarray, crb: np.ndarray) -> bytes:
+        lib = get_native_lib()
+        assert lib is not None
+        n_mcus = cbb.shape[0]
+        yb = np.ascontiguousarray(yb, dtype=np.int16)
+        cbb = np.ascontiguousarray(cbb, dtype=np.int16)
+        crb = np.ascontiguousarray(crb, dtype=np.int16)
+        # Worst case ~ 16 bits/coef + stuffing; be generous.
+        blocks_total = yb.shape[0] + 2 * n_mcus
+        cap = int(blocks_total * 64 * 4 + 1024)
+        out = np.empty(cap, dtype=np.uint8)
+        n = getattr(lib, self._fn_name)(
+            yb.ctypes.data_as(ctypes.c_void_p),
+            cbb.ctypes.data_as(ctypes.c_void_p),
+            crb.ctypes.data_as(ctypes.c_void_p),
+            n_mcus,
+            ctypes.byref(self._luma),
+            ctypes.byref(self._chroma),
+            ctypes.byref(self._state),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:n].tobytes()
+
+    def flush(self) -> bytes:
+        lib = get_native_lib()
+        assert lib is not None
+        out = np.empty(8, dtype=np.uint8)
+        n = lib.jpeg_entropy_flush(
+            ctypes.byref(self._state), out.ctypes.data_as(ctypes.c_void_p)
+        )
+        return out[:n].tobytes()

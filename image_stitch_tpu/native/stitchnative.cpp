@@ -1,0 +1,215 @@
+// stitchnative — host-side native kernels for the TPU stitching framework.
+//
+// TPU-native equivalent of the reference's native/WASM components (SURVEY §2):
+// the Rust→WASM JPEG entropy coder (jpeg-encoder-wasm) and the byte-serial
+// PNG defilter hot loop (png-filter.ts:34-100). The device (XLA/Pallas) owns
+// all parallel pixel math; these are the two truly sequential byte-level
+// stages that belong on the host: PNG scanline defiltering (a 2D recurrence)
+// and JPEG Huffman bit packing (a serial bitstream).
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see build.py). ctypes ABI.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG defilter: undo None/Sub/Up/Average/Paeth over a band of rows.
+// rows: h * rowbytes filtered bytes (modified in place to raw bytes).
+// filter_types: h bytes. prev_row: rowbytes bytes or nullptr.
+// Returns 0 on success, -1 on unknown filter type.
+// ---------------------------------------------------------------------------
+
+static inline uint8_t paeth(uint8_t a, uint8_t b, uint8_t c) {
+    int p = (int)a + (int)b - (int)c;
+    int pa = abs(p - (int)a);
+    int pb = abs(p - (int)b);
+    int pc = abs(p - (int)c);
+    if (pa <= pb && pa <= pc) return a;
+    if (pb <= pc) return b;
+    return c;
+}
+
+int png_defilter_band(uint8_t* rows, const uint8_t* filter_types,
+                      int64_t h, int64_t rowbytes, int bpp,
+                      const uint8_t* prev_row) {
+    const uint8_t* prev = prev_row;  // may be null for first band
+    for (int64_t y = 0; y < h; ++y) {
+        uint8_t* cur = rows + y * rowbytes;
+        switch (filter_types[y]) {
+            case 0:  // None
+                break;
+            case 1:  // Sub
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);
+                break;
+            case 2:  // Up
+                if (prev)
+                    for (int64_t i = 0; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(cur[i] + prev[i]);
+                break;
+            case 3:  // Average
+                if (prev) {
+                    for (int64_t i = 0; i < bpp; ++i)
+                        cur[i] = (uint8_t)(cur[i] + (prev[i] >> 1));
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(cur[i] +
+                                           (((int)cur[i - bpp] + (int)prev[i]) >> 1));
+                } else {
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(cur[i] + (cur[i - bpp] >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                if (prev) {
+                    for (int64_t i = 0; i < bpp; ++i)
+                        cur[i] = (uint8_t)(cur[i] + prev[i]);  // left=c=0 -> up
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(cur[i] + paeth(cur[i - bpp], prev[i],
+                                                          prev[i - bpp]));
+                } else {
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);  // paeth->left
+                }
+                break;
+            default:
+                return -1;
+        }
+        prev = cur;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG Huffman entropy coding of interleaved 4:4:4 MCUs.
+//
+// Inputs: three (n_blocks, 64) int32 arrays of quantized coefficients in
+// natural (row-major) order, standard code tables, DC predictors and the
+// bit-reservoir carry. Output: stuffed entropy bytes.
+//
+// State (prev_dc[3], bit buffer) lives in the caller so strips stream.
+// Returns number of bytes written to out (capacity must be generous:
+// worst case ~ n_blocks * 3 * 256 bytes).
+// ---------------------------------------------------------------------------
+
+typedef struct {
+    uint32_t dc_code[16];
+    uint8_t dc_len[16];
+    uint32_t ac_code[256];
+    uint8_t ac_len[256];
+} HuffTable;
+
+typedef struct {
+    uint64_t bits;     // bit reservoir, MSB-aligned within count
+    int count;         // number of valid bits in reservoir
+    int32_t prev_dc[3];
+} EntropyState;
+
+static const int kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+static inline int bit_size(int v) {
+    unsigned uv = (unsigned)(v < 0 ? -v : v);
+    int n = 0;
+    while (uv) { ++n; uv >>= 1; }
+    return n;
+}
+
+static inline void put_bits(EntropyState* st, uint8_t** outp, uint32_t code,
+                            int len) {
+    st->bits = (st->bits << len) | (uint64_t)(code & ((1u << len) - 1u));
+    st->count += len;
+    while (st->count >= 8) {
+        uint8_t byte = (uint8_t)(st->bits >> (st->count - 8));
+        st->count -= 8;
+        *(*outp)++ = byte;
+        if (byte == 0xFF) *(*outp)++ = 0x00;  // stuffing
+    }
+}
+
+static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
+                         const HuffTable* t, int comp) {
+    // Zigzag + DC diff.
+    int32_t dc = blk[0];
+    int32_t diff = dc - st->prev_dc[comp];
+    st->prev_dc[comp] = dc;
+    int s = bit_size(diff);
+    put_bits(st, outp, t->dc_code[s], t->dc_len[s]);
+    if (s) {
+        int32_t v = diff < 0 ? diff + (1 << s) - 1 : diff;
+        put_bits(st, outp, (uint32_t)v, s);
+    }
+    int run = 0;
+    int last_nz = 0;
+    // Find last nonzero in zigzag order for EOB placement.
+    for (int k = 63; k >= 1; --k) {
+        if (blk[kZigzag[k]] != 0) { last_nz = k; break; }
+    }
+    for (int k = 1; k <= last_nz; ++k) {
+        int32_t v = blk[kZigzag[k]];
+        if (v == 0) { ++run; continue; }
+        while (run > 15) {
+            put_bits(st, outp, t->ac_code[0xF0], t->ac_len[0xF0]);
+            run -= 16;
+        }
+        int size = bit_size(v);
+        int sym = (run << 4) | size;
+        put_bits(st, outp, t->ac_code[sym], t->ac_len[sym]);
+        int32_t vb = v < 0 ? v + (1 << size) - 1 : v;
+        put_bits(st, outp, (uint32_t)vb, size);
+        run = 0;
+    }
+    if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
+}
+
+int64_t jpeg_entropy_encode_444(const int16_t* y_blocks,
+                                const int16_t* cb_blocks,
+                                const int16_t* cr_blocks, int64_t n_mcus,
+                                const HuffTable* luma, const HuffTable* chroma,
+                                EntropyState* state, uint8_t* out) {
+    uint8_t* p = out;
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        encode_block(state, &p, y_blocks + m * 64, luma, 0);
+        encode_block(state, &p, cb_blocks + m * 64, chroma, 1);
+        encode_block(state, &p, cr_blocks + m * 64, chroma, 2);
+    }
+    return (int64_t)(p - out);
+}
+
+// 4:2:0 MCU: 4 Y blocks + 1 Cb + 1 Cr.
+int64_t jpeg_entropy_encode_420(const int16_t* y_blocks,
+                                const int16_t* cb_blocks,
+                                const int16_t* cr_blocks, int64_t n_mcus,
+                                const HuffTable* luma, const HuffTable* chroma,
+                                EntropyState* state, uint8_t* out) {
+    uint8_t* p = out;
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int i = 0; i < 4; ++i)
+            encode_block(state, &p, y_blocks + (m * 4 + i) * 64, luma, 0);
+        encode_block(state, &p, cb_blocks + m * 64, chroma, 1);
+        encode_block(state, &p, cr_blocks + m * 64, chroma, 2);
+    }
+    return (int64_t)(p - out);
+}
+
+// Flush remaining bits padded with 1s. Returns bytes written (0..2).
+int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {
+    uint8_t* p = out;
+    if (state->count > 0) {
+        int pad = 8 - state->count;
+        uint8_t byte =
+            (uint8_t)((state->bits << pad) | ((1u << pad) - 1u));
+        state->count = 0;
+        state->bits = 0;
+        *p++ = byte;
+        if (byte == 0xFF) *p++ = 0x00;
+    }
+    return (int64_t)(p - out);
+}
+
+}  // extern "C"

@@ -18,7 +18,7 @@ import numpy as np
 from ..errors import StitchError
 from ..types import PngHeader
 from ..utils import get_bytes_per_pixel, get_samples_per_pixel, scanline_byte_length
-from .png_filter import unfilter_band
+from .png_filter import defilter_band
 
 
 @dataclass(frozen=True)
@@ -100,7 +100,7 @@ def deinterlace_adam7(decompressed: bytes | np.ndarray, header: PngHeader) -> np
         block = data[offset : offset + needed].reshape(ph, 1 + pass_row_bytes)
         offset += needed
         filter_types = block[:, 0]
-        raw = unfilter_band(filter_types, block[:, 1:], None, bpp)
+        raw = defilter_band(filter_types, block[:, 1:], None, bpp)
 
         ys = slice(p.y_start, p.y_start + ph * p.y_step, p.y_step)
         if sub_byte:

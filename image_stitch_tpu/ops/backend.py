@@ -19,7 +19,8 @@ from .png_filter import filter_select_band
 
 
 class NumpyBackend:
-    """Host-side oracle backend."""
+    """Host-side oracle backend. The async API is the sync one (compute on
+    submit, identity on wait) so the orchestrator has one pipeline shape."""
 
     name = "numpy"
 
@@ -36,6 +37,13 @@ class NumpyBackend:
         raw = band_to_bytes(canvas)
         types, filtered = filter_select_band(raw, prev_row, bpp)
         return types, filtered, raw[-1]
+
+    def png_filter_band_async(self, canvas, prev_row):
+        return self.png_filter_band(canvas, prev_row)
+
+    @staticmethod
+    def png_filter_band_wait(pending):
+        return pending
 
 
 _BACKENDS: dict[str, object] = {}

@@ -23,11 +23,23 @@ the quantized outputs are validated equal in tests for 8-bit inputs.
 
 from __future__ import annotations
 
-from functools import partial
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: first-compile of the band programs is
+# expensive on remote-compile TPU links; cache across processes.
+if not jax.config.jax_compilation_cache_dir:
+    _cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "image_stitch_tpu",
+        "jax_cache",
+    )
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 # --------------------------------------------------------------------------- #
@@ -35,10 +47,10 @@ import numpy as np
 # --------------------------------------------------------------------------- #
 
 
-@partial(jax.jit, static_argnames=("bpp",))
-def _filter_select_jit(raw: jax.Array, prev_row: jax.Array, bpp: int):
-    """raw: (H, N) uint8 rows; prev_row: (N,) uint8 (zeros at image start).
+def filter_select_trace(raw: jax.Array, prev_row: jax.Array, bpp: int):
+    """Pure traceable filter-select (composable into fused/sharded programs).
 
+    raw: (H, N) uint8 rows; prev_row: (N,) uint8 (zeros at image start).
     Returns (choice (H,) int32, filtered (H, N) uint8, last_raw (N,) uint8).
     """
     h, n = raw.shape
@@ -72,6 +84,9 @@ def _filter_select_jit(raw: jax.Array, prev_row: jax.Array, bpp: int):
     return choice, filtered.astype(jnp.uint8), raw[-1]
 
 
+_filter_select_jit = jax.jit(filter_select_trace, static_argnames=("bpp",))
+
+
 @jax.jit
 def _u16_band_to_bytes(canvas: jax.Array) -> jax.Array:
     """(H, W, 4) uint16 -> (H, W*8) big-endian uint8."""
@@ -103,10 +118,10 @@ def _dct_matrix() -> np.ndarray:
 _DCT_M = _dct_matrix()
 
 
-@jax.jit
-def _jpeg_quantize_jit(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
-    """band: (H, W, 4) uint8, H and W multiples of 8.
+def jpeg_quantize_trace(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
+    """Pure traceable YCbCr + DCT + quantize (composable into fused programs).
 
+    band: (H, W, 4) uint8, H and W multiples of 8.
     Returns (y, cb, cr) quantized natural-order blocks, each
     (H//8 * W//8, 64) int32, strip-major (row of blocks, then column).
     """
@@ -136,9 +151,14 @@ def _jpeg_quantize_jit(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
         rounded = jnp.where(
             scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
         )
-        return rounded.astype(jnp.int32).reshape(-1, 64)
+        # int16: quantized baseline coefficients are bounded by ~±1024;
+        # halving the transfer matters on latency-bound host links.
+        return rounded.astype(jnp.int16).reshape(-1, 64)
 
     return one(y, luma_q), one(cb, chroma_q), one(cr, chroma_q)
+
+
+_jpeg_quantize_jit = jax.jit(jpeg_quantize_trace)
 
 
 # --------------------------------------------------------------------------- #
@@ -146,14 +166,27 @@ def _jpeg_quantize_jit(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
 # --------------------------------------------------------------------------- #
 
 
+def _start_host_copy(arrays) -> None:
+    """Kick off async device->host transfers so they overlap host work."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax
+            pass
+
+
 class JaxBackend:
-    """Device backend plugged into the orchestrator's band pipeline."""
+    """Device backend plugged into the orchestrator's band pipeline.
+
+    The *_async variants dispatch the device program and start the
+    device->host copy without blocking, enabling a one-band-lookahead
+    pipeline: the host entropy-codes/deflates band N-1 while the device
+    computes band N and its results stream back.
+    """
 
     name = "jax"
 
-    def png_filter_band(
-        self, canvas: np.ndarray, prev_row: np.ndarray | None
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def png_filter_band_async(self, canvas: np.ndarray, prev_row: np.ndarray | None):
         if canvas.dtype == np.uint16:
             bpp = 8
             raw = _u16_band_to_bytes(jnp.asarray(canvas))
@@ -165,18 +198,40 @@ class JaxBackend:
             if prev_row is None
             else jnp.asarray(prev_row, dtype=jnp.uint8)
         )
-        choice, filtered, last = _filter_select_jit(raw, prev, bpp)
-        choice, filtered, last = jax.device_get((choice, filtered, last))
+        out = _filter_select_jit(raw, prev, bpp)
+        _start_host_copy(out)
+        return out
+
+    @staticmethod
+    def png_filter_band_wait(pending) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        choice, filtered, last = jax.device_get(pending)
         return choice.astype(np.uint8), filtered, last
+
+    def png_filter_band(
+        self, canvas: np.ndarray, prev_row: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.png_filter_band_wait(self.png_filter_band_async(canvas, prev_row))
+
+    def jpeg_quantize_band_async(
+        self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+    ):
+        out = _jpeg_quantize_jit(
+            jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
+        )
+        _start_host_copy(out)
+        return out
+
+    @staticmethod
+    def jpeg_quantize_band_wait(pending):
+        return jax.device_get(pending)
 
     def jpeg_quantize_band(
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(8k, W8, 4) uint8 -> three (k*W8/8, 64) int32 block arrays."""
-        yb, cbb, crb = _jpeg_quantize_jit(
-            jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
+        """(8k, W8, 4) uint8 -> three (k*W8/8, 64) int16 block arrays."""
+        return self.jpeg_quantize_band_wait(
+            self.jpeg_quantize_band_async(band, luma_q, chroma_q)
         )
-        return jax.device_get((yb, cbb, crb))
 
     def jpeg_quantize_strip(
         self, strip: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray

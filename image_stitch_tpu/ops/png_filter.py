@@ -164,6 +164,27 @@ def unfilter_band(
     return out
 
 
+def defilter_band(
+    filter_types: np.ndarray,
+    rows: np.ndarray,
+    previous_row: np.ndarray | None,
+    bytes_per_pixel: int,
+) -> np.ndarray:
+    """Defilter a band through the fastest available tier: native C++
+    (image_stitch_tpu/native) when built, else the numpy path."""
+    from ..native import defilter_band_native
+
+    out = defilter_band_native(
+        np.asarray(filter_types, dtype=np.uint8),
+        np.asarray(rows, dtype=np.uint8),
+        previous_row,
+        bytes_per_pixel,
+    )
+    if out is not None:
+        return out
+    return unfilter_band(filter_types, rows, previous_row, bytes_per_pixel)
+
+
 # ---------------------------------------------------------------------------
 # Encode side: choose + apply the best filter for every row of a band.
 # ---------------------------------------------------------------------------

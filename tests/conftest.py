@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The container's sitecustomize registers a tunneled TPU backend and forces
+# jax_platforms programmatically; override it back to CPU before any backend
+# initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PNGSUITE_DIR = os.path.join(
