@@ -58,6 +58,11 @@ from .codecs.registry import (
 from .codecs.png.decoder import PngDecoder, png_plugin
 from .codecs.jpeg.decoder import JpegDecoder, jpeg_plugin, parse_jpeg_header
 from .codecs.heic import HeicDecoder, heic_plugin
+from .codecs.input_cache import (
+    disable_input_cache,
+    enable_input_cache,
+    input_cache_enabled,
+)
 
 # ---- low-level PNG APIs (reference: src/index.ts:53-123) --------------------
 from .codecs.png.parser import (
@@ -159,6 +164,9 @@ __all__ = [
     "parse_jpeg_header",
     "HeicDecoder",
     "heic_plugin",
+    "enable_input_cache",
+    "disable_input_cache",
+    "input_cache_enabled",
     # low-level PNG
     "parse_png_header",
     "parse_png_chunks",

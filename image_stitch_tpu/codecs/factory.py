@@ -179,6 +179,13 @@ def create_decoder(
         )
     for plugin in plugins:
         if plugin.format == fmt:
+            from .input_cache import cached_decoder_for
+
+            cached = cached_decoder_for(
+                source, lambda: plugin.create(source, options)
+            )
+            if cached is not None:
+                return cached
             return plugin.create(source, options)
     raise StitchError(
         f"No decoder plugin registered for format '{fmt}'. "

@@ -1,21 +1,327 @@
-"""Owned (from-scratch) baseline JPEG decoder — host Huffman + device IDCT.
+"""Owned (from-scratch) baseline JPEG decoder — host Huffman + array IDCT.
 
 Tier-2 decoder used when PIL is unavailable or ``force_owned`` is set,
-mirroring the reference's jpeg-js fallback (jpeg-decoder.ts:250-262).
-
-Implemented in codecs/jpeg/owned_decoder.py milestone; currently gated.
+mirroring the reference's pure-JS jpeg-js fallback (jpeg-decoder.ts:250-262).
+Supports baseline sequential DCT (SOF0/SOF1), grayscale and 3-component
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, and custom
+quant/Huffman tables. The bitstream walk is host-serial (as it must be);
+dequantize + IDCT + upsample + color convert are vectorized over all blocks.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
 
 from ...errors import StitchError
+from .tables import ZIGZAG
+
+
+def _idct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m.astype(np.float32)
+
+
+_DCT = _idct_matrix()
+
+
+@dataclass
+class _Component:
+    comp_id: int
+    h: int
+    v: int
+    tq: int
+    td: int = 0
+    ta: int = 0
+    blocks: np.ndarray | None = None  # (by, bx, 64) int32
+    bx: int = 0
+    by: int = 0
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.val = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.val = (self.val << 8) | 0
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # Restart marker: caller resets via sync_restart().
+                    self.val = (self.val << 8) | 0
+                    self.n += 8
+                    continue
+                else:
+                    # Real marker (EOI etc.): pad with zeros.
+                    self.val = (self.val << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.val = (self.val << 8) | b
+            self.n += 8
+
+    def bits(self, count: int) -> int:
+        if count == 0:
+            return 0
+        if self.n < count:
+            self._fill()
+        out = (self.val >> (self.n - count)) & ((1 << count) - 1)
+        self.n -= count
+        self.val &= (1 << self.n) - 1
+        return out
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def sync_restart(self) -> None:
+        """Discard buffered bits, skip to just past the next RSTn marker."""
+        self.val = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise StitchError("Expected restart marker, hit end of stream")
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table: (code,len) -> symbol via per-length
+    min/max code arrays (the classic fast table walk)."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.val_ptr[length] = k
+                self.min_code[length] = code
+                code += n
+                self.max_code[length] = code - 1
+                k += n
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bit()
+        length = 1
+        while length <= 16:
+            if self.max_code[length] >= code >= self.min_code[length] and self.max_code[length] >= 0:
+                return self.vals[self.val_ptr[length] + code - self.min_code[length]]
+            code = (code << 1) | br.bit()
+            length += 1
+        raise StitchError("Invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a magnitude-coded value (JPEG F.2.2.1)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB."""
-    raise StitchError(
-        "Owned JPEG decoder not yet available in this build; "
-        "PIL tier is required for JPEG decode"
-    )
+    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB (grayscale
+    images are replicated across channels)."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise StitchError("Invalid JPEG: missing SOI")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        body = data[pos + 4 : pos + 2 + seg_len]
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = vals  # stored zigzag -> natural order
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                bits = list(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = body[i : i + n]
+                i += n
+                table = _HuffDecoder(bits, vals)
+                (ac_tables if tc else dc_tables)[th] = table
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise StitchError(f"Unsupported JPEG precision: {precision}")
+            height = (body[1] << 8) | body[2]
+            width = (body[3] << 8) | body[4]
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + c * 3], body[7 + c * 3], body[8 + c * 3]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise StitchError(
+                "Owned JPEG decoder supports baseline sequential only "
+                f"(got SOF marker 0xFF{marker:02X}); install PIL for "
+                "progressive/extended JPEGs"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            order: list[_Component] = []
+            for c in range(ns):
+                cs, tdta = body[1 + c * 2], body[2 + c * 2]
+                comp = next(x for x in comps if x.comp_id == cs)
+                comp.td, comp.ta = tdta >> 4, tdta & 0x0F
+                order.append(comp)
+            scan_start = pos + 2 + seg_len
+            return _decode_scan(
+                data, scan_start, width, height, comps, order,
+                qtables, dc_tables, ac_tables, restart_interval,
+            )
+        elif marker == 0xD9:
+            break
+        pos += 2 + seg_len
+    raise StitchError("Invalid JPEG: no SOS marker found")
+
+
+def _decode_scan(
+    data, scan_start, width, height, comps, order,
+    qtables, dc_tables, ac_tables, restart_interval,
+) -> np.ndarray:
+    if not comps or width == 0 or height == 0:
+        raise StitchError("Invalid JPEG: missing SOF before SOS")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    for c in comps:
+        c.bx = mcux * c.h
+        c.by = mcuy * c.v
+        c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+
+    br = _BitReader(data, scan_start)
+    preds = {c.comp_id: 0 for c in comps}
+    mcu_count = 0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                for cid in preds:
+                    preds[cid] = 0
+            for c in order:
+                dc_t = dc_tables.get(c.td)
+                ac_t = ac_tables.get(c.ta)
+                if dc_t is None or ac_t is None:
+                    raise StitchError("Missing Huffman table for scan")
+                for v in range(c.v):
+                    for hh in range(c.h):
+                        bx = mx * c.h + hh
+                        by = my * c.v + v
+                        blk = c.blocks[by * c.bx + bx]
+                        s = dc_t.decode(br)
+                        diff = _extend(br.bits(s), s)
+                        preds[c.comp_id] += diff
+                        blk[0] = preds[c.comp_id]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(br)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise StitchError("AC coefficient index out of range")
+                            blk[ZIGZAG[k]] = _extend(br.bits(size), size)
+                            k += 1
+            mcu_count += 1
+
+    # Dequantize + IDCT + assemble planes (vectorized per component).
+    planes = []
+    for c in comps:
+        q = qtables.get(c.tq)
+        if q is None:
+            raise StitchError(f"Missing quantization table {c.tq}")
+        coefs = (c.blocks * q[None, :]).astype(np.float32).reshape(-1, 8, 8)
+        pix = (_DCT.T @ coefs) @ _DCT
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(c.by, c.bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.by * 8, c.bx * 8)
+        )
+        # Upsample to full resolution (nearest/box like libjpeg "fancy off").
+        ry, rx = vmax // c.v, hmax // c.h
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise StitchError(f"Unsupported JPEG component count: {len(planes)}")
+    y = planes[0].astype(np.float32)
+    cb = planes[1].astype(np.float32) - 128.0
+    cr = planes[2].astype(np.float32) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)

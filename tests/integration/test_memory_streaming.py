@@ -1,0 +1,137 @@
+"""Memory/streaming proof (model: reference tests/integration/memory.test.ts):
+the pipeline must hold O(canvas_width * band_height) pixels regardless of
+canvas height, with inputs generated lazily and output streamed to disk so
+only the pipeline is measured (memory.test.ts:83-120)."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu import (
+    ImageSource,
+    PngHeader,
+    build_png,
+    concat_streaming,
+    disable_input_cache,
+    enable_input_cache,
+)
+from image_stitch_tpu.ops.png_filter import filter_select_band
+from tests.utils.memory_monitor import (
+    assert_memory_below,
+    assert_streaming_efficiency,
+    monitor_memory,
+)
+
+
+def tile_png(size: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (size, size * 4), dtype=np.uint8)
+    types, filtered = filter_select_band(arr, None, 4)
+    payload = np.empty((size, 1 + size * 4), dtype=np.uint8)
+    payload[:, 0] = types
+    payload[:, 1:] = filtered
+    return build_png(
+        PngHeader(width=size, height=size, bit_depth=8, color_type=6),
+        zlib.compress(payload.tobytes(), 1),
+    )
+
+
+def run_streaming(opts, tmp_path):
+    out = tmp_path / "out.bin"
+    total = 0
+    with open(out, "wb") as f:
+        for chunk in concat_streaming(opts):
+            total += len(chunk)
+            f.write(chunk)
+    return total
+
+
+def test_tall_canvas_constant_memory(tmp_path):
+    """Doubling canvas height must not move peak memory: the pipeline holds
+    O(width x band_height), not O(canvas). Mirrors the reference's absolute
+    budgets (memory.test.ts:146-497) with a scaling check on top."""
+    tile = tile_png(256, 1)
+
+    def run(n):
+        opts = {
+            "inputs": [tile] * n,
+            "layout": {"columns": 1},
+            "band_height": 128,
+            "backend": "numpy",
+        }
+        return monitor_memory(lambda: run_streaming(opts, tmp_path))
+
+    total_small, report_small = run(50)  # 13 MB canvas
+    total_big, report_big = run(200)  # 52 MB canvas
+    assert total_big > 3 * total_small
+    # 4x the canvas must not cost 4x the memory — allow allocator noise.
+    assert report_big.peak_delta < report_small.peak_delta + (48 << 20), (
+        f"peak grew with canvas height: {report_small.peak_delta / 1e6:.1f} MB "
+        f"-> {report_big.peak_delta / 1e6:.1f} MB"
+    )
+    # Reference-style absolute budget (60 MB class for this size,
+    # memory.test.ts:183-184).
+    assert_memory_below(report_big, 120 << 20, "tall canvas")
+    assert_streaming_efficiency(report_big, total_big)
+
+
+def test_lazy_sources_avoid_materializing_inputs(tmp_path):
+    """ImageSource factories defer decode; a 4x25 grid of lazy tiles keeps
+    only in-flight bands alive (reference memory.test.ts lazy input pattern)."""
+    tile = tile_png(128, 2)
+    calls = []
+
+    def make(i):
+        def factory():
+            calls.append(i)
+            return tile
+
+        return ImageSource(width=128, height=128, factory=factory, format="png")
+
+    opts = {
+        "inputs": [make(i) for i in range(100)],
+        "layout": {"columns": 4},
+        "band_height": 64,
+        "backend": "numpy",
+    }
+    total, report = monitor_memory(lambda: run_streaming(opts, tmp_path))
+    assert len(calls) == 100
+    assert total > 0
+    assert_memory_below(report, 200 << 20, "lazy grid")
+
+
+def test_input_cache_decodes_shared_buffer_once(tmp_path):
+    """Same bytes object tiled 16x: the cache decodes it once
+    (reference: png-input-adapter.ts:34-148, memory.test.ts:33-35)."""
+    from image_stitch_tpu.codecs import input_cache
+
+    tile = tile_png(64, 3)
+    enable_input_cache()
+    try:
+        opts = {
+            "inputs": [tile] * 16,
+            "layout": {"columns": 4},
+            "backend": "numpy",
+        }
+        total = run_streaming(opts, tmp_path)
+        assert total > 0
+        assert len(input_cache._entries) == 1
+        entry = next(iter(input_cache._entries.values()))
+        assert entry.done  # producer ran exactly once to completion
+    finally:
+        disable_input_cache()
+    assert not input_cache.input_cache_enabled()
+
+
+def test_output_is_identical_with_and_without_cache(tmp_path):
+    tile = tile_png(32, 4)
+    opts = {"inputs": [tile] * 4, "layout": {"columns": 2}, "backend": "numpy"}
+    baseline = b"".join(concat_streaming(opts))
+    enable_input_cache()
+    try:
+        cached = b"".join(concat_streaming(opts))
+    finally:
+        disable_input_cache()
+    assert baseline == cached

@@ -1,0 +1,176 @@
+"""Decoder factory / plugin / lazy tests (model: reference
+tests/unit/decoder-factory.test.ts, lazy-decoder.test.ts,
+format-detection.test.ts)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu import (
+    DecoderPlugin,
+    ImageSource,
+    PngDecoder,
+    PositionedImage,
+    StitchError,
+    clear_default_decoder_plugins,
+    create_decoder,
+    create_decoders,
+    detect_format,
+    detect_image_format,
+    extract_positions,
+    get_default_decoder_plugins,
+    has_positioned_images,
+    read_magic_bytes,
+    set_default_decoder_plugins,
+    validate_format,
+    validate_positioned_inputs,
+)
+from image_stitch_tpu.codecs.factory import LazyImageDecoder
+from tests.utils.fixtures import jpeg_from_array, png_from_array, random_rgba
+
+
+PNG = png_from_array(random_rgba(4, 4, 0))
+JPEG = jpeg_from_array(random_rgba(8, 8, 1)[:, :, :3])
+
+
+# --- format detection (reference format-detection.test.ts) ------------------
+
+def test_detect_png_jpeg():
+    assert detect_image_format(PNG[:32]) == "png"
+    assert detect_image_format(JPEG[:32]) == "jpeg"
+    assert detect_image_format(b"\x00" * 32) is None
+
+
+def test_detect_heic_brands():
+    magic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 16
+    assert detect_image_format(magic) == "heic"
+    # Compatible-brand scan.
+    magic = b"\x00\x00\x00\x20ftypisom\x00\x00\x00\x00mif1" + b"\x00" * 8
+    assert detect_image_format(magic) == "heic"
+
+
+def test_read_magic_bytes_sources(tmp_path):
+    p = tmp_path / "x.png"
+    p.write_bytes(PNG)
+    assert read_magic_bytes(PNG) == PNG[:32]
+    assert read_magic_bytes(str(p)) == PNG[:32]
+    stream = io.BytesIO(PNG)
+    assert read_magic_bytes(stream) == PNG[:32]
+    assert stream.tell() == 0  # position restored
+    assert detect_format(p) == "png"
+    assert validate_format(PNG, "png")
+    assert not validate_format(PNG, "jpeg")
+
+
+# --- factory dispatch (reference decoder-factory.test.ts) -------------------
+
+def test_create_decoder_dispatches_by_magic():
+    d = create_decoder(PNG)
+    assert d.get_header().format == "png"
+    d.close()
+    d = create_decoder(JPEG)
+    assert d.get_header().format == "jpeg"
+    d.close()
+
+
+def test_decoder_passthrough():
+    existing = PngDecoder(PNG)
+    assert create_decoder(existing) is existing
+    existing.close()
+
+
+def test_positioned_unwrap():
+    d = create_decoder(PositionedImage(x=1, y=2, source=PNG))
+    assert d.get_header().format == "png"
+    d.close()
+
+
+def test_unknown_format_raises():
+    with pytest.raises(StitchError, match="[Uu]nsupported|[Uu]nrecognized"):
+        create_decoder(b"garbage data here................")
+
+
+def test_no_plugin_for_format_raises():
+    with pytest.raises(StitchError, match="No decoder plugin"):
+        create_decoder(JPEG, plugins=[])
+    # plugins=[] means no plugins at all -> unknown format error path differs:
+    # use a PNG-only list against a JPEG input for the precise message.
+    from image_stitch_tpu import png_plugin
+
+    with pytest.raises(StitchError, match="No decoder plugin"):
+        create_decoder(JPEG, plugins=[png_plugin()])
+
+
+def test_create_decoders_closes_on_failure():
+    closed = []
+
+    class Tracking:
+        def get_header(self):
+            return None
+
+        def scanlines(self):
+            return iter(())
+
+        def close(self):
+            closed.append(True)
+
+    with pytest.raises(StitchError):
+        create_decoders([Tracking(), b"not an image"])
+    assert closed == [True]
+
+
+# --- plugin registry (reference plugin-registry.ts) -------------------------
+
+def test_registry_default_and_override():
+    original = get_default_decoder_plugins()
+    assert {p.format for p in original} == {"png", "jpeg", "heic"}
+    try:
+        custom = DecoderPlugin(format="png", create=lambda s, o=None: PngDecoder(s))
+        set_default_decoder_plugins([custom])
+        assert [p.format for p in get_default_decoder_plugins()] == ["png"]
+        clear_default_decoder_plugins()
+        # Cleared registry falls back to PNG-only (plugin-registry.ts:6-13).
+        assert [p.format for p in get_default_decoder_plugins()] == ["png"]
+    finally:
+        set_default_decoder_plugins(original)
+
+
+# --- positioned helpers -----------------------------------------------------
+
+def test_positioned_helpers():
+    inputs = [PositionedImage(x=1, y=2, source=PNG, z_index=7), PNG]
+    assert has_positioned_images(inputs)
+    with pytest.raises(StitchError, match="mix"):
+        validate_positioned_inputs(inputs)
+    pos = extract_positions(inputs)
+    assert pos[0] == {"x": 1, "y": 2, "z_index": 7}
+    assert pos[1] is None
+
+
+# --- lazy decoder (reference lazy-decoder.test.ts) --------------------------
+
+def test_lazy_decoder_defers_factory():
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return PNG
+
+    src = ImageSource(width=4, height=4, factory=factory, format="png")
+    d = create_decoder(src)
+    assert isinstance(d, LazyImageDecoder)
+    header = d.get_header()  # header from declared metadata, no decode
+    assert (header.width, header.height) == (4, 4)
+    assert calls == []
+    rows = list(d.scanlines())
+    assert calls == [1]  # factory called exactly once
+    assert len(rows) == 4
+    d.close()
+
+
+def test_lazy_decoder_dimension_mismatch():
+    src = ImageSource(width=99, height=99, factory=lambda: PNG, format="png")
+    d = create_decoder(src)
+    with pytest.raises(StitchError, match="declared 99x99"):
+        list(d.scanlines())

@@ -1,0 +1,106 @@
+"""Owned JPEG decoder tests: cross-checked against PIL on both our own
+encoder's output and PIL-encoded files (420/444, restart intervals)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu.codecs.jpeg.owned_decoder import decode_baseline_jpeg
+from image_stitch_tpu.errors import StitchError
+
+
+def smooth(w, h, seed=0):
+    x = np.linspace(0, 230, w, dtype=np.float32)
+    y = np.linspace(20, 250, h, dtype=np.float32)
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:, :, 0] = x[None, :].astype(np.uint8)
+    arr[:, :, 1] = y[:, None].astype(np.uint8)
+    arr[:, :, 2] = ((x[None, :] + y[:, None]) / 2).astype(np.uint8)
+    return arr
+
+
+def pil_jpeg(arr, **kwargs):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="JPEG", **kwargs)
+    return buf.getvalue()
+
+
+def pil_decode(data):
+    from PIL import Image
+
+    return np.array(Image.open(io.BytesIO(data)).convert("RGB")).astype(int)
+
+
+@pytest.mark.parametrize("sampling", [0, 1, 2])  # 444, 422, 420 in PIL terms
+def test_decode_pil_encoded(sampling):
+    arr = smooth(67, 45, sampling)
+    data = pil_jpeg(arr, quality=90, subsampling=sampling)
+    ours = decode_baseline_jpeg(data).astype(int)
+    theirs = pil_decode(data)
+    assert ours.shape == theirs.shape
+    # IDCT/upsample implementations differ slightly; stay within a few LSBs.
+    assert np.abs(ours - theirs).mean() < 2.0
+    assert np.abs(ours - theirs).max() <= 16
+
+
+def test_decode_own_encoder_output():
+    from image_stitch_tpu.codecs.jpeg.encoder import encode_jpeg
+
+    arr4 = np.dstack([smooth(64, 48), np.full((48, 64), 255, np.uint8)])
+    data = encode_jpeg(arr4, 64, 48, quality=92)
+    ours = decode_baseline_jpeg(data).astype(int)
+    theirs = pil_decode(data)
+    assert np.abs(ours - theirs).max() <= 4
+
+
+def test_decode_with_restart_intervals():
+    arr = smooth(96, 64, 3)
+    data = pil_jpeg(arr, quality=85, restart_marker_blocks=2)
+    if b"\xff\xdd" not in data:
+        pytest.skip("PIL did not emit DRI")
+    ours = decode_baseline_jpeg(data).astype(int)
+    theirs = pil_decode(data)
+    assert np.abs(ours - theirs).mean() < 2.0
+
+
+def test_grayscale_jpeg():
+    from PIL import Image
+
+    buf = io.BytesIO()
+    g = np.linspace(0, 255, 32 * 24, dtype=np.uint8).reshape(24, 32)
+    Image.fromarray(g, "L").save(buf, format="JPEG", quality=95)
+    ours = decode_baseline_jpeg(buf.getvalue())
+    assert ours.shape == (24, 32, 3)
+    assert np.abs(ours[:, :, 0].astype(int) - g.astype(int)).mean() < 3
+
+
+def test_progressive_rejected_with_clear_error():
+    arr = smooth(32, 32)
+    data = pil_jpeg(arr, quality=85, progressive=True)
+    with pytest.raises(StitchError, match="baseline"):
+        decode_baseline_jpeg(data)
+
+
+def test_invalid_data_rejected():
+    with pytest.raises(StitchError):
+        decode_baseline_jpeg(b"\x00\x01\x02")
+    with pytest.raises(StitchError):
+        decode_baseline_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
+
+
+def test_force_owned_tier_through_decoder():
+    from image_stitch_tpu.codecs.jpeg.decoder import JpegDecoder
+    from image_stitch_tpu.types import DecoderOptions
+
+    arr = smooth(40, 24, 5)
+    data = pil_jpeg(arr, quality=92, subsampling=0)
+    dec = JpegDecoder(data, DecoderOptions(force_owned=True))
+    header = dec.get_header()
+    assert (header.width, header.height) == (40, 24)
+    rows = np.vstack(list(dec.bands(16)))
+    rgba = rows.reshape(24, 40, 4)
+    assert (rgba[:, :, 3] == 255).all()
+    assert np.abs(rgba[:, :, :3].astype(int) - pil_decode(data)).mean() < 2.0
