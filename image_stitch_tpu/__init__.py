@@ -80,6 +80,13 @@ from .codecs.png.writer import (
     create_ihdr,
     serialize_chunk,
 )
+from .codecs.png.batch import (
+    compress_data,
+    compress_image_data,
+    decompress_data,
+    decompress_image_data,
+    extract_pixel_data,
+)
 from .ops.adam7 import ADAM7_PASSES, deinterlace_adam7, get_pass_dimensions, has_adam7_passes
 from .ops.png_filter import (
     FilterType,
@@ -179,6 +186,11 @@ __all__ = [
     "create_iend",
     "create_idat",
     "build_png",
+    "decompress_data",
+    "compress_data",
+    "decompress_image_data",
+    "compress_image_data",
+    "extract_pixel_data",
     "FilterType",
     "filter_scanline",
     "filter_select_band",

@@ -196,13 +196,21 @@ class StreamingJpegEncoder:
 
     def _quantize_band(self, band: np.ndarray):
         """Pad width to a block multiple (edge repetition) and quantize the
-        whole multi-strip band in one device call."""
+        whole multi-strip band in one device (or native host) call."""
         if self._pad_w:
             band = np.concatenate(
                 [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
             )
         if self._device is not None:
             return self._device.jpeg_quantize_band(band, self.luma_q, self.chroma_q)
+        try:
+            from ...native import jpeg_quant_band_native
+
+            native = jpeg_quant_band_native(band, self.luma_q, self.chroma_q)
+            if native is not None:
+                return native
+        except Exception:
+            pass
         return _band_to_blocks_numpy(band, self.luma_q, self.chroma_q)
 
     def _entropy_code(self, yb, cbb, crb) -> bytes:

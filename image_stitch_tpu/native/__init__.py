@@ -101,6 +101,12 @@ def get_native_lib():
     lib.jpeg_entropy_flush.argtypes = [
         ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
     ]
+    lib.jpeg_quant_band_444.restype = None
+    lib.jpeg_quant_band_444.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -161,6 +167,34 @@ def make_huff_table(dc_codes: dict, ac_codes: dict) -> HuffTableC:
         t.ac_code[sym] = code
         t.ac_len[sym] = length
     return t
+
+
+def jpeg_quant_band_native(
+    band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused YCbCr+DCT+quantize on the host (C++ tier); None if unavailable.
+
+    band_rgba: (h, w, 4) uint8 with h%8==0, w%8==0. Returns three
+    (h/8*w/8, 64) int16 block arrays (strip-major)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    band = np.ascontiguousarray(band_rgba, dtype=np.uint8)
+    h, w = band.shape[:2]
+    n = (h // 8) * (w // 8)
+    lq = np.ascontiguousarray(luma_q, dtype=np.int32)
+    cq = np.ascontiguousarray(chroma_q, dtype=np.int32)
+    yo = np.empty((n, 64), dtype=np.int16)
+    cbo = np.empty((n, 64), dtype=np.int16)
+    cro = np.empty((n, 64), dtype=np.int16)
+    lib.jpeg_quant_band_444(
+        band.ctypes.data_as(ctypes.c_void_p), h, w,
+        lq.ctypes.data_as(ctypes.c_void_p), cq.ctypes.data_as(ctypes.c_void_p),
+        yo.ctypes.data_as(ctypes.c_void_p),
+        cbo.ctypes.data_as(ctypes.c_void_p),
+        cro.ctypes.data_as(ctypes.c_void_p),
+    )
+    return yo, cbo, cro
 
 
 class NativeEntropyCoder:

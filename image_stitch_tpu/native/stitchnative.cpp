@@ -197,6 +197,90 @@ int64_t jpeg_entropy_encode_420(const int16_t* y_blocks,
     return (int64_t)(p - out);
 }
 
+// ---------------------------------------------------------------------------
+// Fused RGBA -> YCbCr -> 8x8 DCT -> quantize over a band (4:4:4).
+//
+// Host fast tier of the encoder's device program (ops/device.py
+// _jpeg_quantize_jit): same math, scalar/SIMD C++. Input (h, w, 4) uint8
+// with h % 8 == 0 and w % 8 == 0; outputs (h/8 * w/8, 64) int16 blocks per
+// component in strip-major order.
+// ---------------------------------------------------------------------------
+
+static void dct8_rows(float* b) {
+    // 1-D DCT-II (orthonormal) applied to 8 rows of 8 via matrix C:
+    // out = C * in  where C[u][x] = c(u)/2 * cos((2x+1)u*pi/16).
+    static float C[8][8];
+    static int init = 0;
+    if (!init) {
+        for (int u = 0; u < 8; ++u)
+            for (int x = 0; x < 8; ++x) {
+                double s = u == 0 ? 0.3535533905932738 : 0.5;
+                C[u][x] = (float)(s * __builtin_cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
+            }
+        init = 1;
+    }
+    float tmp[64];
+    // rows: tmp = in * C^T  (apply along x)
+    for (int y = 0; y < 8; ++y)
+        for (int u = 0; u < 8; ++u) {
+            float acc = 0.f;
+            for (int x = 0; x < 8; ++x) acc += b[y * 8 + x] * C[u][x];
+            tmp[y * 8 + u] = acc;
+        }
+    // cols: out = C * tmp (apply along y)
+    for (int u = 0; u < 8; ++u)
+        for (int x = 0; x < 8; ++x) {
+            float acc = 0.f;
+            for (int y = 0; y < 8; ++y) acc += C[u][y] * tmp[y * 8 + x];
+            b[u * 8 + x] = acc;
+        }
+}
+
+static inline int16_t quant1(float v, float inv_q) {
+    float s = v * inv_q;
+    return (int16_t)(s >= 0.f ? (int)(s + 0.5f) : -(int)(-s + 0.5f));
+}
+
+void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
+                         const int32_t* lq, const int32_t* cq,
+                         int16_t* yout, int16_t* cbout, int16_t* crout) {
+    float inv_lq[64], inv_cq[64];
+    for (int i = 0; i < 64; ++i) {
+        inv_lq[i] = 1.0f / (float)lq[i];
+        inv_cq[i] = 1.0f / (float)cq[i];
+    }
+    int64_t bx = w / 8;
+    float yb[64], cbb[64], crb[64];
+    for (int64_t sy = 0; sy < h / 8; ++sy) {
+        for (int64_t sx = 0; sx < bx; ++sx) {
+            const uint8_t* base = rgba + (sy * 8 * w + sx * 8) * 4;
+            for (int yy = 0; yy < 8; ++yy) {
+                const uint8_t* row = base + yy * w * 4;
+                for (int xx = 0; xx < 8; ++xx) {
+                    float r = (float)row[xx * 4 + 0];
+                    float g = (float)row[xx * 4 + 1];
+                    float b = (float)row[xx * 4 + 2];
+                    yb[yy * 8 + xx] = 0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
+                    cbb[yy * 8 + xx] = -0.168735892f * r - 0.331264108f * g + 0.5f * b;
+                    crb[yy * 8 + xx] = 0.5f * r - 0.418687589f * g - 0.081312411f * b;
+                }
+            }
+            dct8_rows(yb);
+            dct8_rows(cbb);
+            dct8_rows(crb);
+            int64_t blk = sy * bx + sx;
+            int16_t* yo = yout + blk * 64;
+            int16_t* cbo = cbout + blk * 64;
+            int16_t* cro = crout + blk * 64;
+            for (int i = 0; i < 64; ++i) {
+                yo[i] = quant1(yb[i], inv_lq[i]);
+                cbo[i] = quant1(cbb[i], inv_cq[i]);
+                cro[i] = quant1(crb[i], inv_cq[i]);
+            }
+        }
+    }
+}
+
 // Flush remaining bits padded with 1s. Returns bytes written (0..2).
 int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {
     uint8_t* p = out;
