@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GRID = int(os.environ.get("BENCH_GRID", "8"))  # grid side (GRID x GRID tiles)
 TILE = int(os.environ.get("BENCH_TILE", "1024"))  # tile side in px
+FORMAT = os.environ.get("BENCH_FORMAT", "jpeg")  # jpeg | png
 QUALITY = 85
 TARGET_MPPS = 1000.0  # 1 GP/s/chip north-star
 
@@ -70,7 +71,7 @@ def main() -> None:
     opts = {
         "inputs": inputs,
         "layout": {"columns": GRID},
-        "outputFormat": "jpeg",
+        "outputFormat": FORMAT,
         "jpegQuality": QUALITY,
         "backend": backend,
         "band_height": int(os.environ.get("BENCH_BAND", "512")),
@@ -90,8 +91,9 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     mpps = total_mp / dt
+    fmt_desc = f"JPEG q{QUALITY}" if FORMAT == "jpeg" else "PNG"
     result = {
-        "metric": f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> JPEG q{QUALITY} (MP/s/chip, end-to-end)",
+        "metric": f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> {fmt_desc} (MP/s/chip, end-to-end)",
         "value": round(mpps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mpps / TARGET_MPPS, 4),

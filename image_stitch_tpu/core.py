@@ -487,7 +487,11 @@ class CoreStreamingConcatenator:
         )
         bpp = get_bytes_per_pixel(out_header.bit_depth, out_header.color_type)
         chunks: list[bytes] = []
-        deflator = StreamingDeflator(on_data=chunks.append)
+        deflator = StreamingDeflator(
+            level=self.options.png_compression_level,
+            on_data=chunks.append,
+            strategy=self.options.png_compression_strategy,
+        )
 
         def emit(pending) -> Iterator[bytes]:
             ftypes, filtered, _last = backend.png_filter_band_wait(pending)

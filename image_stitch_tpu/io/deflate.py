@@ -24,8 +24,19 @@ class StreamingDeflator:
         level: int = DEFAULT_LEVEL,
         max_batch_size: int = DEFAULT_MAX_BATCH,
         on_data: Callable[[bytes], None] | None = None,
+        strategy: str = "default",
     ) -> None:
-        self._obj = zlib.compressobj(level)
+        strategies = {
+            "default": zlib.Z_DEFAULT_STRATEGY,
+            "filtered": zlib.Z_FILTERED,
+            "rle": zlib.Z_RLE,
+            "huffman": zlib.Z_HUFFMAN_ONLY,
+        }
+        if strategy not in strategies:
+            raise ValueError(f"Unknown deflate strategy: {strategy}")
+        self._obj = zlib.compressobj(
+            level, zlib.DEFLATED, zlib.MAX_WBITS, 8, strategies[strategy]
+        )
         self._on_data = on_data or (lambda _b: None)
         self._max_batch = max_batch_size
         self._pending = 0

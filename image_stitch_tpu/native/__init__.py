@@ -101,6 +101,11 @@ def get_native_lib():
     lib.jpeg_entropy_flush.argtypes = [
         ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
     ]
+    lib.png_filter_select_band.restype = None
+    lib.png_filter_select_band.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.jpeg_quant_band_444.restype = None
     lib.jpeg_quant_band_444.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -167,6 +172,32 @@ def make_huff_table(dc_codes: dict, ac_codes: dict) -> HuffTableC:
         t.ac_code[sym] = code
         t.ac_len[sym] = length
     return t
+
+
+def filter_select_band_native(
+    rows: np.ndarray, previous_row: np.ndarray | None, bpp: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native filter selection; None when the native tier is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    h, n = rows.shape
+    prev = (
+        None
+        if previous_row is None
+        else np.ascontiguousarray(previous_row, dtype=np.uint8)
+    )
+    types = np.empty(h, dtype=np.uint8)
+    out = np.empty_like(rows)
+    lib.png_filter_select_band(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        prev.ctypes.data_as(ctypes.c_void_p) if prev is not None else None,
+        h, n, bpp,
+        types.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return types, out
 
 
 def jpeg_quant_band_native(

@@ -198,6 +198,76 @@ int64_t jpeg_entropy_encode_420(const int16_t* y_blocks,
 }
 
 // ---------------------------------------------------------------------------
+// PNG filter selection over a band (encode side).
+//
+// For every row: compute all 5 filter candidates, score by sum of
+// |signed byte|, pick the first minimum (None,Sub,Up,Average,Paeth order —
+// the reference's strict-< rule, png-filter.ts:154-180), write the chosen
+// filtered bytes. prev rows come from the band itself (raw input), so rows
+// are independent; this is the host tier of the device program
+// (ops/device.filter_select_trace).
+// ---------------------------------------------------------------------------
+
+static inline int absi8(uint8_t v) {
+    int s = (int)(int8_t)v;
+    return s < 0 ? -s : s;
+}
+
+void png_filter_select_band(const uint8_t* rows, const uint8_t* prev_row,
+                            int64_t h, int64_t n, int bpp,
+                            uint8_t* out_types, uint8_t* out_rows) {
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* cur = rows + y * n;
+        const uint8_t* up = y > 0 ? rows + (y - 1) * n : prev_row;  // may be null
+        long sums[5] = {0, 0, 0, 0, 0};
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t x = cur[i];
+            uint8_t a = i >= bpp ? cur[i - bpp] : 0;           // left
+            uint8_t b = up ? up[i] : 0;                        // up
+            uint8_t c = (up && i >= bpp) ? up[i - bpp] : 0;    // up-left
+            sums[0] += absi8(x);
+            sums[1] += absi8((uint8_t)(x - a));
+            sums[2] += absi8((uint8_t)(x - b));
+            sums[3] += absi8((uint8_t)(x - (uint8_t)(((int)a + (int)b) >> 1)));
+            sums[4] += absi8((uint8_t)(x - paeth(a, b, c)));
+        }
+        int best = 0;
+        for (int f = 1; f < 5; ++f)
+            if (sums[f] < sums[best]) best = f;
+        out_types[y] = (uint8_t)best;
+        uint8_t* o = out_rows + y * n;
+        switch (best) {
+            case 0:
+                memcpy(o, cur, (size_t)n);
+                break;
+            case 1:
+                for (int64_t i = 0; i < n; ++i)
+                    o[i] = (uint8_t)(cur[i] - (i >= bpp ? cur[i - bpp] : 0));
+                break;
+            case 2:
+                for (int64_t i = 0; i < n; ++i)
+                    o[i] = (uint8_t)(cur[i] - (up ? up[i] : 0));
+                break;
+            case 3:
+                for (int64_t i = 0; i < n; ++i) {
+                    uint8_t a = i >= bpp ? cur[i - bpp] : 0;
+                    uint8_t b = up ? up[i] : 0;
+                    o[i] = (uint8_t)(cur[i] - (uint8_t)(((int)a + (int)b) >> 1));
+                }
+                break;
+            case 4:
+                for (int64_t i = 0; i < n; ++i) {
+                    uint8_t a = i >= bpp ? cur[i - bpp] : 0;
+                    uint8_t b = up ? up[i] : 0;
+                    uint8_t c = (up && i >= bpp) ? up[i - bpp] : 0;
+                    o[i] = (uint8_t)(cur[i] - paeth(a, b, c));
+                }
+                break;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Fused RGBA -> YCbCr -> 8x8 DCT -> quantize over a band (4:4:4).
 //
 // Host fast tier of the encoder's device program (ops/device.py

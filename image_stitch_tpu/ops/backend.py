@@ -35,7 +35,13 @@ class NumpyBackend:
         """
         bpp = 8 if canvas.dtype == np.uint16 else 4
         raw = band_to_bytes(canvas)
-        types, filtered = filter_select_band(raw, prev_row, bpp)
+        from ..native import filter_select_band_native
+
+        native = filter_select_band_native(raw, prev_row, bpp)
+        if native is not None:
+            types, filtered = native
+        else:
+            types, filtered = filter_select_band(raw, prev_row, bpp)
         return types, filtered, raw[-1]
 
     def png_filter_band_async(self, canvas, prev_row):

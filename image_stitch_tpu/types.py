@@ -139,6 +139,12 @@ class ConcatOptions:
     # --- TPU-native extensions (not in the reference) ---
     # Rows per streamed band; the O(canvas_width * band_height) memory knob.
     band_height: int = 256
+    # PNG deflate level (reference parity default: 6,
+    # image-concat-core.ts:342). Lower = faster, larger output.
+    png_compression_level: int = 6
+    # zlib strategy for PNG output: 'default' | 'filtered' | 'rle'
+    # ('filtered'/'rle' can be much faster on filtered scanline data).
+    png_compression_strategy: str = "default"
     # 'auto' (device compute for large canvases, host numpy below the
     # dispatch-overhead threshold), 'tpu'/'jax' (force device), or
     # 'numpy'/'oracle' (host float64 path matching the reference's JS
@@ -153,6 +159,8 @@ class ConcatOptions:
         "enableAlphaBlending": "enable_alpha_blending",
         "onProgress": "on_progress",
         "bandHeight": "band_height",
+        "pngCompressionLevel": "png_compression_level",
+        "pngCompressionStrategy": "png_compression_strategy",
     }
 
     @classmethod
