@@ -146,10 +146,19 @@ class StreamingJpegEncoder:
         self._device = None
         # One-band device lookahead: (pending device arrays, n_strips, bps).
         self._inflight = None
+        self._dev_encoder = None
         if backend in ("tpu", "jax"):
             from ...ops.device import JaxBackend
 
             self._device = JaxBackend()
+            # Fully fused device pipeline: quantize + entropy pack on-device;
+            # only the compressed bitstream crosses the host link.
+            from ...ops.jpeg_entropy_device import DeviceJpegEncoder
+
+            self._dev_encoder = DeviceJpegEncoder(
+                self.luma_q, self.chroma_q,
+                self._dc_luma, self._ac_luma, self._dc_chroma, self._ac_chroma,
+            )
 
     # ----- headers ------------------------------------------------------ #
 
@@ -267,21 +276,23 @@ class StreamingJpegEncoder:
         n_full = band.shape[0] // MCU_HEIGHT
         if n_full:
             full = band[: n_full * MCU_HEIGHT]
-            if self._device is not None:
-                # Pipeline: submit this band's quantize (device compute +
-                # async readback), entropy-code the previous band meanwhile.
+            if self._dev_encoder is not None:
+                # Fused device pipeline with one-band lookahead: submit this
+                # band (device computes + packs bits), emit the previous
+                # band's bytes meanwhile.
                 if self._pad_w:
                     full = np.concatenate(
                         [full, np.repeat(full[:, -1:, :], self._pad_w, axis=1)],
                         axis=1,
                     )
-                handle = self._device.jpeg_quantize_band_async(
-                    full, self.luma_q, self.chroma_q
-                )
+                handle = self._dev_encoder.submit(full)
                 prev = self._inflight
                 self._inflight = handle
                 if prev is not None:
-                    yield from self._drain_inflight(prev)
+                    data = self._dev_encoder.wait(prev)
+                    self._rows_consumed += 0  # rows tracked at submit
+                    if data:
+                        yield data
             else:
                 yb, cbb, crb = self._quantize_band(full)
                 yield from self._emit_blocks(yb, cbb, crb)
@@ -308,23 +319,40 @@ class StreamingJpegEncoder:
         if not self._header_emitted:
             self._header_emitted = True
             out += self._header_bytes()
-        if self._inflight is not None:
-            pending, self._inflight = self._inflight, None
-            for data in self._drain_inflight(pending):
-                out += data
+        part = None
         if self._pending is not None and self._pending.shape[0]:
             part = self._pending
             self._pending = None
             pad_rows = MCU_HEIGHT - part.shape[0]
-            strip = np.concatenate(
+            part = np.concatenate(
                 [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
             )
-            out += self._encode_strip(strip)
-            self._rows_consumed += MCU_HEIGHT
-        if self._native_coder is not None:
-            out += self._native_coder.flush()
+        if self._dev_encoder is not None:
+            # Drain the fused device pipeline; the padded partial strip goes
+            # through the same device path so the carry chain stays on device.
+            if part is not None:
+                if self._pad_w:
+                    part = np.concatenate(
+                        [part, np.repeat(part[:, -1:, :], self._pad_w, axis=1)],
+                        axis=1,
+                    )
+                handle = self._dev_encoder.submit(part)
+                if self._inflight is not None:
+                    out += self._dev_encoder.wait(self._inflight)
+                self._inflight = handle
+                self._rows_consumed += MCU_HEIGHT
+            if self._inflight is not None:
+                pending, self._inflight = self._inflight, None
+                out += self._dev_encoder.wait(pending)
+            out += self._dev_encoder.flush()
         else:
-            out += self._packer.flush()
+            if part is not None:
+                out += self._encode_strip(part)
+                self._rows_consumed += MCU_HEIGHT
+            if self._native_coder is not None:
+                out += self._native_coder.flush()
+            else:
+                out += self._packer.flush()
         out += b"\xff\xd9"  # EOI
         yield bytes(out)
 

@@ -1,0 +1,386 @@
+"""On-device JPEG entropy packing — the bitstream assembled on the TPU.
+
+The classic view is that Huffman coding is "inherently serial" and must live
+on the host (the reference ships it to a Rust/WASM module; SURVEY §2 item 1).
+The TPU-native reframing: entropy coding is a *data-parallel symbol map*
+followed by a *prefix-sum over bit lengths* followed by a *scatter of code
+bits to word offsets* — all parallel primitives:
+
+1. Per coefficient (vectorized over every block of a band): run lengths via
+   an exclusive cumulative max of nonzero positions, JPEG size categories via
+   comparison ladders, Huffman (code, length) via LUT gathers, value bits
+   appended arithmetically. Exactly one symbol slot per coefficient: a zero
+   coefficient that is the 16th of a run emits ZRL; others emit nothing
+   (length 0).
+2. ``jnp.cumsum`` of lengths -> absolute bit offsets (carried across bands
+   through ``bit_base``).
+3. Each symbol's ≤26 bits are ORed into one or two 32-bit words via two
+   sorted segment-sums — non-overlapping bit ranges make addition equal OR.
+
+Only the packed words (≈ the final compressed size, ~1-6 bits/pixel) cross
+the device->host link; the host merely applies 0xFF byte stuffing and the
+sub-byte carry between bands. DC predictors ride through ``prev_dc``.
+
+Output is verified byte-identical to the host (C++/numpy) entropy coders.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.jpeg.tables import ZIGZAG
+
+# Capacity headroom: packed output budget in bits per pixel. Baseline q85
+# photos run 1-2 bpp; 12 bpp absorbs pathological noise. On overflow the
+# caller falls back to host entropy coding for the band.
+DEFAULT_CAP_BITS_PER_PX = 12
+
+
+def _bit_size(v: jax.Array, max_bits: int) -> jax.Array:
+    """JPEG size category: number of magnitude bits (exact, no floats)."""
+    mag = jnp.abs(v.astype(jnp.int32))
+    size = jnp.zeros_like(mag)
+    for k in range(max_bits):
+        size = size + (mag >= (1 << k)).astype(jnp.int32)
+    return size
+
+
+def entropy_pack_trace(
+    yb: jax.Array,  # (N, 64) int16/int32 natural-order quantized Y blocks
+    cbb: jax.Array,
+    crb: jax.Array,
+    luts: dict,  # dict of LUT arrays (see build_entropy_luts)
+    prev_dc: jax.Array,  # (3,) int32
+    bit_base: jax.Array,  # () int32 in [0, 8): carry bits from previous band
+    cap_words: int,  # static output capacity in 32-bit words
+):
+    """Returns (words (cap_words,) uint32, total_bits () int32,
+    new_prev_dc (3,) int32). 4:4:4 interleave (Y, Cb, Cr per MCU)."""
+    n = yb.shape[0]
+    zigzag = jnp.asarray(ZIGZAG)
+
+    # Interleave to scan order: (3N, 64), zigzag-ordered coefficients.
+    seq = jnp.stack([yb, cbb, crb], axis=1).reshape(3 * n, 64).astype(jnp.int32)
+    zz = seq[:, zigzag]
+    # Table select per block: 0 = luma, 1 = chroma.
+    tsel = jnp.tile(jnp.asarray([0, 1, 1], dtype=jnp.int32), n)
+
+    # ---- DC: per-component differential ---------------------------------
+    dc = zz[:, 0].reshape(n, 3)
+    prev = jnp.concatenate([prev_dc[None, :], dc[:-1]], axis=0)
+    diffs = (dc - prev).reshape(3 * n)
+    dsz = _bit_size(diffs, 12)
+    dval = jnp.where(diffs < 0, diffs + (1 << dsz) - 1, diffs) & (
+        (1 << dsz) - 1
+    )
+    dcode = luts["dc_code"][tsel, dsz]
+    dlen = luts["dc_len"][tsel, dsz]
+    dc_codes = ((dcode << dsz) | dval.astype(jnp.uint32)).astype(jnp.uint32)
+    dc_lens = (dlen + dsz).astype(jnp.int32)
+
+    # ---- AC: one slot per coefficient position 1..63 --------------------
+    v = zz[:, 1:]  # (3N, 63)
+    nz = v != 0
+    pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
+    marked = jnp.where(nz, pos, 0)
+    incl_cummax = jax.lax.cummax(marked, axis=1)
+    prev_nz = jnp.concatenate(
+        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
+    )
+    last_nz = incl_cummax[:, -1]  # (3N,)
+
+    run = pos - prev_nz - 1
+    asz = _bit_size(v, 11)
+    aval = jnp.where(v < 0, v + (1 << asz) - 1, v) & ((1 << asz) - 1)
+    sym = ((run % 16) << 4) | asz
+    acode = luts["ac_code"][tsel[:, None], sym]
+    alen = luts["ac_len"][tsel[:, None], sym]
+    main_codes = ((acode << asz) | aval.astype(jnp.uint32)).astype(jnp.uint32)
+    main_lens = jnp.where(nz, alen + asz, 0).astype(jnp.int32)
+
+    # Zero coefficients that are the 16th of a run before a later nonzero
+    # emit ZRL (run splitting, T.81 F.1.2.2.1).
+    zrl_here = (~nz) & ((pos - prev_nz) % 16 == 0) & (pos < last_nz[:, None])
+    zrl_codes = jnp.broadcast_to(
+        luts["zrl_code"][tsel][:, None], v.shape
+    ).astype(jnp.uint32)
+    zrl_lens = jnp.where(zrl_here, luts["zrl_len"][tsel][:, None], 0).astype(
+        jnp.int32
+    )
+
+    ac_codes = jnp.where(nz, main_codes, zrl_codes)
+    ac_lens = jnp.where(nz, main_lens, zrl_lens)
+
+    # ---- EOB -------------------------------------------------------------
+    need_eob = last_nz != 63
+    eob_codes = luts["eob_code"][tsel].astype(jnp.uint32)
+    eob_lens = jnp.where(need_eob, luts["eob_len"][tsel], 0).astype(jnp.int32)
+
+    # ---- Assemble symbol stream: [dc | ac(63) | eob] per block ----------
+    codes = jnp.concatenate(
+        [dc_codes[:, None], ac_codes, eob_codes[:, None]], axis=1
+    ).reshape(-1)
+    lens = jnp.concatenate(
+        [dc_lens[:, None], ac_lens, eob_lens[:, None]], axis=1
+    ).reshape(-1)
+    # Length-0 slots must contribute no bits — zero their codes, otherwise
+    # the scatter ORs their (meaningless) code bits at a shared offset.
+    codes = jnp.where(lens > 0, codes, jnp.uint32(0))
+
+    # ---- Bit offsets ------------------------------------------------------
+    ends = bit_base.astype(jnp.int32) + jnp.cumsum(lens)
+    total_bits = ends[-1]
+    offs = ends - lens  # start bit of each symbol
+
+    # ---- Scatter code bits into 32-bit words -----------------------------
+    w0 = offs >> 5
+    # Right overhang of the symbol past the end of word w0.
+    over = ends - ((w0 + 1) << 5)
+    codes32 = codes.astype(jnp.uint32)
+    shift_l = jnp.clip(-over, 0, 31).astype(jnp.uint32)
+    shift_r = jnp.clip(over, 0, 31).astype(jnp.uint32)
+    in_one = over <= 0
+    contrib0 = jnp.where(in_one, codes32 << shift_l, codes32 >> shift_r)
+    contrib1 = jnp.where(
+        in_one,
+        jnp.uint32(0),
+        (codes32 << jnp.clip(32 - over, 0, 31).astype(jnp.uint32)),
+    )
+    w1 = jnp.where(in_one, w0, w0 + 1)
+
+    w0c = jnp.clip(w0, 0, cap_words)
+    w1c = jnp.clip(w1, 0, cap_words)
+    words = jax.ops.segment_sum(
+        contrib0, w0c, num_segments=cap_words + 1, indices_are_sorted=True
+    ) + jax.ops.segment_sum(
+        contrib1, w1c, num_segments=cap_words + 1, indices_are_sorted=True
+    )
+    return words[:cap_words].astype(jnp.uint32), total_bits, dc[-1]
+
+
+def build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma) -> dict:
+    """Stack per-table Huffman LUTs into (2, n) device arrays."""
+    from ..codecs.jpeg.tables import huffman_lut
+
+    dl_code, dl_len = huffman_lut(dc_luma, 16)
+    dch_code, dch_len = huffman_lut(dc_chroma, 16)
+    al_code, al_len = huffman_lut(ac_luma, 256)
+    ach_code, ach_len = huffman_lut(ac_chroma, 256)
+    return {
+        "dc_code": jnp.asarray(np.stack([dl_code, dch_code]).astype(np.uint32)),
+        "dc_len": jnp.asarray(np.stack([dl_len, dch_len]).astype(np.int32)),
+        "ac_code": jnp.asarray(np.stack([al_code, ach_code]).astype(np.uint32)),
+        "ac_len": jnp.asarray(np.stack([al_len, ach_len]).astype(np.int32)),
+        "zrl_code": jnp.asarray(
+            np.array([al_code[0xF0], ach_code[0xF0]], dtype=np.uint32)
+        ),
+        "zrl_len": jnp.asarray(np.array([al_len[0xF0], ach_len[0xF0]], dtype=np.int32)),
+        "eob_code": jnp.asarray(
+            np.array([al_code[0x00], ach_code[0x00]], dtype=np.uint32)
+        ),
+        "eob_len": jnp.asarray(np.array([al_len[0x00], ach_len[0x00]], dtype=np.int32)),
+    }
+
+
+def jpeg_encode_band_trace(
+    band: jax.Array,  # (8k, W, 4) uint8, W % 8 == 0
+    luma_q: jax.Array,
+    chroma_q: jax.Array,
+    luts: dict,
+    prev_dc: jax.Array,  # (3,) int32 — device-resident carry
+    bit_base: jax.Array,  # () int32 — device-resident carry
+    cap_words: int,
+):
+    """The fully fused band program: YCbCr + DCT + quantize + entropy pack.
+
+    One device dispatch per band; only the packed bitstream words (plus two
+    scalars and the 3-vector DC carry) ever leave the device.
+    """
+    from .device import jpeg_quantize_trace
+
+    yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
+    words, total_bits, new_dc = entropy_pack_trace(
+        yb, cbb, crb, luts, prev_dc, bit_base, cap_words
+    )
+    return words, total_bits, new_dc
+
+
+class DeviceJpegEncoder:
+    """Streaming fused device encoder with device-resident carry chain.
+
+    ``submit`` dispatches the fused program for a band, threading prev_dc and
+    the bit offset through *device* arrays so consecutive submissions never
+    synchronize with the host; ``wait`` fetches the packed words and applies
+    stuffing + the sub-byte carry. One-band lookahead happens in the caller.
+    """
+
+    def __init__(self, luma_q, chroma_q, dc_luma, ac_luma, dc_chroma, ac_chroma,
+                 cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX):
+        self._lq = jnp.asarray(luma_q)
+        self._cq = jnp.asarray(chroma_q)
+        self._luts = build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma)
+        self._host_tables = (dc_luma, ac_luma, dc_chroma, ac_chroma)
+        self._prev_dc = jnp.zeros(3, dtype=jnp.int32)
+        self._bit_base = jnp.int32(0)
+        self._carry_val = 0  # host-side partial-byte value (bits = bit_base)
+        self._cap_bits_per_px = cap_bits_per_px
+        self._jit = jax.jit(jpeg_encode_band_trace, static_argnames=("cap_words",))
+
+    def submit(self, band: np.ndarray):
+        band = jnp.asarray(band)
+        prev_dc_in = self._prev_dc
+        bit_base_in = self._bit_base
+        n_pixels = band.shape[0] * band.shape[1]
+        cap_words = max(64, (n_pixels * self._cap_bits_per_px + 31) // 32)
+        words, total_bits, new_dc = self._jit(
+            band,
+            self._lq,
+            self._cq,
+            self._luts,
+            prev_dc_in,
+            bit_base_in,
+            cap_words=cap_words,
+        )
+        # Thread the carry on-device; no host synchronization here.
+        self._prev_dc = new_dc
+        self._bit_base = (total_bits % 8).astype(jnp.int32)
+        try:
+            total_bits.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return (words, total_bits, cap_words, band, prev_dc_in, bit_base_in)
+
+    def wait(self, handle) -> bytes:
+        words, total_bits, cap_words, band, prev_dc_in, bit_base_in = handle
+        total_bits = int(total_bits)
+        while total_bits > cap_words * 32:
+            # Capacity overflow (pathological entropy): deterministic
+            # resubmit with 4x budget — identical bits, so the device-side
+            # carry chain of later submissions stays valid.
+            cap_words *= 4
+            words, total_bits_arr, _ = self._jit(
+                band, self._lq, self._cq, self._luts,
+                prev_dc_in, bit_base_in, cap_words=cap_words,
+            )
+            total_bits = int(total_bits_arr)
+        n_words = (total_bits + 31) // 32
+        host_words = np.asarray(words[:n_words]).astype(">u4")
+        data = bytearray(host_words.tobytes())
+        # The band started at (previous total % 8); that's exactly the number
+        # of carry bits the host holds in _carry_val.
+        nbits_in = getattr(self, "_host_carry_n", 0)
+        if nbits_in and data:
+            data[0] |= (self._carry_val << (8 - nbits_in)) & 0xFF
+        full_bytes = total_bits // 8
+        rem = total_bits % 8
+        if rem:
+            carry_byte = data[full_bytes] if full_bytes < len(data) else 0
+            self._carry_val = carry_byte >> (8 - rem)
+        else:
+            self._carry_val = 0
+        self._host_carry_n = rem
+        payload = np.frombuffer(bytes(data[:full_bytes]), dtype=np.uint8)
+        ff = np.nonzero(payload == 0xFF)[0]
+        if len(ff):
+            payload = np.insert(payload, ff + 1, 0)
+        return payload.tobytes()
+
+    def flush(self) -> bytes:
+        n = getattr(self, "_host_carry_n", 0)
+        if n == 0:
+            return b""
+        pad = 8 - n
+        byte = (self._carry_val << pad) | ((1 << pad) - 1)
+        self._carry_val = 0
+        self._host_carry_n = 0
+        return b"\xff\x00" if byte == 0xFF else bytes([byte])
+
+
+class DeviceEntropyPacker:
+    """Streaming wrapper: device packs bits, host stuffs bytes + carries the
+    sub-byte remainder and DC predictors between bands."""
+
+    def __init__(self, dc_luma, ac_luma, dc_chroma, ac_chroma,
+                 cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX):
+        self._luts = build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma)
+        self._host_tables = (dc_luma, ac_luma, dc_chroma, ac_chroma)
+        self._prev_dc = jnp.zeros(3, dtype=jnp.int32)
+        self._carry_val = 0
+        self._carry_n = 0
+        self._cap_bits_per_px = cap_bits_per_px
+        self._jit = jax.jit(entropy_pack_trace, static_argnames=("cap_words",))
+        self._fallback = None
+
+    def pack_band(self, yb, cbb, crb, n_pixels: int) -> bytes:
+        """Entropy-code one band of interleaved blocks (device arrays or
+        numpy). Returns stuffed entropy bytes ready for the JPEG stream."""
+        cap_words = max(64, (n_pixels * self._cap_bits_per_px + 31) // 32)
+        words, total_bits, new_dc = self._jit(
+            jnp.asarray(yb),
+            jnp.asarray(cbb),
+            jnp.asarray(crb),
+            self._luts,
+            self._prev_dc,
+            jnp.int32(self._carry_n),
+            cap_words=cap_words,
+        )
+        total_bits = int(total_bits)
+        if total_bits > cap_words * 32:
+            # Capacity overflow: host fallback for this band (keeps stream
+            # valid; counts as a slow path, not an error).
+            return self._host_fallback(yb, cbb, crb)
+        self._prev_dc = new_dc
+        n_words = (total_bits + 31) // 32
+        host_words = np.asarray(words[:n_words]).astype(">u4")
+        data = bytearray(host_words.tobytes())
+        if self._carry_n:
+            data[0] |= (self._carry_val << (8 - self._carry_n)) & 0xFF
+        full_bytes = total_bits // 8
+        rem = total_bits % 8
+        if rem:
+            carry_byte = data[full_bytes] if full_bytes < len(data) else 0
+            self._carry_val = carry_byte >> (8 - rem)
+        else:
+            self._carry_val = 0
+        self._carry_n = rem
+        payload = np.frombuffer(bytes(data[:full_bytes]), dtype=np.uint8)
+        ff = np.nonzero(payload == 0xFF)[0]
+        if len(ff):
+            payload = np.insert(payload, ff + 1, 0)
+        return payload.tobytes()
+
+    def _host_fallback(self, yb, cbb, crb) -> bytes:
+        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder, interleave_mcus
+
+        dc_l, ac_l, dc_c, ac_c = self._host_tables
+        if self._fallback is None:
+            self._fallback = (
+                HuffmanEncoder(dc_l, ac_l),
+                HuffmanEncoder(dc_c, ac_c),
+            )
+        enc_l, enc_c = self._fallback
+        packer = BitPacker()
+        packer._carry_val = self._carry_val
+        packer._carry_n = self._carry_n
+        prev = [int(x) for x in np.asarray(self._prev_dc)]
+        yc, yl, prev[0] = enc_l.encode_component_blocks(np.asarray(yb), prev[0])
+        cbc, cbl, prev[1] = enc_c.encode_component_blocks(np.asarray(cbb), prev[1])
+        crc, crl, prev[2] = enc_c.encode_component_blocks(np.asarray(crb), prev[2])
+        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        out = packer.pack(codes, lens)
+        self._carry_val = packer._carry_val
+        self._carry_n = packer._carry_n
+        self._prev_dc = jnp.asarray(prev, dtype=jnp.int32)
+        return out
+
+    def flush(self) -> bytes:
+        """Pad the final partial byte with 1-bits."""
+        if self._carry_n == 0:
+            return b""
+        pad = 8 - self._carry_n
+        byte = (self._carry_val << pad) | ((1 << pad) - 1)
+        self._carry_val = 0
+        self._carry_n = 0
+        return b"\xff\x00" if byte == 0xFF else bytes([byte])

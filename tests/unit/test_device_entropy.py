@@ -1,0 +1,135 @@
+"""On-device JPEG entropy packer tests: byte-exact vs the host coder across
+bands with DC/bit carries, ZRL run splitting, and the fused band program."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_stitch_tpu.codecs.jpeg.encoder import _band_to_blocks_numpy
+from image_stitch_tpu.codecs.jpeg.huffman import (
+    BitPacker,
+    HuffmanEncoder,
+    interleave_mcus,
+)
+from image_stitch_tpu.codecs.jpeg.tables import (
+    STD_AC_CHROMA_BITS,
+    STD_AC_CHROMA_VALS,
+    STD_AC_LUMA_BITS,
+    STD_AC_LUMA_VALS,
+    STD_DC_CHROMA_BITS,
+    STD_DC_CHROMA_VALS,
+    STD_DC_LUMA_BITS,
+    STD_DC_LUMA_VALS,
+    build_huffman_codes,
+    quality_scaled_tables,
+)
+from image_stitch_tpu.ops.jpeg_entropy_device import (
+    DeviceEntropyPacker,
+    DeviceJpegEncoder,
+)
+
+DC_L = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+AC_L = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+DC_C = build_huffman_codes(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+AC_C = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+
+
+def host_encode(bands, flush=True):
+    encl, encc = HuffmanEncoder(DC_L, AC_L), HuffmanEncoder(DC_C, AC_C)
+    packer = BitPacker()
+    prev = [0, 0, 0]
+    out = b""
+    for yb, cbb, crb in bands:
+        yc, yl, prev[0] = encl.encode_component_blocks(yb, prev[0])
+        cbc, cbl, prev[1] = encc.encode_component_blocks(cbb, prev[1])
+        crc, crl, prev[2] = encc.encode_component_blocks(crb, prev[2])
+        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        out += packer.pack(codes, lens)
+    if flush:
+        out += packer.flush()
+    return out
+
+
+def device_encode(bands, n_pixels):
+    dev = DeviceEntropyPacker(DC_L, AC_L, DC_C, AC_C)
+    out = b"".join(dev.pack_band(*b, n_pixels) for b in bands)
+    return out + dev.flush()
+
+
+def blocks_from(seed, h=64, w=128, smooth=False):
+    rng = np.random.default_rng(seed)
+    lq, cq = quality_scaled_tables(85)
+    if smooth:
+        x = np.linspace(0, 250, w, dtype=np.uint8)
+        band = np.zeros((h, w, 4), np.uint8)
+        band[:, :, 0] = x[None, :]
+        band[:, :, 1] = 128
+        band[:, :, 2] = x[None, ::-1]
+    else:
+        band = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    return _band_to_blocks_numpy(band, lq, cq)
+
+
+def test_single_band_exact():
+    b = blocks_from(0)
+    assert device_encode([b], 64 * 128) == host_encode([b])
+
+
+def test_multiband_carry_exact():
+    bands = [blocks_from(s, smooth=s % 2 == 1) for s in range(4)]
+    assert device_encode(bands, 64 * 128) == host_encode(bands)
+
+
+def test_zrl_run_splitting():
+    # Sparse blocks exercising runs of 16..62 incl. trailing-zero EOB.
+    yb = np.zeros((4, 64), np.int16)
+    yb[0, 0] = 100
+    yb[1, 18] = 5  # zigzag-dependent long run
+    yb[2, 63] = -1  # maximal run to last coefficient
+    yb[3, 1] = 1
+    cb = np.zeros((4, 64), np.int16)
+    cr = np.zeros((4, 64), np.int16)
+    cr[0, 35] = -7
+    b = (yb, cb, cr)
+    assert device_encode([b], 32 * 64) == host_encode([b])
+
+
+def test_extreme_values():
+    rng = np.random.default_rng(3)
+    yb = rng.integers(-1023, 1024, (8, 64)).astype(np.int16)
+    cb = rng.integers(-1023, 1024, (8, 64)).astype(np.int16)
+    cr = rng.integers(-1023, 1024, (8, 64)).astype(np.int16)
+    b = (yb, cb, cr)
+    # High-entropy blocks exceed the 12-bpp device budget and take the host
+    # fallback inside pack_band — the stream must still be exact.
+    assert device_encode([b], 8 * 8) == host_encode([b])
+
+
+def test_capacity_overflow_falls_back():
+    rng = np.random.default_rng(4)
+    b = tuple(rng.integers(-1023, 1024, (4, 64)).astype(np.int16) for _ in range(3))
+    dev = DeviceEntropyPacker(DC_L, AC_L, DC_C, AC_C, cap_bits_per_px=1)
+    out = dev.pack_band(*b, 4 * 64) + dev.flush()
+    assert out == host_encode([b])
+
+
+def test_fused_device_encoder_matches_host_entropy():
+    lq, cq = quality_scaled_tables(85)
+    rng = np.random.default_rng(5)
+    x = np.linspace(10, 240, 128, dtype=np.uint8)
+    band1 = np.zeros((32, 128, 4), np.uint8)
+    band1[:, :, 0] = x[None, :]
+    band1[:, :, 1] = x[None, ::-1]
+    band1[:, :, 3] = 255
+    band2 = rng.integers(0, 256, (32, 128, 4), dtype=np.uint8)
+    enc = DeviceJpegEncoder(lq, cq, DC_L, AC_L, DC_C, AC_C)
+    h1 = enc.submit(band1)
+    h2 = enc.submit(band2)  # submitted before waiting: carry stays on device
+    out = enc.wait(h1) + enc.wait(h2) + enc.flush()
+    expected = host_encode(
+        [_band_to_blocks_numpy(band1, lq, cq), _band_to_blocks_numpy(band2, lq, cq)]
+    )
+    # Device DCT (XLA) and host DCT (numpy f32) agree on these inputs.
+    assert out == expected
