@@ -218,6 +218,12 @@ class CoreStreamingConcatenator:
     def __init__(self, options: ConcatOptions | Mapping[str, Any]):
         self.options = ConcatOptions.from_any(options)
         self.options.validate()
+        from .utils.observability import PipelineStats
+
+        # Live telemetry for the run (band/pixel/byte counters, stage
+        # timings, streaming-efficiency check). SURVEY §5: first-class here,
+        # absent in the reference.
+        self.stats = PipelineStats()
 
     # ------------------------------------------------------------------ #
 
@@ -246,13 +252,16 @@ class CoreStreamingConcatenator:
             target_depth, target_ct = determine_common_format(headers)
 
             if positioned_mode:
-                yield from self._stream_positioned(
+                inner = self._stream_positioned(
                     inputs, decoders, image_headers, headers, target_depth
                 )
             else:
-                yield from self._stream_grid(
+                inner = self._stream_grid(
                     decoders, image_headers, headers, target_depth
                 )
+            for chunk in inner:
+                self.stats.record_output(len(chunk))
+                yield chunk
         finally:
             for d in decoders:
                 try:
@@ -510,6 +519,7 @@ class CoreStreamingConcatenator:
         prev_row: np.ndarray | None = None
         pending = None
         for canvas in bands:
+            self.stats.record_band(canvas.shape[0], canvas.shape[1])
             handle = backend.png_filter_band_async(canvas, prev_row)
             prev_row = band_to_bytes(canvas[-1:])[0]
             if pending is not None:
@@ -543,6 +553,7 @@ class CoreStreamingConcatenator:
         for canvas in bands:
             if canvas.dtype != np.uint8:
                 raise StitchError("JPEG encoding requires 8-bit canvas bands")
+            self.stats.record_band(canvas.shape[0], canvas.shape[1])
             yield from encoder.encode_band(canvas)
         yield from encoder.finish()
 
