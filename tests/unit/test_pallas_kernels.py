@@ -1,0 +1,51 @@
+"""Pallas kernel tests (interpret mode on CPU; same code compiles via
+Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from image_stitch_tpu.ops.pallas_kernels import dct8_pallas, filter_select_pallas
+from image_stitch_tpu.ops.png_filter import filter_select_band
+
+
+@pytest.mark.parametrize("shape", [(16, 512), (13, 260), (64, 1024)])
+@pytest.mark.parametrize("bpp", [3, 4, 8])
+def test_filter_select_pallas_matches_oracle(shape, bpp):
+    rng = np.random.default_rng(shape[0] * bpp)
+    raw = rng.integers(0, 256, shape, dtype=np.uint8)
+    prev = rng.integers(0, 256, shape[1], dtype=np.uint8)
+    types, filtered, last = filter_select_pallas(raw, prev, bpp, interpret=True)
+    exp_types, exp_filtered = filter_select_band(raw, prev, bpp)
+    np.testing.assert_array_equal(np.asarray(types), exp_types)
+    np.testing.assert_array_equal(np.asarray(filtered), exp_filtered)
+    np.testing.assert_array_equal(np.asarray(last), raw[-1])
+
+
+def test_filter_select_pallas_no_prev():
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (24, 400), dtype=np.uint8)
+    types, filtered, _ = filter_select_pallas(raw, None, 4, interpret=True)
+    exp_types, exp_filtered = filter_select_band(raw, None, 4)
+    np.testing.assert_array_equal(np.asarray(types), exp_types)
+    np.testing.assert_array_equal(np.asarray(filtered), exp_filtered)
+
+
+def test_dct8_pallas_matches_numpy():
+    from image_stitch_tpu.codecs.jpeg.encoder import _DCT, _quantize
+    from image_stitch_tpu.codecs.jpeg.tables import quality_scaled_tables
+
+    rng = np.random.default_rng(1)
+    h, w = 16, 256
+    plane = rng.uniform(-128, 127, (h, w)).astype(np.float32)
+    lq, _ = quality_scaled_tables(85)
+    got = np.asarray(dct8_pallas(jnp.asarray(plane), jnp.asarray(lq), interpret=True))
+
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = (_DCT @ blocks) @ _DCT.T
+    want = _quantize(coefs, lq).reshape(-1, 64)
+    # f32 association differs (tile matmuls); allow off-by-one on ties.
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.001
