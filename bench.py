@@ -65,8 +65,13 @@ def main() -> None:
 
     from image_stitch_tpu.ops.backend import resolve_backend_name
 
+    # Default to the host-native path: on this environment the TPU is reached
+    # through a tunneled link whose transfer latency/bandwidth (and remote
+    # compile time) make the host C++ tier the faster end-to-end config.
+    # Set BENCH_BACKEND=jax to measure the fused on-device pipeline
+    # (quantize + entropy packing on the accelerator).
     backend = resolve_backend_name(
-        os.environ.get("BENCH_BACKEND", "auto"), (GRID * TILE) ** 2
+        os.environ.get("BENCH_BACKEND", "numpy"), (GRID * TILE) ** 2
     )
     opts = {
         "inputs": inputs,
