@@ -97,6 +97,43 @@ def _band_to_blocks_numpy(
     return out[0], out[1], out[2]
 
 
+def _band_to_blocks_numpy_420(
+    band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """4:2:0 quantization: full-res Y, 2x2 box-averaged chroma.
+
+    band: (16k, W, 4) uint8 with W % 16 == 0. Returns (y (4n, 64) in MCU
+    order [TL,TR,BL,BR], cb (n, 64), cr (n, 64)) with n MCUs raster-major.
+    """
+    h, w = band_rgba.shape[:2]
+    assert h % 16 == 0 and w % 16 == 0
+    r = band_rgba[:, :, 0].astype(np.float32)
+    g = band_rgba[:, :, 1].astype(np.float32)
+    b = band_rgba[:, :, 2].astype(np.float32)
+    y = np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b - np.float32(128.0)
+    cb = np.float32(-0.168735892) * r + np.float32(-0.331264108) * g + np.float32(0.5) * b
+    cr = np.float32(0.5) * r + np.float32(-0.418687589) * g + np.float32(-0.081312411) * b
+
+    def dct_blocks(plane, q):
+        hh, ww = plane.shape
+        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        return _quantize((_DCT @ blocks) @ _DCT.T, q)  # (by, bx, 64)-ish
+
+    yq = dct_blocks(y, luma_q)  # (h/8, w/8, 8, 8) quantized -> reshape below
+    yq = yq.reshape(h // 8, w // 8, 64)
+    # Regroup Y blocks into MCU order: (my, mx, [TL,TR,BL,BR]).
+    yq = (
+        yq.reshape(h // 16, 2, w // 16, 2, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 64)
+    )
+    cb_s = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr_s = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cbq = dct_blocks(cb_s, chroma_q).reshape(-1, 64)
+    crq = dct_blocks(cr_s, chroma_q).reshape(-1, 64)
+    return yq, cbq, crq
+
+
 class StreamingJpegEncoder:
     """Band-level streaming encoder used by the orchestrator."""
 
@@ -106,14 +143,20 @@ class StreamingJpegEncoder:
         height: int,
         quality: int = 85,
         backend: str = "numpy",
+        sampling: str = "444",
     ):
         if width < 1 or height < 1:
             raise StitchError(f"Invalid JPEG dimensions: {width}x{height}")
         if not (1 <= quality <= 100):
             raise StitchError("JPEG quality must be between 1 and 100")
+        if sampling not in ("444", "420"):
+            raise StitchError(f"Unsupported JPEG sampling: {sampling}")
         self.width = width
         self.height = height
         self.quality = quality
+        self.sampling = sampling
+        # 4:2:0 MCUs are 16x16 px; strips and padding work in MCU heights.
+        self._mcu_h = 16 if sampling == "420" else MCU_HEIGHT
         self._backend_name = backend
         self.luma_q, self.chroma_q = quality_scaled_tables(quality)
         self._dc_luma = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
@@ -133,6 +176,7 @@ class StreamingJpegEncoder:
                 self._native_coder = NativeEntropyCoder(
                     make_huff_table(self._dc_luma, self._ac_luma),
                     make_huff_table(self._dc_chroma, self._ac_chroma),
+                    sampling=sampling,
                 )
         except Exception:
             self._native_coder = None
@@ -140,14 +184,14 @@ class StreamingJpegEncoder:
         self._header_emitted = False
         self._finished = False
         self._rows_consumed = 0
-        self._pending: np.ndarray | None = None  # buffered rows < 8
+        self._pending: np.ndarray | None = None  # buffered rows < mcu height
         self._last_row: np.ndarray | None = None
-        self._pad_w = (-width) % 8
+        self._pad_w = (-width) % (16 if sampling == "420" else 8)
         self._device = None
         # One-band device lookahead: (pending device arrays, n_strips, bps).
         self._inflight = None
         self._dev_encoder = None
-        if backend in ("tpu", "jax"):
+        if backend in ("tpu", "jax") and sampling == "444":
             from ...ops.device import JaxBackend
 
             self._device = JaxBackend()
@@ -174,11 +218,12 @@ class StreamingJpegEncoder:
         for tid, q in ((0, self.luma_q), (1, self.chroma_q)):
             out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
             out += bytes(int(v) for v in q[ZIGZAG])  # table in zigzag order
-        # SOF0: baseline, 3 components, 4:4:4
+        # SOF0: baseline, 3 components (sampling per self.sampling)
         out += b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
         out += self.height.to_bytes(2, "big") + self.width.to_bytes(2, "big")
         out += bytes([3])
-        out += bytes([1, 0x11, 0])  # Y: h1v1, qtable 0
+        y_hv = 0x22 if self.sampling == "420" else 0x11
+        out += bytes([1, y_hv, 0])  # Y
         out += bytes([2, 0x11, 1])  # Cb
         out += bytes([3, 0x11, 1])  # Cr
         # DHT x4
@@ -204,12 +249,14 @@ class StreamingJpegEncoder:
     # ----- strips ------------------------------------------------------- #
 
     def _quantize_band(self, band: np.ndarray):
-        """Pad width to a block multiple (edge repetition) and quantize the
+        """Pad width to an MCU multiple (edge repetition) and quantize the
         whole multi-strip band in one device (or native host) call."""
         if self._pad_w:
             band = np.concatenate(
                 [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
             )
+        if self.sampling == "420":
+            return _band_to_blocks_numpy_420(band, self.luma_q, self.chroma_q)
         if self._device is not None:
             return self._device.jpeg_quantize_band(band, self.luma_q, self.chroma_q)
         try:
@@ -223,7 +270,9 @@ class StreamingJpegEncoder:
         return _band_to_blocks_numpy(band, self.luma_q, self.chroma_q)
 
     def _entropy_code(self, yb, cbb, crb) -> bytes:
-        """Huffman-encode quantized blocks (any number of strips)."""
+        """Huffman-encode quantized blocks (any number of strips).
+
+        For 4:2:0, ``yb`` is in MCU order (4 Y blocks per chroma block)."""
         if self._native_coder is not None:
             return self._native_coder.encode(yb, cbb, crb)
         yc, yl, self._prev_dc[0] = self._enc_luma.encode_component_blocks(
@@ -235,16 +284,40 @@ class StreamingJpegEncoder:
         crc, crl, self._prev_dc[2] = self._enc_chroma.encode_component_blocks(
             crb, self._prev_dc[2]
         )
-        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        if self.sampling == "420":
+            codes_parts, lens_parts = [], []
+            for m in range(cbb.shape[0]):
+                for j in range(4):
+                    codes_parts.append(yc[m * 4 + j])
+                    lens_parts.append(yl[m * 4 + j])
+                codes_parts.append(cbc[m])
+                lens_parts.append(cbl[m])
+                codes_parts.append(crc[m])
+                lens_parts.append(crl[m])
+            codes = np.concatenate(codes_parts)
+            lens = np.concatenate(lens_parts)
+        else:
+            codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
         return self._packer.pack(codes, lens)
 
     def _encode_strip(self, strip: np.ndarray) -> bytes:
-        """Encode one full (8, W, 4) strip to entropy-coded bytes."""
+        """Encode one full MCU strip to entropy-coded bytes."""
         yb, cbb, crb = self._quantize_band(strip)
         return b"".join(self._emit_blocks(yb, cbb, crb))
 
     def _emit_blocks(self, yb, cbb, crb) -> Iterator[bytes]:
         """Entropy-code quantized blocks strip-by-strip so bytes stream."""
+        if self.sampling == "420":
+            mpr = (self.width + self._pad_w) // 16  # MCUs per strip row
+            n_strips = cbb.shape[0] // mpr
+            for i in range(n_strips):
+                ysl = slice(i * 4 * mpr, (i + 1) * 4 * mpr)
+                csl = slice(i * mpr, (i + 1) * mpr)
+                data = self._entropy_code(yb[ysl], cbb[csl], crb[csl])
+                self._rows_consumed += self._mcu_h
+                if data:
+                    yield data
+            return
         bps = (self.width + self._pad_w) // 8  # blocks per strip
         n_strips = yb.shape[0] // bps
         for i in range(n_strips):
@@ -273,9 +346,9 @@ class StreamingJpegEncoder:
         if self._pending is not None:
             band = np.concatenate([self._pending, band], axis=0)
             self._pending = None
-        n_full = band.shape[0] // MCU_HEIGHT
+        n_full = band.shape[0] // self._mcu_h
         if n_full:
-            full = band[: n_full * MCU_HEIGHT]
+            full = band[: n_full * self._mcu_h]
             if self._dev_encoder is not None:
                 # Fused device pipeline with one-band lookahead: submit this
                 # band (device computes + packs bits), emit the previous
@@ -296,7 +369,7 @@ class StreamingJpegEncoder:
             else:
                 yb, cbb, crb = self._quantize_band(full)
                 yield from self._emit_blocks(yb, cbb, crb)
-        rest = band[n_full * MCU_HEIGHT :]
+        rest = band[n_full * self._mcu_h :]
         if rest.shape[0]:
             self._pending = rest.copy()
         if band.shape[0]:
@@ -323,7 +396,7 @@ class StreamingJpegEncoder:
         if self._pending is not None and self._pending.shape[0]:
             part = self._pending
             self._pending = None
-            pad_rows = MCU_HEIGHT - part.shape[0]
+            pad_rows = self._mcu_h - part.shape[0]
             part = np.concatenate(
                 [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
             )
@@ -360,8 +433,9 @@ class StreamingJpegEncoder:
 class JpegEncoder:
     """Reference-compatible wrapper class (src/jpeg-encoder.ts:96-245)."""
 
-    def __init__(self, width: int, height: int, quality: int = 85, backend: str = "numpy"):
-        self._inner = StreamingJpegEncoder(width, height, quality, backend)
+    def __init__(self, width: int, height: int, quality: int = 85,
+                 backend: str = "numpy", sampling: str = "444"):
+        self._inner = StreamingJpegEncoder(width, height, quality, backend, sampling)
         self.width = width
         self.height = height
         self.quality = quality
@@ -386,8 +460,9 @@ class JpegEncoder:
 
 
 def encode_jpeg(
-    rgba: np.ndarray, width: int, height: int, quality: int = 85, backend: str = "numpy"
+    rgba: np.ndarray, width: int, height: int, quality: int = 85,
+    backend: str = "numpy", sampling: str = "444"
 ) -> bytes:
     """One-shot encode (reference: encodeJpeg, jpeg-encoder.ts:256-264)."""
-    enc = JpegEncoder(width, height, quality, backend)
+    enc = JpegEncoder(width, height, quality, backend, sampling)
     return enc.encode_to_buffer(np.asarray(rgba, dtype=np.uint8).tobytes())

@@ -548,6 +548,7 @@ class CoreStreamingConcatenator:
             backend=resolve_backend_name(
                 self.options.backend, out_header.width * out_header.height
             ),
+            sampling=self.options.jpeg_sampling,
         )
         yield from encoder.header()
         for canvas in bands:

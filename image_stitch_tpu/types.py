@@ -133,6 +133,9 @@ class ConcatOptions:
     decoders: Sequence[Any] | None = None  # explicit DecoderPlugin list
     output_format: str = "png"  # 'png' | 'jpeg'
     jpeg_quality: int = 85
+    # '444' (reference parity, default) or '420' (2x2 chroma subsampling:
+    # smaller files, faster chroma path).
+    jpeg_sampling: str = "444"
     background_color: BackgroundColor = None
     enable_alpha_blending: bool = True
     on_progress: Callable[[int, int], None] | None = None
@@ -155,6 +158,7 @@ class ConcatOptions:
         "decoderOptions": "decoder_options",
         "outputFormat": "output_format",
         "jpegQuality": "jpeg_quality",
+        "jpegSampling": "jpeg_sampling",
         "backgroundColor": "background_color",
         "enableAlphaBlending": "enable_alpha_blending",
         "onProgress": "on_progress",

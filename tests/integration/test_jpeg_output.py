@@ -184,3 +184,57 @@ def test_backend_parity_jpeg_decode_close():
     a = decode_jpeg_pil(outs["numpy"]).astype(int)
     b = decode_jpeg_pil(outs["jax"]).astype(int)
     assert np.abs(a - b).max() <= 2
+
+
+def test_420_subsampling():
+    """4:2:0 (superset option): smaller files, decodable, SOF advertises
+    2x2 luma sampling; DC/entropy interleave follows T.81 MCU order."""
+    tile = smooth_tile(64, 48, 3)
+    outs = {}
+    for sampling in ("444", "420"):
+        outs[sampling] = concat_to_buffer(
+            {"inputs": [png_from_array(tile)], "layout": {"columns": 1},
+             "outputFormat": "jpeg", "jpegQuality": 90,
+             "jpegSampling": sampling, "backend": "numpy"}
+        )
+    assert len(outs["420"]) < len(outs["444"])
+    # SOF sampling byte: find SOF0 and check Y h/v.
+    data = outs["420"]
+    sof = data.index(b"\xff\xc0")
+    assert data[sof + 11] == 0x22  # Y sampling factors
+    dec = decode_jpeg_pil(data)
+    err = np.abs(dec.astype(int) - tile[:, :, :3].astype(int))
+    assert err.mean() < 3.0
+
+
+def test_420_non_multiple_of_16():
+    tile = smooth_tile(37, 29, 4)
+    out = concat_to_buffer(
+        {"inputs": [png_from_array(tile)], "layout": {"columns": 1},
+         "outputFormat": "jpeg", "jpegQuality": 92, "jpegSampling": "420",
+         "backend": "numpy"}
+    )
+    dec = decode_jpeg_pil(out)
+    assert dec.shape == (29, 37, 3)
+    err = np.abs(dec.astype(int) - tile[:, :, :3].astype(int))
+    assert err.mean() < 4.0
+
+
+def test_420_python_fallback_matches_native():
+    import os
+
+    tile = smooth_tile(32, 32, 5)
+    opts = {"inputs": [png_from_array(tile)], "layout": {"columns": 1},
+            "outputFormat": "jpeg", "jpegSampling": "420", "backend": "numpy"}
+    a = concat_to_buffer(opts)
+    import image_stitch_tpu.native as nat
+
+    saved = (nat._LIB, nat._LIB_TRIED)
+    os.environ["STITCH_TPU_NO_NATIVE"] = "1"
+    nat._LIB, nat._LIB_TRIED = None, False
+    try:
+        b = concat_to_buffer(opts)
+    finally:
+        del os.environ["STITCH_TPU_NO_NATIVE"]
+        nat._LIB, nat._LIB_TRIED = saved
+    assert a == b
