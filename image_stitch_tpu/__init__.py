@@ -100,9 +100,13 @@ from .ops.pixel import (
     composite_band,
     composite_scanline,
     convert_band,
+    convert_pixel_format,
     convert_scanline,
+    copy_pixel_region,
+    create_blank_image,
     determine_common_format,
     extract_scanline_portion,
+    fill_pixel_region,
     get_transparent_color,
     parse_background_color,
     scale_sample,
@@ -208,6 +212,10 @@ __all__ = [
     "composite_band",
     "extract_scanline_portion",
     "determine_common_format",
+    "convert_pixel_format",
+    "copy_pixel_region",
+    "fill_pixel_region",
+    "create_blank_image",
     "get_transparent_color",
     "parse_background_color",
     "scale_sample",

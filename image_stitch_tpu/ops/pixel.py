@@ -380,6 +380,114 @@ def bytes_to_band(rows: np.ndarray, width: int, bit_depth: int) -> np.ndarray:
     return rows.reshape(h, width, 4)
 
 
+def convert_pixel_format(
+    src_data: np.ndarray,
+    src_header,
+    target_bit_depth: int,
+    target_color_type: int,
+    **kwargs,
+):
+    """Whole-image batch conversion (reference: convertPixelFormat,
+    pixel-ops.ts:332-492). ``src_data`` is raw scanline bytes (H*row_bytes
+    flat or (H, row_bytes)); returns (data, header) like the reference."""
+    from ..types import PngHeader
+    from ..utils import scanline_byte_length
+
+    if (
+        src_header.bit_depth == target_bit_depth
+        and src_header.color_type == target_color_type
+    ):
+        return np.asarray(src_data, dtype=np.uint8), src_header
+    if target_color_type != 6:
+        raise StitchError("Only conversion to RGBA (color type 6) is supported")
+    row_bytes = scanline_byte_length(
+        src_header.width, src_header.bit_depth, src_header.color_type
+    )
+    rows = np.asarray(src_data, dtype=np.uint8).reshape(src_header.height, row_bytes)
+    band = convert_band(
+        rows,
+        src_header.width,
+        src_header.bit_depth,
+        src_header.color_type,
+        target_bit_depth,
+        **kwargs,
+    )
+    out_header = PngHeader(
+        width=src_header.width,
+        height=src_header.height,
+        bit_depth=target_bit_depth,
+        color_type=target_color_type,
+        compression_method=src_header.compression_method,
+        filter_method=src_header.filter_method,
+        interlace_method=src_header.interlace_method,
+    )
+    return band_to_bytes(band), out_header
+
+
+def copy_pixel_region(
+    src: np.ndarray,
+    src_width: int,
+    dest: np.ndarray,
+    dest_width: int,
+    src_x: int,
+    src_y: int,
+    dest_x: int,
+    dest_y: int,
+    region_w: int,
+    region_h: int,
+    bytes_per_pixel: int = 4,
+) -> None:
+    """Copy a rectangle between flat raw-byte images (reference:
+    copyPixelRegion, pixel-ops.ts:172-197)."""
+    src2 = np.asarray(src, dtype=np.uint8).reshape(-1, src_width * bytes_per_pixel)
+    dst2 = dest.reshape(-1, dest_width * bytes_per_pixel)
+    dst2[
+        dest_y : dest_y + region_h,
+        dest_x * bytes_per_pixel : (dest_x + region_w) * bytes_per_pixel,
+    ] = src2[
+        src_y : src_y + region_h,
+        src_x * bytes_per_pixel : (src_x + region_w) * bytes_per_pixel,
+    ]
+
+
+def fill_pixel_region(
+    dest: np.ndarray,
+    dest_width: int,
+    x: int,
+    y: int,
+    region_w: int,
+    region_h: int,
+    color: bytes | Sequence[int],
+    bytes_per_pixel: int = 4,
+) -> None:
+    """Fill a rectangle with a single pixel value (reference:
+    fillPixelRegion, pixel-ops.ts:200-224)."""
+    px = np.frombuffer(bytes(bytearray(color)), dtype=np.uint8)
+    dst2 = dest.reshape(-1, dest_width * bytes_per_pixel)
+    region = dst2[
+        y : y + region_h, x * bytes_per_pixel : (x + region_w) * bytes_per_pixel
+    ].reshape(region_h, region_w, bytes_per_pixel)
+    region[:] = px[:bytes_per_pixel]
+
+
+def create_blank_image(
+    width: int,
+    height: int,
+    color_type: int = 6,
+    bit_depth: int = 8,
+    background_color=None,
+) -> np.ndarray:
+    """Allocate raw image bytes filled with a background color (reference:
+    createBlankImage, pixel-ops.ts:227-252)."""
+    px = np.frombuffer(
+        get_transparent_color(color_type, bit_depth, background_color), dtype=np.uint8
+    )
+    bpp = get_bytes_per_pixel(bit_depth, color_type)
+    out = np.empty(height * width * bpp, dtype=np.uint8)
+    out.reshape(-1, bpp)[:] = px
+    return out
+
+
 def composite_band(
     dest: np.ndarray,
     src: np.ndarray,
