@@ -60,11 +60,29 @@ AUTO_DEVICE_THRESHOLD_PIXELS = 1 << 21
 
 
 def resolve_backend_name(name: str, canvas_pixels: int | None = None) -> str:
-    """Map option strings to a concrete backend, with 'auto' sizing."""
+    """Map option strings to a concrete backend.
+
+    'auto' policy: use the device for large canvases when either the host
+    C++ tier is unavailable or STITCH_TPU_PREFER_DEVICE=1 is set. On
+    PCIe-attached TPU VMs set the env var — the fused device pipeline wins
+    by a wide margin there; on high-latency tunneled links the host native
+    tier is faster end-to-end (see CLAUDE.md measurements).
+    """
+    import os
+
     key = {"oracle": "numpy", "tpu": "jax"}.get(name, name)
     if key == "auto":
-        if canvas_pixels is not None and canvas_pixels >= AUTO_DEVICE_THRESHOLD_PIXELS:
+        big = (
+            canvas_pixels is not None
+            and canvas_pixels >= AUTO_DEVICE_THRESHOLD_PIXELS
+        )
+        if big and os.environ.get("STITCH_TPU_PREFER_DEVICE") == "1":
             return "jax"
+        if big:
+            from ..native import native_available
+
+            if not native_available():
+                return "jax"
         return "numpy"
     return key
 
