@@ -28,6 +28,18 @@ from ...ops.adam7 import deinterlace_adam7
 from ...ops.png_filter import defilter_band
 from .parser import parse_header_chunk, validate_signature
 
+
+def _defilter_units(units, row_bytes, bpp, prev_row):
+    """Defilter (h, 1+row_bytes) scanline units to raw rows through the
+    fastest tier (native strided path avoids all intermediate copies)."""
+    from ...native import defilter_units_native
+
+    out = defilter_units_native(units, row_bytes, bpp, prev_row)
+    if out is not None:
+        return out
+    block = units.copy()
+    return defilter_band(block[:, 0], block[:, 1:], prev_row, bpp)
+
 DEFAULT_BAND_HEIGHT = 256
 
 
@@ -188,11 +200,15 @@ class PngDecoder:
                     # Wait for a fuller band unless the stream is ending.
                     if avail_rows < band_height:
                         return
-                block = np.frombuffer(bytes(buf[: take * unit]), dtype=np.uint8).reshape(
-                    take, unit
+                band = _defilter_units(
+                    np.frombuffer(
+                        memoryview(buf), dtype=np.uint8, count=take * unit
+                    ).reshape(take, unit),
+                    row_bytes,
+                    bpp,
+                    prev_row,
                 )
                 del buf[: take * unit]
-                band = defilter_band(block[:, 0], block[:, 1:], prev_row, bpp)
                 prev_row = band[-1]
                 rows_done += take
                 yield band

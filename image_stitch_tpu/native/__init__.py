@@ -101,6 +101,11 @@ def get_native_lib():
     lib.jpeg_entropy_flush.argtypes = [
         ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
     ]
+    lib.png_defilter_units.restype = ctypes.c_int
+    lib.png_defilter_units.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.png_filter_select_band.restype = None
     lib.png_filter_select_band.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -130,13 +135,20 @@ def defilter_band_native(
     rows: np.ndarray,
     previous_row: np.ndarray | None,
     bpp: int,
+    in_place: bool = False,
 ) -> np.ndarray | None:
     """Native counterpart of ops.png_filter.unfilter_band; returns None when
-    the native tier is unavailable (caller falls back to numpy)."""
+    the native tier is unavailable (caller falls back to numpy).
+
+    ``in_place=True`` defilters directly in ``rows`` (caller must own the
+    writable buffer) — the streaming decoder's hot path."""
     lib = get_native_lib()
     if lib is None:
         return None
-    out = np.ascontiguousarray(rows, dtype=np.uint8).copy()
+    if in_place and rows.flags["C_CONTIGUOUS"] and rows.flags["WRITEABLE"] and rows.dtype == np.uint8:
+        out = rows
+    else:
+        out = np.ascontiguousarray(rows, dtype=np.uint8).copy()
     ftypes = np.ascontiguousarray(filter_types, dtype=np.uint8)
     prev = (
         None
@@ -172,6 +184,38 @@ def make_huff_table(dc_codes: dict, ac_codes: dict) -> HuffTableC:
         t.ac_code[sym] = code
         t.ac_len[sym] = length
     return t
+
+
+def defilter_units_native(
+    units: np.ndarray, rowbytes: int, bpp: int, previous_row: np.ndarray | None
+) -> np.ndarray | None:
+    """Defilter directly from (h, 1+rowbytes) scanline units (filter byte +
+    filtered bytes) into fresh raw rows — zero intermediate copies."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    units = np.ascontiguousarray(units, dtype=np.uint8)
+    h = units.shape[0]
+    prev = (
+        None
+        if previous_row is None
+        else np.ascontiguousarray(previous_row, dtype=np.uint8)
+    )
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    rc = lib.png_defilter_units(
+        units.ctypes.data_as(ctypes.c_void_p),
+        units.shape[1],
+        h,
+        rowbytes,
+        bpp,
+        prev.ctypes.data_as(ctypes.c_void_p) if prev is not None else None,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        from ..errors import StitchError
+
+        raise StitchError(f"Unknown filter type in band (native rc={rc})")
+    return out
 
 
 def filter_select_band_native(

@@ -32,6 +32,7 @@ static inline uint8_t paeth(uint8_t a, uint8_t b, uint8_t c) {
     return c;
 }
 
+// In-place variant: rows holds filtered bytes, becomes raw bytes.
 int png_defilter_band(uint8_t* rows, const uint8_t* filter_types,
                       int64_t h, int64_t rowbytes, int bpp,
                       const uint8_t* prev_row) {
@@ -72,6 +73,68 @@ int png_defilter_band(uint8_t* rows, const uint8_t* filter_types,
                 } else {
                     for (int64_t i = bpp; i < rowbytes; ++i)
                         cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);  // paeth->left
+                }
+                break;
+            default:
+                return -1;
+        }
+        prev = cur;
+    }
+    return 0;
+}
+
+// Strided-input variant: reads filter byte + filtered bytes directly from
+// the decoder's (1+rowbytes)-stride scanline units (no contiguous copy),
+// writes raw bytes into a separate contiguous output.
+int png_defilter_units(const uint8_t* units, int64_t unit_stride,
+                       int64_t h, int64_t rowbytes, int bpp,
+                       const uint8_t* prev_row, uint8_t* out) {
+    const uint8_t* prev = prev_row;
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* src = units + y * unit_stride;
+        uint8_t ft = src[0];
+        const uint8_t* in = src + 1;
+        uint8_t* cur = out + y * rowbytes;
+        switch (ft) {
+            case 0:
+                memcpy(cur, in, (size_t)rowbytes);
+                break;
+            case 1:
+                for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
+                break;
+            case 2:
+                if (prev)
+                    for (int64_t i = 0; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + prev[i]);
+                else
+                    memcpy(cur, in, (size_t)rowbytes);
+                break;
+            case 3:
+                if (prev) {
+                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + (prev[i] >> 1));
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] +
+                                           (((int)cur[i - bpp] + (int)prev[i]) >> 1));
+                } else {
+                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + (cur[i - bpp] >> 1));
+                }
+                break;
+            case 4:
+                if (prev) {
+                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + prev[i]);
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + paeth(cur[i - bpp], prev[i],
+                                                         prev[i - bpp]));
+                } else {
+                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+                    for (int64_t i = bpp; i < rowbytes; ++i)
+                        cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
                 }
                 break;
             default:

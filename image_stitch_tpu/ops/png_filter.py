@@ -169,9 +169,12 @@ def defilter_band(
     rows: np.ndarray,
     previous_row: np.ndarray | None,
     bytes_per_pixel: int,
+    in_place: bool = False,
 ) -> np.ndarray:
     """Defilter a band through the fastest available tier: native C++
-    (image_stitch_tpu/native) when built, else the numpy path."""
+    (image_stitch_tpu/native) when built, else the numpy path.
+
+    ``in_place=True`` may mutate ``rows`` (caller-owned buffers only)."""
     from ..native import defilter_band_native
 
     out = defilter_band_native(
@@ -179,6 +182,7 @@ def defilter_band(
         np.asarray(rows, dtype=np.uint8),
         previous_row,
         bytes_per_pixel,
+        in_place=in_place,
     )
     if out is not None:
         return out
