@@ -184,6 +184,174 @@ def build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma) -> dict:
     }
 
 
+def _symbol_streams(yb, cbb, crb, luts, prev_dc):
+    """Shared symbol generation: (codes (3N,65), lens (3N,65), new_dc).
+
+    Column 0 = DC, columns 1..63 = AC positions, column 64 = EOB.
+    """
+    n = yb.shape[0]
+    zigzag = jnp.asarray(ZIGZAG)
+    seq = jnp.stack([yb, cbb, crb], axis=1).reshape(3 * n, 64).astype(jnp.int32)
+    zz = seq[:, zigzag]
+    tsel = jnp.tile(jnp.asarray([0, 1, 1], dtype=jnp.int32), n)
+
+    dc = zz[:, 0].reshape(n, 3)
+    prev = jnp.concatenate([prev_dc[None, :], dc[:-1]], axis=0)
+    diffs = (dc - prev).reshape(3 * n)
+    dsz = _bit_size(diffs, 12)
+    dval = jnp.where(diffs < 0, diffs + (1 << dsz) - 1, diffs) & ((1 << dsz) - 1)
+    dcode = luts["dc_code"][tsel, dsz]
+    dlen = luts["dc_len"][tsel, dsz]
+    dc_codes = ((dcode << dsz) | dval.astype(jnp.uint32)).astype(jnp.uint32)
+    dc_lens = (dlen + dsz).astype(jnp.int32)
+
+    v = zz[:, 1:]
+    nz = v != 0
+    pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
+    marked = jnp.where(nz, pos, 0)
+    incl_cummax = jax.lax.cummax(marked, axis=1)
+    prev_nz = jnp.concatenate(
+        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
+    )
+    last_nz = incl_cummax[:, -1]
+
+    run = pos - prev_nz - 1
+    asz = _bit_size(v, 11)
+    aval = jnp.where(v < 0, v + (1 << asz) - 1, v) & ((1 << asz) - 1)
+    sym = ((run % 16) << 4) | asz
+    acode = luts["ac_code"][tsel[:, None], sym]
+    alen = luts["ac_len"][tsel[:, None], sym]
+    main_codes = ((acode << asz) | aval.astype(jnp.uint32)).astype(jnp.uint32)
+    main_lens = jnp.where(nz, alen + asz, 0).astype(jnp.int32)
+
+    zrl_here = (~nz) & ((pos - prev_nz) % 16 == 0) & (pos < last_nz[:, None])
+    zrl_codes = jnp.broadcast_to(
+        luts["zrl_code"][tsel][:, None], v.shape
+    ).astype(jnp.uint32)
+    zrl_lens = jnp.where(zrl_here, luts["zrl_len"][tsel][:, None], 0).astype(
+        jnp.int32
+    )
+    ac_codes = jnp.where(nz, main_codes, zrl_codes)
+    ac_lens = jnp.where(nz, main_lens, zrl_lens)
+
+    need_eob = last_nz != 63
+    eob_codes = luts["eob_code"][tsel].astype(jnp.uint32)
+    eob_lens = jnp.where(need_eob, luts["eob_len"][tsel], 0).astype(jnp.int32)
+
+    codes = jnp.concatenate(
+        [dc_codes[:, None], ac_codes, eob_codes[:, None]], axis=1
+    )
+    lens = jnp.concatenate(
+        [dc_lens[:, None], ac_lens, eob_lens[:, None]], axis=1
+    )
+    codes = jnp.where(lens > 0, codes, jnp.uint32(0))
+    return codes, lens, dc[-1]
+
+
+# Block-local word capacity for the scatter-free packer: 768 bits/block.
+# Typical q85 blocks are 30-200 bits; overflow is detected and falls back.
+LOCAL_WORDS = 24
+# Max blocks overlapping one 32-bit output word: a block emits >= 4 bits
+# (chroma DC size-0 + chroma EOB), so <= 2 partial + 7 full = 9; 10 is safe.
+K_OVERLAP = 10
+
+
+def entropy_pack_trace_v2(
+    yb, cbb, crb, luts, prev_dc, bit_base, cap_words: int,
+    local_words: int = LOCAL_WORDS,
+):
+    """Scatter-free entropy packing.
+
+    XLA lowers large scatters (segment_sum) to effectively serial updates on
+    TPU — seconds per band. This formulation uses only vector ops and
+    gathers:
+
+    1. *Block-local packing*: a 65-step loop (one step per symbol column)
+       ORs each symbol's bits into a per-block (3N, local_words) buffer via
+       one-hot word masks — pure VPU work, no scatter.
+    2. *Global merge*: block start bits come from a cumsum; every output
+       word gathers the <=K_OVERLAP blocks overlapping it (searchsorted on
+       the sorted block ends) and extracts its 32 bits from their local
+       buffers with shifts. Disjoint bit ranges make OR == add unnecessary —
+       plain bitwise OR accumulates.
+
+    Returns (words (cap_words,) uint32, total_bits, new_dc,
+    max_block_bits) — ``max_block_bits > local_words*32`` signals overflow
+    (caller falls back to the host coder for the band).
+    """
+    codes, lens, new_dc = _symbol_streams(yb, cbb, crb, luts, prev_dc)
+    nb = codes.shape[0]
+
+    # ---- Phase 1: per-block local packing --------------------------------
+    lane = jnp.arange(local_words, dtype=jnp.int32)[None, :]
+
+    def step(s, state):
+        local, off = state
+        code = jax.lax.dynamic_index_in_dim(codes, s, axis=1, keepdims=False)
+        ln = jax.lax.dynamic_index_in_dim(lens, s, axis=1, keepdims=False)
+        end = off + ln
+        w0 = off >> 5
+        over = end - ((w0 + 1) << 5)
+        in_one = over <= 0
+        c32 = code.astype(jnp.uint32)
+        contrib0 = jnp.where(
+            in_one,
+            c32 << jnp.clip(-over, 0, 31).astype(jnp.uint32),
+            c32 >> jnp.clip(over, 0, 31).astype(jnp.uint32),
+        )
+        contrib1 = jnp.where(
+            in_one,
+            jnp.uint32(0),
+            c32 << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
+        )
+        w1 = jnp.where(in_one, w0, w0 + 1)
+        w0c = jnp.clip(w0, 0, local_words - 1)
+        w1c = jnp.clip(w1, 0, local_words - 1)
+        local = local | jnp.where(lane == w0c[:, None], contrib0[:, None], 0)
+        local = local | jnp.where(lane == w1c[:, None], contrib1[:, None], 0)
+        return local, end
+
+    local = jnp.zeros((nb, local_words), dtype=jnp.uint32)
+    off0 = jnp.zeros((nb,), dtype=jnp.int32)
+    local, block_bits = jax.lax.fori_loop(0, codes.shape[1], step, (local, off0))
+    max_block_bits = jnp.max(block_bits)
+
+    # ---- Phase 2: gather-based global merge ------------------------------
+    starts = bit_base.astype(jnp.int32) + jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(block_bits)[:-1]]
+    )
+    ends = starts + block_bits
+    total_bits = ends[-1]
+
+    word_ids = jnp.arange(cap_words, dtype=jnp.int32)
+    word_start = word_ids << 5
+
+    # First block whose end exceeds this word's start bit.
+    j_lo = jnp.searchsorted(ends, word_start, side="right").astype(jnp.int32)
+
+    def gather_k(k, acc):
+        b = jnp.clip(j_lo + k, 0, nb - 1)
+        valid = (j_lo + k < nb) & (starts[b] < word_start + 32) & (
+            ends[b] > word_start
+        )
+        rel = word_start - starts[b]  # may be negative
+        li = rel >> 5
+        sh = (rel & 31).astype(jnp.uint32)
+        liA = jnp.clip(li, 0, local_words - 1)
+        liB = jnp.clip(li + 1, 0, local_words - 1)
+        wA = jnp.where(li >= 0, local[b, liA], jnp.uint32(0))
+        wB = jnp.where(
+            (li + 1 >= 0) & (li + 1 < local_words), local[b, liB], jnp.uint32(0)
+        )
+        ext = (wA << sh) | jnp.where(sh > 0, wB >> (jnp.uint32(32) - sh), 0)
+        return acc | jnp.where(valid, ext, jnp.uint32(0))
+
+    words = jax.lax.fori_loop(
+        0, K_OVERLAP, gather_k, jnp.zeros((cap_words,), jnp.uint32)
+    )
+    return words, total_bits, new_dc, max_block_bits
+
+
 def jpeg_encode_band_trace(
     band: jax.Array,  # (8k, W, 4) uint8, W % 8 == 0
     luma_q: jax.Array,
@@ -193,18 +361,21 @@ def jpeg_encode_band_trace(
     bit_base: jax.Array,  # () int32 — device-resident carry
     cap_words: int,
 ):
-    """The fully fused band program: YCbCr + DCT + quantize + entropy pack.
+    """The fully fused band program: YCbCr + DCT + quantize + entropy pack
+    (scatter-free v2 packer).
 
     One device dispatch per band; only the packed bitstream words (plus two
-    scalars and the 3-vector DC carry) ever leave the device.
+    scalars and the 3-vector DC carry) ever leave the device. The quantized
+    blocks are additional outputs that are fetched *only* in the rare
+    local-capacity-overflow fallback.
     """
     from .device import jpeg_quantize_trace
 
     yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
-    words, total_bits, new_dc = entropy_pack_trace(
+    words, total_bits, new_dc, max_block_bits = entropy_pack_trace_v2(
         yb, cbb, crb, luts, prev_dc, bit_base, cap_words
     )
-    return words, total_bits, new_dc
+    return words, total_bits, new_dc, max_block_bits, yb, cbb, crb
 
 
 class DeviceJpegEncoder:
@@ -234,7 +405,7 @@ class DeviceJpegEncoder:
         bit_base_in = self._bit_base
         n_pixels = band.shape[0] * band.shape[1]
         cap_words = max(64, (n_pixels * self._cap_bits_per_px + 31) // 32)
-        words, total_bits, new_dc = self._jit(
+        words, total_bits, new_dc, max_bb, yb, cbb, crb = self._jit(
             band,
             self._lq,
             self._cq,
@@ -248,23 +419,23 @@ class DeviceJpegEncoder:
         self._bit_base = (total_bits % 8).astype(jnp.int32)
         try:
             total_bits.copy_to_host_async()
+            max_bb.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
-        return (words, total_bits, cap_words, band, prev_dc_in, bit_base_in)
+        return (
+            words, total_bits, cap_words, max_bb, (yb, cbb, crb),
+            prev_dc_in, bit_base_in,
+        )
 
     def wait(self, handle) -> bytes:
-        words, total_bits, cap_words, band, prev_dc_in, bit_base_in = handle
+        words, total_bits, cap_words, max_bb, blocks, prev_dc_in, _bb = handle
         total_bits = int(total_bits)
-        while total_bits > cap_words * 32:
-            # Capacity overflow (pathological entropy): deterministic
-            # resubmit with 4x budget — identical bits, so the device-side
-            # carry chain of later submissions stays valid.
-            cap_words *= 4
-            words, total_bits_arr, _ = self._jit(
-                band, self._lq, self._cq, self._luts,
-                prev_dc_in, bit_base_in, cap_words=cap_words,
-            )
-            total_bits = int(total_bits_arr)
+        if int(max_bb) > LOCAL_WORDS * 32 or total_bits > cap_words * 32:
+            # Pathological-entropy overflow: fetch the (device-computed,
+            # hence bit-identical) quantized blocks and entropy-code this
+            # band on the host. The device carry chain stays valid because
+            # total_bits/new_dc were computed exactly regardless.
+            return self._host_fallback_blocks(blocks, prev_dc_in)
         n_words = (total_bits + 31) // 32
         host_words = np.asarray(words[:n_words]).astype(">u4")
         data = bytearray(host_words.tobytes())
@@ -286,6 +457,26 @@ class DeviceJpegEncoder:
         if len(ff):
             payload = np.insert(payload, ff + 1, 0)
         return payload.tobytes()
+
+    def _host_fallback_blocks(self, blocks, prev_dc_in) -> bytes:
+        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder, interleave_mcus
+
+        yb, cbb, crb = (np.asarray(b) for b in blocks)
+        dc_l, ac_l, dc_c, ac_c = self._host_tables
+        enc_l = HuffmanEncoder(dc_l, ac_l)
+        enc_c = HuffmanEncoder(dc_c, ac_c)
+        packer = BitPacker()
+        packer._carry_val = self._carry_val
+        packer._carry_n = getattr(self, "_host_carry_n", 0)
+        prev = [int(x) for x in np.asarray(prev_dc_in)]
+        yc, yl, _ = enc_l.encode_component_blocks(yb, prev[0])
+        cbc, cbl, _ = enc_c.encode_component_blocks(cbb, prev[1])
+        crc, crl, _ = enc_c.encode_component_blocks(crb, prev[2])
+        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        out = packer.pack(codes, lens)
+        self._carry_val = packer._carry_val
+        self._host_carry_n = packer._carry_n
+        return out
 
     def flush(self) -> bytes:
         n = getattr(self, "_host_carry_n", 0)

@@ -133,3 +133,22 @@ def test_fused_device_encoder_matches_host_entropy():
     )
     # Device DCT (XLA) and host DCT (numpy f32) agree on these inputs.
     assert out == expected
+
+
+def test_fused_encoder_overflow_falls_back_to_host():
+    """When max_block_bits exceeds the 768-bit local budget the fused
+    encoder must host-code the band from the device's own quantized blocks
+    (bit-identical stream). Forced via a doctored handle — real q100 noise
+    peaks at ~761 bits/block, just under the budget."""
+    import jax.numpy as jnp
+
+    lq, cq = quality_scaled_tables(100)
+    rng = np.random.default_rng(6)
+    band = rng.integers(0, 256, (16, 64, 4), dtype=np.uint8)
+    enc = DeviceJpegEncoder(lq, cq, DC_L, AC_L, DC_C, AC_C)
+    h = enc.submit(band)
+    forced = (h[0], h[1], h[2], jnp.int32(10_000), h[4], h[5], h[6])
+    out = enc.wait(forced) + enc.flush()
+    blocks = tuple(np.asarray(b) for b in h[4])
+    expected = host_encode([blocks])
+    assert out == expected
