@@ -101,6 +101,10 @@ def get_native_lib():
     lib.jpeg_entropy_flush.argtypes = [
         ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
     ]
+    for name in ("composite_rgba8", "composite_rgba16"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.png_defilter_units.restype = ctypes.c_int
     lib.png_defilter_units.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -184,6 +188,29 @@ def make_huff_table(dc_codes: dict, ac_codes: dict) -> HuffTableC:
         t.ac_code[sym] = code
         t.ac_len[sym] = length
     return t
+
+
+def composite_native(dest: np.ndarray, src: np.ndarray) -> bool:
+    """Alpha-over ``src`` onto ``dest`` in place; both contiguous (..., 4)
+    arrays of the same uint8/uint16 dtype. Returns False when the native
+    tier is unavailable (caller falls back to the numpy float64 oracle)."""
+    lib = get_native_lib()
+    if lib is None:
+        return False
+    if not (dest.flags["C_CONTIGUOUS"] and src.flags["C_CONTIGUOUS"]):
+        return False
+    n = dest.size // 4
+    if dest.dtype == np.uint16:
+        lib.composite_rgba16(
+            dest.ctypes.data_as(ctypes.c_void_p),
+            src.ctypes.data_as(ctypes.c_void_p), n,
+        )
+    else:
+        lib.composite_rgba8(
+            dest.ctypes.data_as(ctypes.c_void_p),
+            src.ctypes.data_as(ctypes.c_void_p), n,
+        )
+    return True
 
 
 def defilter_units_native(

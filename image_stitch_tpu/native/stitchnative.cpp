@@ -261,6 +261,65 @@ int64_t jpeg_entropy_encode_420(const int16_t* y_blocks,
 }
 
 // ---------------------------------------------------------------------------
+// Porter-Duff "over" alpha compositing (straight alpha), float64 math
+// matching the reference JS expression order exactly (pixel-ops.ts:646-744):
+// copy when srcAlpha >= 0.9999, skip when <= 0.0001, Math.round == floor+0.5.
+// Identical results to the numpy float64 oracle (ops/pixel.composite_band).
+// ---------------------------------------------------------------------------
+
+// fp-contract off: FMA fusion would change the float64 results vs the
+// numpy oracle (and the reference's JS), which computes mul/add separately.
+__attribute__((optimize("fp-contract=off")))
+void composite_rgba8(uint8_t* dest, const uint8_t* src, int64_t n_pixels) {
+    for (int64_t i = 0; i < n_pixels; ++i) {
+        const uint8_t* s = src + i * 4;
+        uint8_t* d = dest + i * 4;
+        double sa = (double)s[3] / 255.0;
+        if (sa >= 0.9999) {
+            d[0] = s[0]; d[1] = s[1]; d[2] = s[2]; d[3] = s[3];
+        } else if (sa > 0.0001) {
+            double da = (double)d[3] / 255.0;
+            double oa = sa + da * (1.0 - sa);
+            if (oa > 0.0001) {
+                for (int c = 0; c < 3; ++c) {
+                    double blended =
+                        ((double)s[c] * sa + (double)d[c] * da * (1.0 - sa)) / oa;
+                    if (blended > 255.0) blended = 255.0;
+                    if (blended < 0.0) blended = 0.0;
+                    d[c] = (uint8_t)((int)(blended + 0.5));
+                }
+                d[3] = (uint8_t)((int)(oa * 255.0 + 0.5));
+            }
+        }
+    }
+}
+
+__attribute__((optimize("fp-contract=off")))
+void composite_rgba16(uint16_t* dest, const uint16_t* src, int64_t n_pixels) {
+    for (int64_t i = 0; i < n_pixels; ++i) {
+        const uint16_t* s = src + i * 4;
+        uint16_t* d = dest + i * 4;
+        double sa = (double)s[3] / 65535.0;
+        if (sa >= 0.9999) {
+            d[0] = s[0]; d[1] = s[1]; d[2] = s[2]; d[3] = s[3];
+        } else if (sa > 0.0001) {
+            double da = (double)d[3] / 65535.0;
+            double oa = sa + da * (1.0 - sa);
+            if (oa > 0.0001) {
+                for (int c = 0; c < 3; ++c) {
+                    double blended =
+                        ((double)s[c] * sa + (double)d[c] * da * (1.0 - sa)) / oa;
+                    if (blended > 65535.0) blended = 65535.0;
+                    if (blended < 0.0) blended = 0.0;
+                    d[c] = (uint16_t)((int)(blended + 0.5));
+                }
+                d[3] = (uint16_t)((int)(oa * 65535.0 + 0.5));
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // PNG filter selection over a band (encode side).
 //
 // For every row: compute all 5 filter candidates, score by sum of
