@@ -281,14 +281,18 @@ def entropy_pack_trace_v2(
     """
     codes, lens, new_dc = _symbol_streams(yb, cbb, crb, luts, prev_dc)
     nb = codes.shape[0]
+    # TPU layout: put the big block dimension on lanes — state arrays are
+    # (small, nb), symbol arrays (65, nb).
+    codes_t = codes.T
+    lens_t = lens.T
 
     # ---- Phase 1: per-block local packing --------------------------------
-    lane = jnp.arange(local_words, dtype=jnp.int32)[None, :]
+    lane = jnp.arange(local_words, dtype=jnp.int32)[:, None]  # (LW, 1)
 
     def step(s, state):
-        local, off = state
-        code = jax.lax.dynamic_index_in_dim(codes, s, axis=1, keepdims=False)
-        ln = jax.lax.dynamic_index_in_dim(lens, s, axis=1, keepdims=False)
+        local, off = state  # local: (LW, nb); off: (nb,)
+        code = jax.lax.dynamic_index_in_dim(codes_t, s, axis=0, keepdims=False)
+        ln = jax.lax.dynamic_index_in_dim(lens_t, s, axis=0, keepdims=False)
         end = off + ln
         w0 = off >> 5
         over = end - ((w0 + 1) << 5)
@@ -307,13 +311,13 @@ def entropy_pack_trace_v2(
         w1 = jnp.where(in_one, w0, w0 + 1)
         w0c = jnp.clip(w0, 0, local_words - 1)
         w1c = jnp.clip(w1, 0, local_words - 1)
-        local = local | jnp.where(lane == w0c[:, None], contrib0[:, None], 0)
-        local = local | jnp.where(lane == w1c[:, None], contrib1[:, None], 0)
+        local = local | jnp.where(lane == w0c[None, :], contrib0[None, :], 0)
+        local = local | jnp.where(lane == w1c[None, :], contrib1[None, :], 0)
         return local, end
 
-    local = jnp.zeros((nb, local_words), dtype=jnp.uint32)
+    local = jnp.zeros((local_words, nb), dtype=jnp.uint32)
     off0 = jnp.zeros((nb,), dtype=jnp.int32)
-    local, block_bits = jax.lax.fori_loop(0, codes.shape[1], step, (local, off0))
+    local, block_bits = jax.lax.fori_loop(0, codes_t.shape[0], step, (local, off0))
     max_block_bits = jnp.max(block_bits)
 
     # ---- Phase 2: gather-based global merge ------------------------------
@@ -339,9 +343,9 @@ def entropy_pack_trace_v2(
         sh = (rel & 31).astype(jnp.uint32)
         liA = jnp.clip(li, 0, local_words - 1)
         liB = jnp.clip(li + 1, 0, local_words - 1)
-        wA = jnp.where(li >= 0, local[b, liA], jnp.uint32(0))
+        wA = jnp.where(li >= 0, local[liA, b], jnp.uint32(0))
         wB = jnp.where(
-            (li + 1 >= 0) & (li + 1 < local_words), local[b, liB], jnp.uint32(0)
+            (li + 1 >= 0) & (li + 1 < local_words), local[liB, b], jnp.uint32(0)
         )
         ext = (wA << sh) | jnp.where(sh > 0, wB >> (jnp.uint32(32) - sh), 0)
         return acc | jnp.where(valid, ext, jnp.uint32(0))
