@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: N x N grid of PNG tiles -> JPEG q85, end to end.
+"""End-to-end throughput benchmarks for the BASELINE.md configs.
 
-Measures megapixels/second/chip through the full pipeline — streaming PNG
-decode (host inflate + native defilter), band compositing, device
-YCbCr+DCT+quantize, host native Huffman pack — i.e. BASELINE.md configs
-2/5 ("4x4 grid of JPEG photo tiles -> JPEG q85", "streaming 16x16 grid of 4K
-tiles") at a size controlled by BENCH_GRID/BENCH_TILE env vars.
+Default (headline, what the driver records): BENCH_CONFIG=grid_jpeg —
+an N x N grid of PNG tiles -> JPEG q85 through the full pipeline
+(streaming PNG decode -> band compositing -> DCT/quantize -> entropy ->
+bytes). Other configs: png_out, jpeg_tiles, positioned, pngsuite.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the fraction of the 1 GP/s/chip north-star target
-(BASELINE.md "North-star targets").
+Env knobs: BENCH_CONFIG, BENCH_GRID, BENCH_TILE, BENCH_BACKEND, BENCH_BAND.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the fraction of the 1 GP/s/chip north-star target.
+
+Backend note: BENCH_BACKEND defaults to the host-native path — on this
+environment the TPU link's latency/bandwidth and remote-compile times make
+the host C++ tier faster end-to-end; set BENCH_BACKEND=jax to run the fused
+on-device pipeline (quantize + entropy packing on the accelerator).
 """
 
 from __future__ import annotations
@@ -18,14 +22,15 @@ import json
 import os
 import sys
 import time
+import warnings
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-GRID = int(os.environ.get("BENCH_GRID", "8"))  # grid side (GRID x GRID tiles)
-TILE = int(os.environ.get("BENCH_TILE", "1024"))  # tile side in px
-FORMAT = os.environ.get("BENCH_FORMAT", "jpeg")  # jpeg | png
+CONFIG = os.environ.get("BENCH_CONFIG", "grid_jpeg")
+GRID = int(os.environ.get("BENCH_GRID", "8"))
+TILE = int(os.environ.get("BENCH_TILE", "1024"))
 QUALITY = 85
 TARGET_MPPS = 1000.0  # 1 GP/s/chip north-star
 
@@ -55,59 +60,119 @@ def make_tile_png(seed: int, size: int) -> bytes:
     )
 
 
-def main() -> None:
+def make_tile_jpeg(seed: int, size: int) -> bytes:
+    from image_stitch_tpu import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, size, dtype=np.float32)
+    arr = np.empty((size, size, 4), dtype=np.uint8)
+    arr[:, :, 0] = (x[None, :]).astype(np.uint8)
+    arr[:, :, 1] = (x[:, None] * 0.8).astype(np.uint8)
+    arr[:, :, 2] = rng.integers(64, 192, (size, size), dtype=np.uint8)
+    arr[:, :, 3] = 255
+    return encode_jpeg(arr, size, size, quality=90)
+
+
+def run_streaming(opts) -> tuple[float, int]:
     from image_stitch_tpu import concat_streaming
-
-    n_tiles = GRID * GRID
-    tiles = [make_tile_png(s, TILE) for s in range(min(n_tiles, 8))]
-    inputs = [tiles[i % len(tiles)] for i in range(n_tiles)]
-    total_mp = (GRID * TILE) ** 2 / 1e6
-
-    from image_stitch_tpu.ops.backend import resolve_backend_name
-
-    # Default to the host-native path: on this environment the TPU is reached
-    # through a tunneled link whose transfer latency/bandwidth (and remote
-    # compile time) make the host C++ tier the faster end-to-end config.
-    # Set BENCH_BACKEND=jax to measure the fused on-device pipeline
-    # (quantize + entropy packing on the accelerator).
-    backend = resolve_backend_name(
-        os.environ.get("BENCH_BACKEND", "numpy"), (GRID * TILE) ** 2
-    )
-    opts = {
-        "inputs": inputs,
-        "layout": {"columns": GRID},
-        "outputFormat": FORMAT,
-        "jpegQuality": QUALITY,
-        "backend": backend,
-        "band_height": int(os.environ.get("BENCH_BAND", "512")),
-    }
-
-    # Warmup: same canvas width, same band shapes, same (forced) backend —
-    # compiles the device programs and opens the host link outside the
-    # timed region.
-    warm = {**opts, "inputs": inputs[:GRID], "layout": {"columns": GRID}}
-    for _ in concat_streaming(warm):
-        pass
 
     t0 = time.perf_counter()
     out_bytes = 0
     for chunk in concat_streaming(opts):
         out_bytes += len(chunk)
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0, out_bytes
 
-    mpps = total_mp / dt
-    fmt_desc = f"JPEG q{QUALITY}" if FORMAT == "jpeg" else "PNG"
+
+def build_config(backend: str):
+    band = int(os.environ.get("BENCH_BAND", "512"))
+    base = {"backend": backend, "band_height": band}
+    if CONFIG == "grid_jpeg":
+        tiles = [make_tile_png(s, TILE) for s in range(min(GRID * GRID, 8))]
+        inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]
+        opts = {**base, "inputs": inputs, "layout": {"columns": GRID},
+                "outputFormat": "jpeg", "jpegQuality": QUALITY}
+        warm = {**opts, "inputs": inputs[:GRID]}
+        mp = (GRID * TILE) ** 2 / 1e6
+        name = f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> JPEG q{QUALITY}"
+    elif CONFIG == "png_out":
+        tiles = [make_tile_png(s, TILE) for s in range(2)]
+        inputs = [tiles[i % 2] for i in range(GRID * GRID)]
+        opts = {**base, "inputs": inputs, "layout": {"columns": GRID}}
+        warm = {**opts, "inputs": inputs[:GRID]}
+        mp = (GRID * TILE) ** 2 / 1e6
+        name = f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> PNG (level 6)"
+    elif CONFIG == "jpeg_tiles":
+        tiles = [make_tile_jpeg(s, TILE) for s in range(4)]
+        inputs = [tiles[i % 4] for i in range(16)]
+        opts = {**base, "inputs": inputs, "layout": {"columns": 4},
+                "outputFormat": "jpeg", "jpegQuality": QUALITY}
+        warm = {**opts, "inputs": inputs[:4]}
+        mp = (4 * TILE) ** 2 / 1e6
+        name = f"4x4 grid of {TILE}px JPEG tiles -> JPEG q{QUALITY}"
+    elif CONFIG == "positioned":
+        from image_stitch_tpu import PositionedImage
+
+        side = GRID * TILE // 4
+        bg = make_tile_png(0, side)
+        rng = np.random.default_rng(0)
+        sprite = make_tile_png(1, max(64, side // 16))
+        inputs = [PositionedImage(x=0, y=0, source=bg)]
+        for i in range(50):
+            inputs.append(
+                PositionedImage(
+                    x=int(rng.integers(0, side - 64)),
+                    y=int(rng.integers(0, side - 64)),
+                    source=sprite,
+                    z_index=int(rng.integers(0, 10)),
+                )
+            )
+        opts = {**base, "inputs": inputs, "layout": {"width": side, "height": side}}
+        warm = {**base, "inputs": inputs[:3], "layout": {"width": side, "height": side}}
+        mp = side * side / 1e6
+        name = f"positioned: background + 50 alpha sprites ({side}px) -> PNG"
+    elif CONFIG == "pngsuite":
+        suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "fixtures", "pngsuite")
+        names = sorted(
+            n for n in os.listdir(suite)
+            if n.endswith(".png") and not n.startswith("x")
+        )
+        inputs = [os.path.join(suite, n) for n in names] * 4
+        opts = {**base, "inputs": inputs, "layout": {"columns": 16},
+                "outputFormat": "jpeg", "jpegQuality": QUALITY}
+        warm = {**opts, "inputs": inputs[:16]}
+        mp = len(inputs) * 32 * 32 / 1e6  # approx: suite tiles are 32x32
+        name = f"pngsuite sweep x4 ({len(inputs)} mixed-format tiles) -> JPEG"
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG: {CONFIG}")
+    return name, opts, warm, mp
+
+
+def main() -> None:
+    from image_stitch_tpu.ops.backend import resolve_backend_name
+
+    backend = resolve_backend_name(
+        os.environ.get("BENCH_BACKEND", "numpy"), (GRID * TILE) ** 2
+    )
+    name, opts, warm, mp = build_config(backend)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        run_streaming(warm)  # compile + open links outside the timed region
+        dt, out_bytes = run_streaming(opts)
+
+    mpps = mp / dt
     result = {
-        "metric": f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> {fmt_desc} (MP/s/chip, end-to-end)",
+        "metric": f"{name} (MP/s/chip, end-to-end)",
         "value": round(mpps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mpps / TARGET_MPPS, 4),
         "detail": {
-            "canvas": f"{GRID * TILE}x{GRID * TILE}",
-            "megapixels": round(total_mp, 1),
+            "config": CONFIG,
+            "megapixels": round(mp, 1),
             "seconds": round(dt, 3),
             "output_bytes": out_bytes,
-            "backend": opts["backend"],
+            "backend": backend,
         },
     }
     print(json.dumps(result))
