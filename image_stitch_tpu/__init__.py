@@ -80,6 +80,13 @@ from .codecs.png.writer import (
     create_ihdr,
     serialize_chunk,
 )
+from .codecs.png.adapters import (
+    FileInputAdapter,
+    PngInputAdapter,
+    PngParser,
+    Uint8ArrayInputAdapter,
+    create_input_adapter,
+)
 from .codecs.png.batch import (
     compress_data,
     compress_image_data,
@@ -179,6 +186,11 @@ __all__ = [
     "disable_input_cache",
     "input_cache_enabled",
     # low-level PNG
+    "PngParser",
+    "PngInputAdapter",
+    "FileInputAdapter",
+    "Uint8ArrayInputAdapter",
+    "create_input_adapter",
     "parse_png_header",
     "parse_png_chunks",
     "parse_palette",
