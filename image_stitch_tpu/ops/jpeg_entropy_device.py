@@ -33,9 +33,10 @@ import numpy as np
 from ..codecs.jpeg.tables import ZIGZAG
 
 # Capacity headroom: packed output budget in bits per pixel. Baseline q85
-# photos run 1-2 bpp; 12 bpp absorbs pathological noise. On overflow the
-# caller falls back to host entropy coding for the band.
-DEFAULT_CAP_BITS_PER_PX = 12
+# photos run 1-2 bpp; 6 bpp covers structured noise. Phase-2 merge work is
+# proportional to this capacity, so keep it tight — overflow falls back to
+# the host coder for the band (exact, just slower).
+DEFAULT_CAP_BITS_PER_PX = 6
 
 
 def _bit_size(v: jax.Array, max_bits: int) -> jax.Array:
@@ -181,6 +182,19 @@ def build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma) -> dict:
             np.array([al_code[0x00], ach_code[0x00]], dtype=np.uint32)
         ),
         "eob_len": jnp.asarray(np.array([al_len[0x00], ach_len[0x00]], dtype=np.int32)),
+        # Packed (len<<16 | code) flat LUTs indexed by tsel*n + symbol.
+        "dc_packed": jnp.asarray(
+            (
+                (np.stack([dl_len, dch_len]).astype(np.uint32) << 16)
+                | np.stack([dl_code, dch_code]).astype(np.uint32)
+            )[:, :16].reshape(-1)
+        ),
+        "ac_packed": jnp.asarray(
+            (
+                (np.stack([al_len, ach_len]).astype(np.uint32) << 16)
+                | np.stack([al_code, ach_code]).astype(np.uint32)
+            ).reshape(-1)
+        ),
     }
 
 
@@ -200,8 +214,11 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc):
     diffs = (dc - prev).reshape(3 * n)
     dsz = _bit_size(diffs, 12)
     dval = jnp.where(diffs < 0, diffs + (1 << dsz) - 1, diffs) & ((1 << dsz) - 1)
-    dcode = luts["dc_code"][tsel, dsz]
-    dlen = luts["dc_len"][tsel, dsz]
+    # Packed (len<<16 | code) LUT: one gather per symbol instead of two —
+    # gathers dominate this stage on TPU.
+    dpacked = luts["dc_packed"][tsel * 16 + dsz]
+    dcode = dpacked & jnp.uint32(0xFFFF)
+    dlen = (dpacked >> 16).astype(jnp.int32)
     dc_codes = ((dcode << dsz) | dval.astype(jnp.uint32)).astype(jnp.uint32)
     dc_lens = (dlen + dsz).astype(jnp.int32)
 
@@ -219,8 +236,9 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc):
     asz = _bit_size(v, 11)
     aval = jnp.where(v < 0, v + (1 << asz) - 1, v) & ((1 << asz) - 1)
     sym = ((run % 16) << 4) | asz
-    acode = luts["ac_code"][tsel[:, None], sym]
-    alen = luts["ac_len"][tsel[:, None], sym]
+    apacked = luts["ac_packed"][tsel[:, None] * 256 + sym]
+    acode = apacked & jnp.uint32(0xFFFF)
+    alen = (apacked >> 16).astype(jnp.int32)
     main_codes = ((acode << asz) | aval.astype(jnp.uint32)).astype(jnp.uint32)
     main_lens = jnp.where(nz, alen + asz, 0).astype(jnp.int32)
 
