@@ -229,3 +229,47 @@ def test_mixed_grid_and_positioned_rejected():
                 "layout": {"columns": 2},
             }
         )
+
+
+def test_filelike_inputs():
+    """Blob-analog: file-like objects stream through the factory
+    (reference: Blob inputs, decoder-factory.ts:181-193, node-blob tests)."""
+    a = random_rgba(6, 6, 20)
+    out = concat_to_buffer(
+        {"inputs": [io.BytesIO(png_from_array(a))], "layout": {"columns": 1}}
+    )
+    np.testing.assert_array_equal(decode_png_pil(out), a)
+
+
+def test_band_height_invariance():
+    """The filtered raw stream must not depend on the band height (pure
+    streaming). IDAT chunk boundaries may differ (zlib emits output at
+    different push calls), so compare the decompressed stream."""
+    import zlib
+
+    from image_stitch_tpu import iter_chunks
+
+    tiles = [png_from_array(random_rgba(50, 37, s)) for s in range(3)]
+    streams = []
+    for bh in (1, 7, 64, 1024):
+        out = concat_to_buffer(
+            {"inputs": tiles, "layout": {"columns": 2}, "band_height": bh}
+        )
+        streams.append(
+            zlib.decompress(
+                b"".join(c.data for c in iter_chunks(out) if c.type == "IDAT")
+            )
+        )
+    assert all(s == streams[0] for s in streams[1:])
+
+
+def test_jpeg_band_height_invariance():
+    tiles = [png_from_array(random_rgba(24, 24, s)) for s in range(2)]
+    outs = [
+        concat_to_buffer(
+            {"inputs": tiles, "layout": {"columns": 2}, "outputFormat": "jpeg",
+             "band_height": bh, "backend": "numpy"}
+        )
+        for bh in (8, 16, 64)
+    ]
+    assert all(o == outs[0] for o in outs[1:])
