@@ -33,10 +33,11 @@ import numpy as np
 from ..codecs.jpeg.tables import ZIGZAG
 
 # Capacity headroom: packed output budget in bits per pixel. Baseline q85
-# photos run 1-2 bpp; 6 bpp covers structured noise. Phase-2 merge work is
-# proportional to this capacity, so keep it tight — overflow falls back to
-# the host coder for the band (exact, just slower).
-DEFAULT_CAP_BITS_PER_PX = 6
+# photos run 1-2 bpp. Phase-2 merge work is proportional to this capacity,
+# so start tight; on overflow the encoder host-codes that band (exact) and
+# promotes the budget for subsequent bands (one recompile per promotion).
+DEFAULT_CAP_BITS_PER_PX = 3
+MAX_CAP_BITS_PER_PX = 12
 
 
 def _bit_size(v: jax.Array, max_bits: int) -> jax.Array:
@@ -456,7 +457,12 @@ class DeviceJpegEncoder:
             # Pathological-entropy overflow: fetch the (device-computed,
             # hence bit-identical) quantized blocks and entropy-code this
             # band on the host. The device carry chain stays valid because
-            # total_bits/new_dc were computed exactly regardless.
+            # total_bits/new_dc were computed exactly regardless. Promote
+            # the capacity budget so later bands stay on-device.
+            if total_bits > cap_words * 32 and self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
+                self._cap_bits_per_px = min(
+                    MAX_CAP_BITS_PER_PX, self._cap_bits_per_px * 2
+                )
             return self._host_fallback_blocks(blocks, prev_dc_in)
         n_words = (total_bits + 31) // 32
         host_words = np.asarray(words[:n_words]).astype(">u4")
