@@ -251,6 +251,12 @@ def _decode_scan(
         c.by = mcuy * c.v
         c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
 
+    if _decode_scan_native(
+        data, scan_start, comps, order, dc_tables, ac_tables,
+        mcux, mcuy, restart_interval,
+    ):
+        return _finish_decode(width, height, comps, qtables)
+
     br = _BitReader(data, scan_start)
     preds = {c.comp_id: 0 for c in comps}
     mcu_count = 0
@@ -291,7 +297,65 @@ def _decode_scan(
                             k += 1
             mcu_count += 1
 
-    # Dequantize + IDCT + assemble planes (vectorized per component).
+    return _finish_decode(width, height, comps, qtables)
+
+
+def _decode_scan_native(
+    data, scan_start, comps, order, dc_tables, ac_tables,
+    mcux, mcuy, restart_interval,
+) -> bool:
+    """Run the scan through the C++ tier; False -> python fallback."""
+    try:
+        from ...native import (
+            HuffDecTableC,
+            jpeg_decode_scan_native,
+            make_huff_dec_table,
+            native_available,
+        )
+
+        if not native_available() or len(order) > 3:
+            return False
+        dc_slots = [HuffDecTableC() for _ in range(4)]
+        ac_slots = [HuffDecTableC() for _ in range(4)]
+        for idx, t in dc_tables.items():
+            if 0 <= idx < 4:
+                dc_slots[idx] = make_huff_dec_table(
+                    t.min_code, t.max_code, t.val_ptr, t.vals
+                )
+        for idx, t in ac_tables.items():
+            if 0 <= idx < 4:
+                ac_slots[idx] = make_huff_dec_table(
+                    t.min_code, t.max_code, t.val_ptr, t.vals
+                )
+        for c in order:
+            if c.td not in dc_tables or c.ta not in ac_tables:
+                return False
+        blocks = [np.ascontiguousarray(c.blocks, dtype=np.int32) for c in order]
+        ok = jpeg_decode_scan_native(
+            bytes(data[scan_start:]),
+            [(c.h, c.v, c.bx) for c in order],
+            dc_slots,
+            ac_slots,
+            [c.td for c in order],
+            [c.ta for c in order],
+            mcux,
+            mcuy,
+            restart_interval,
+            blocks,
+        )
+        if not ok:
+            return False
+        for c, b in zip(order, blocks):
+            c.blocks = b
+        return True
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _finish_decode(width, height, comps, qtables) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert (vectorized)."""
+    vmax = max(c.v for c in comps)
+    hmax = max(c.h for c in comps)
     planes = []
     for c in comps:
         q = qtables.get(c.tq)

@@ -31,6 +31,15 @@ class HuffTableC(ctypes.Structure):
     ]
 
 
+class HuffDecTableC(ctypes.Structure):
+    _fields_ = [
+        ("min_code", ctypes.c_int32 * 17),
+        ("max_code", ctypes.c_int32 * 17),
+        ("val_ptr", ctypes.c_int32 * 17),
+        ("vals", ctypes.c_uint8 * 256),
+    ]
+
+
 class EntropyStateC(ctypes.Structure):
     _fields_ = [
         ("bits", ctypes.c_uint64),
@@ -119,6 +128,15 @@ def get_native_lib():
     lib.jpeg_quant_band_444.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.jpeg_decode_scan.restype = ctypes.c_int
+    lib.jpeg_decode_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(HuffDecTableC), ctypes.POINTER(HuffDecTableC),
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     _LIB = lib
@@ -210,6 +228,54 @@ def composite_native(dest: np.ndarray, src: np.ndarray) -> bool:
             dest.ctypes.data_as(ctypes.c_void_p),
             src.ctypes.data_as(ctypes.c_void_p), n,
         )
+    return True
+
+
+def make_huff_dec_table(min_code, max_code, val_ptr, vals) -> HuffDecTableC:
+    t = HuffDecTableC()
+    for i in range(17):
+        t.min_code[i] = min_code[i]
+        t.max_code[i] = max_code[i]
+        t.val_ptr[i] = val_ptr[i]
+    for i, v in enumerate(bytes(vals)[:256]):
+        t.vals[i] = v
+    return t
+
+
+def jpeg_decode_scan_native(
+    scan_data: bytes,
+    comp_hv: list,  # [(h, v, bx)] per scan component
+    dc_tables: list,  # HuffDecTableC slots (4)
+    ac_tables: list,
+    dc_sel: list,
+    ac_sel: list,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+    blocks: list,  # per-comp (by*bx, 64) int32 arrays (zeroed, C-contig)
+) -> bool:
+    """Native baseline-JPEG scan decode; False if the native tier is absent."""
+    lib = get_native_lib()
+    if lib is None or len(comp_hv) > 3:
+        return False
+    n = len(comp_hv)
+    ch = (ctypes.c_int * n)(*[c[0] for c in comp_hv])
+    cv = (ctypes.c_int * n)(*[c[1] for c in comp_hv])
+    cbx = (ctypes.c_int * n)(*[c[2] for c in comp_hv])
+    dsel = (ctypes.c_int * n)(*dc_sel)
+    asel = (ctypes.c_int * n)(*ac_sel)
+    dct = (HuffDecTableC * 4)(*dc_tables)
+    act = (HuffDecTableC * 4)(*ac_tables)
+    ptrs = [b.ctypes.data_as(ctypes.c_void_p) for b in blocks] + [None] * (3 - n)
+    rc = lib.jpeg_decode_scan(
+        scan_data, len(scan_data), n, ch, cv, cbx,
+        dct, act, dsel, asel, mcux, mcuy, restart_interval,
+        ptrs[0], ptrs[1], ptrs[2],
+    )
+    if rc != 0:
+        from ..errors import StitchError
+
+        raise StitchError(f"JPEG scan decode failed (native rc={rc})")
     return True
 
 

@@ -488,4 +488,148 @@ int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {
     return (int64_t)(p - out);
 }
 
+// ---------------------------------------------------------------------------
+// Baseline JPEG Huffman scan decode (the owned decoder's hot loop).
+//
+// Marker parsing stays in Python (codecs/jpeg/owned_decoder.py); this walks
+// the entropy-coded segment: canonical Huffman decode per T.81 F.2.2,
+// 0xFF00 unstuffing, restart-marker resync, DC prediction, zigzag
+// placement into natural-order int32 blocks.
+// ---------------------------------------------------------------------------
+
+typedef struct {
+    int32_t min_code[17];
+    int32_t max_code[17];
+    int32_t val_ptr[17];
+    uint8_t vals[256];
+} HuffDecTable;
+
+typedef struct {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;
+    uint32_t val;
+    int n;
+} BitReader;
+
+static int br_bit(BitReader* br) {
+    if (br->n == 0) {
+        uint8_t b = 0;
+        if (br->pos < br->len) {
+            b = br->data[br->pos];
+            if (b == 0xFF) {
+                uint8_t nxt =
+                    br->pos + 1 < br->len ? br->data[br->pos + 1] : 0xD9;
+                if (nxt == 0x00) {
+                    br->pos += 2;
+                } else {
+                    // Marker: feed zeros, don't consume.
+                    b = 0;
+                }
+            } else {
+                br->pos += 1;
+            }
+        }
+        br->val = b;
+        br->n = 8;
+    }
+    br->n -= 1;
+    return (br->val >> br->n) & 1;
+}
+
+static int br_bits(BitReader* br, int count) {
+    int v = 0;
+    for (int i = 0; i < count; ++i) v = (v << 1) | br_bit(br);
+    return v;
+}
+
+static int br_sync_restart(BitReader* br) {
+    br->val = 0;
+    br->n = 0;
+    while (br->pos + 1 < br->len) {
+        if (br->data[br->pos] == 0xFF && br->data[br->pos + 1] >= 0xD0 &&
+            br->data[br->pos + 1] <= 0xD7) {
+            br->pos += 2;
+            return 0;
+        }
+        br->pos += 1;
+    }
+    return -1;
+}
+
+static int huff_decode(BitReader* br, const HuffDecTable* t) {
+    int code = br_bit(br);
+    for (int length = 1; length <= 16; ++length) {
+        if (t->max_code[length] >= 0 && code <= t->max_code[length] &&
+            code >= t->min_code[length]) {
+            return t->vals[t->val_ptr[length] + code - t->min_code[length]];
+        }
+        code = (code << 1) | br_bit(br);
+    }
+    return -1;
+}
+
+static inline int extend_val(int v, int size) {
+    if (size == 0) return 0;
+    return v >= (1 << (size - 1)) ? v : v - (1 << size) + 1;
+}
+
+// blocks_c: per-component output buffers, each (by*bx, 64) int32 zeroed.
+// Returns 0 on success, negative error otherwise.
+int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
+                     int n_comps, const int* comp_h, const int* comp_v,
+                     const int* comp_bx,
+                     const HuffDecTable* dc_tables, const HuffDecTable* ac_tables,
+                     const int* dc_sel, const int* ac_sel,
+                     int mcux, int mcuy, int restart_interval,
+                     int32_t* blocks0, int32_t* blocks1, int32_t* blocks2) {
+    int32_t* blocks_c[3] = {blocks0, blocks1, blocks2};
+    int32_t preds[3] = {0, 0, 0};
+    BitReader br = {data, data_len, 0, 0, 0};
+    int64_t mcu_count = 0;
+
+    for (int my = 0; my < mcuy; ++my) {
+        for (int mx = 0; mx < mcux; ++mx) {
+            if (restart_interval && mcu_count &&
+                mcu_count % restart_interval == 0) {
+                if (br_sync_restart(&br) != 0) return -2;
+                preds[0] = preds[1] = preds[2] = 0;
+            }
+            for (int c = 0; c < n_comps; ++c) {
+                const HuffDecTable* dct = dc_tables + dc_sel[c];
+                const HuffDecTable* act = ac_tables + ac_sel[c];
+                for (int v = 0; v < comp_v[c]; ++v) {
+                    for (int h = 0; h < comp_h[c]; ++h) {
+                        int bx = mx * comp_h[c] + h;
+                        int by = my * comp_v[c] + v;
+                        int32_t* blk =
+                            blocks_c[c] + ((int64_t)by * comp_bx[c] + bx) * 64;
+                        int s = huff_decode(&br, dct);
+                        if (s < 0) return -3;
+                        int diff = extend_val(br_bits(&br, s), s);
+                        preds[c] += diff;
+                        blk[0] = preds[c];
+                        int k = 1;
+                        while (k < 64) {
+                            int rs = huff_decode(&br, act);
+                            if (rs < 0) return -4;
+                            int r = rs >> 4, size = rs & 0x0F;
+                            if (size == 0) {
+                                if (r == 15) { k += 16; continue; }
+                                break;  // EOB
+                            }
+                            k += r;
+                            if (k > 63) return -5;
+                            blk[kZigzag[k]] = extend_val(br_bits(&br, size), size);
+                            k += 1;
+                        }
+                    }
+                }
+            }
+            ++mcu_count;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
