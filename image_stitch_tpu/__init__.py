@@ -45,6 +45,7 @@ from .codecs.factory import (
     LazyImageDecoder,
     create_decoder,
     create_decoders,
+    create_decoders_from_iterable,
     extract_positions,
     has_positioned_images,
     validate_positioned_inputs,
@@ -55,9 +56,21 @@ from .codecs.registry import (
     get_default_decoder_plugins,
     set_default_decoder_plugins,
 )
-from .codecs.png.decoder import PngDecoder, png_plugin
-from .codecs.jpeg.decoder import JpegDecoder, jpeg_plugin, parse_jpeg_header
-from .codecs.heic import HeicDecoder, heic_plugin
+from .codecs.png.decoder import (
+    PngBlobDecoder,
+    PngBufferDecoder,
+    PngDecoder,
+    PngFileDecoder,
+    png_plugin,
+)
+from .codecs.jpeg.decoder import (
+    JpegBufferDecoder,
+    JpegDecoder,
+    JpegFileDecoder,
+    jpeg_plugin,
+    parse_jpeg_header,
+)
+from .codecs.heic import HeicBufferDecoder, HeicDecoder, HeicFileDecoder, heic_plugin
 from .codecs.input_cache import (
     disable_input_cache,
     enable_input_cache,
@@ -128,10 +141,14 @@ from .utils import (
     PNG_SIGNATURE,
     get_bytes_per_pixel,
     get_samples_per_pixel,
+    is_png_signature,
     png_crc32,
     read_u32be,
     write_u32be,
 )
+
+# Reference alias (src/index.ts exports pngCrc32 as crc32 too).
+crc32 = png_crc32
 
 __version__ = "0.1.0"
 
@@ -167,6 +184,7 @@ __all__ = [
     "clear_default_decoder_plugins",
     "create_decoder",
     "create_decoders",
+    "create_decoders_from_iterable",
     "LazyImageDecoder",
     "has_positioned_images",
     "extract_positions",
@@ -176,11 +194,18 @@ __all__ = [
     "read_magic_bytes",
     "validate_format",
     "PngDecoder",
+    "PngFileDecoder",
+    "PngBufferDecoder",
+    "PngBlobDecoder",
     "png_plugin",
     "JpegDecoder",
+    "JpegFileDecoder",
+    "JpegBufferDecoder",
     "jpeg_plugin",
     "parse_jpeg_header",
     "HeicDecoder",
+    "HeicFileDecoder",
+    "HeicBufferDecoder",
     "heic_plugin",
     "enable_input_cache",
     "disable_input_cache",
@@ -242,6 +267,8 @@ __all__ = [
     # utils
     "PNG_SIGNATURE",
     "png_crc32",
+    "crc32",
+    "is_png_signature",
     "read_u32be",
     "write_u32be",
     "get_bytes_per_pixel",

@@ -193,6 +193,16 @@ def create_decoder(
     )
 
 
+def create_decoders_from_iterable(
+    inputs: Iterable[Any],
+    options: DecoderOptions | None = None,
+    plugins: Sequence[DecoderPlugin] | None = None,
+) -> list:
+    """Alias accepting sync/async-style iterables (reference:
+    createDecodersFromIterable, decoder-factory.ts:266-283)."""
+    return create_decoders(list(inputs), options, plugins)
+
+
 def create_decoders(
     inputs: Iterable[Any],
     options: DecoderOptions | None = None,

@@ -109,6 +109,14 @@ class HeicDecoder:
         self._pixels = None
 
 
+class HeicFileDecoder(HeicDecoder):
+    """File-path HEIC decoder (reference parity)."""
+
+
+class HeicBufferDecoder(HeicDecoder):
+    """Byte-buffer HEIC decoder (reference parity)."""
+
+
 def heic_plugin():
     """(reference: heicDecoder plugin, heic-decoder.ts:437-460)."""
     from .registry import DecoderPlugin

@@ -126,6 +126,14 @@ class JpegDecoder:
         self._pixels = None
 
 
+class JpegFileDecoder(JpegDecoder):
+    """File-path JPEG decoder (reference: JpegFileDecoder, jpeg-decoder.ts:343)."""
+
+
+class JpegBufferDecoder(JpegDecoder):
+    """Byte-buffer JPEG decoder (reference: JpegBufferDecoder, jpeg-decoder.ts:381)."""
+
+
 def jpeg_plugin():
     """(reference: jpegDecoder plugin, jpeg-decoder.ts:390-413)."""
     from ..registry import DecoderPlugin

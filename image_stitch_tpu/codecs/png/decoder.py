@@ -242,6 +242,25 @@ class PngDecoder:
                 self._stream.close()
 
 
+class PngFileDecoder(PngDecoder):
+    """File-path PNG decoder (reference: PngFileDecoder, png-decoder.ts:235)."""
+
+    def __init__(self, path, band_height=None):
+        super().__init__(str(path), band_height=band_height)
+
+
+class PngBufferDecoder(PngDecoder):
+    """Byte-buffer PNG decoder (reference: PngBufferDecoder, png-decoder.ts:338)."""
+
+    def __init__(self, data, band_height=None):
+        super().__init__(bytes(data), band_height=band_height)
+
+
+# Blob-analog: file-like objects go straight to PngDecoder (reference
+# PngBlobDecoder, png-decoder.ts:391).
+PngBlobDecoder = PngDecoder
+
+
 def png_plugin():
     """Decoder plugin descriptor (reference: pngDecoder plugin,
     png-decoder.ts:455-472)."""

@@ -19,6 +19,13 @@ from typing import Any, Callable, Iterable, Mapping, Sequence
 from .errors import StitchError
 
 
+# Supported container formats (reference: ImageFormat, decoders/types.ts).
+ImageFormat = str  # 'png' | 'jpeg' | 'heic'
+
+# Aliases for reference type names; the single DecoderOptions covers both.
+# (reference: JpegDecoderOptions / HeicDecoderOptions, decoders/types.ts:85-120)
+
+
 class ColorType(enum.IntEnum):
     """PNG color types (reference: src/types.ts:149-155)."""
 

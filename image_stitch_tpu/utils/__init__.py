@@ -42,6 +42,14 @@ def write_u32be(value: int) -> bytes:
     return int(value & 0xFFFFFFFF).to_bytes(4, "big")
 
 
+def is_png_signature(data: bytes | memoryview | np.ndarray) -> bool:
+    """True if ``data`` starts with the PNG signature (reference:
+    isPngSignature, src/utils.ts:83-89)."""
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    return bytes(data[:8]) == PNG_SIGNATURE
+
+
 def get_samples_per_pixel(color_type: int) -> int:
     """Samples per pixel for a PNG color type (reference: src/utils.ts:92-104)."""
     table = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
