@@ -103,6 +103,91 @@ def _u8_band_to_bytes(canvas: jax.Array) -> jax.Array:
 
 
 # --------------------------------------------------------------------------- #
+# Pixel-format conversion on device
+# --------------------------------------------------------------------------- #
+
+
+def convert_band_trace(
+    raw: jax.Array,  # (H, row_bytes) uint8 raw scanline bytes
+    width: int,
+    bit_depth: int,
+    color_type: int,
+    target_bit_depth: int,
+    palette: jax.Array | None = None,  # (256, 3) uint8, palette images only
+    trns: jax.Array | None = None,  # (256,) alpha LUT, palette images only
+):
+    """Device counterpart of ops/pixel.convert_band — exact integer math
+    (same rules: b->8 multiplies by 255/(2^b-1), 8->16 is *257, 16->8 is
+    (2v+257)//514), fusable into the compositor pass.
+
+    Returns (H, width, 4) uint8 or uint16 (native order).
+    """
+    h = raw.shape[0]
+    out_dtype = jnp.uint16 if target_bit_depth == 16 else jnp.uint8
+    max_a = 0xFFFF if target_bit_depth == 16 else 0xFF
+
+    def scale(v, from_bits):
+        v = v.astype(jnp.uint32)
+        if from_bits == target_bit_depth:
+            return v
+        from_max = (1 << from_bits) - 1
+        to_max = (1 << target_bit_depth) - 1
+        if to_max % from_max == 0:
+            return v * (to_max // from_max)
+        return (2 * v * to_max + from_max) // (2 * from_max)
+
+    def read_samples(samples: int):
+        if bit_depth == 16:
+            pairs = raw[:, : width * samples * 2].reshape(h, width * samples, 2)
+            vals = (pairs[:, :, 0].astype(jnp.uint32) << 8) | pairs[:, :, 1]
+            return vals.reshape(h, width, samples)
+        if bit_depth == 8:
+            return raw[:, : width * samples].reshape(h, width, samples).astype(jnp.uint32)
+        # Sub-byte depths (1/2/4), 1 sample: MSB-first bit extraction.
+        per_byte = 8 // bit_depth
+        n_bytes = -(-width // per_byte)
+        b = raw[:, :n_bytes].astype(jnp.uint32)  # (h, n_bytes)
+        shifts = jnp.arange(per_byte, dtype=jnp.uint32)
+        sh = (8 - bit_depth * (shifts + 1)).astype(jnp.uint32)
+        mask = (1 << bit_depth) - 1
+        vals = (b[:, :, None] >> sh[None, None, :]) & mask  # (h, n_bytes, per_byte)
+        return vals.reshape(h, n_bytes * per_byte)[:, :width][:, :, None]
+
+    if color_type == 0:
+        g = read_samples(1)[:, :, 0]
+        gs = scale(g, bit_depth).astype(out_dtype)
+        a = jnp.full((h, width), max_a, out_dtype)
+        if trns is not None:
+            pass  # gray color-key handled host-side; device path is for composites
+        return jnp.stack([gs, gs, gs, a], axis=-1)
+    if color_type == 2:
+        rgb = scale(read_samples(3), bit_depth).astype(out_dtype)
+        a = jnp.full((h, width, 1), max_a, out_dtype)
+        return jnp.concatenate([rgb, a], axis=-1)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette required for color type 3")
+        idx = read_samples(1)[:, :, 0].astype(jnp.int32)
+        rgb = palette[idx]  # (h, w, 3) uint8 gather
+        alpha = (
+            trns[idx]
+            if trns is not None
+            else jnp.full((h, width), 255, jnp.uint8)
+        )
+        rgb_s = scale(rgb.astype(jnp.uint32), 8).astype(out_dtype)
+        a_s = scale(alpha.astype(jnp.uint32), 8).astype(out_dtype)
+        return jnp.concatenate([rgb_s, a_s[:, :, None]], axis=-1)
+    if color_type == 4:
+        ga = read_samples(2)
+        g = scale(ga[:, :, 0], bit_depth).astype(out_dtype)
+        a = scale(ga[:, :, 1], bit_depth).astype(out_dtype)
+        return jnp.stack([g, g, g, a], axis=-1)
+    if color_type == 6:
+        return scale(read_samples(4), bit_depth).astype(out_dtype)
+    raise ValueError(f"Unsupported color type: {color_type}")
+
+
+# --------------------------------------------------------------------------- #
 # JPEG band quantization
 # --------------------------------------------------------------------------- #
 
