@@ -349,8 +349,16 @@ def entropy_pack_trace_v2(
     word_ids = jnp.arange(cap_words, dtype=jnp.int32)
     word_start = word_ids << 5
 
-    # First block whose end exceeds this word's start bit.
-    j_lo = jnp.searchsorted(ends, word_start, side="right").astype(jnp.int32)
+    # First block whose end exceeds this word's start bit:
+    # j_lo[w] = #{b : end_b <= 32w}. A per-word binary search would cost
+    # ~log(nb) gathers per word; instead histogram the block-end words (one
+    # small scatter-add) and take an exclusive cumulative sum.
+    end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(end_word), end_word, num_segments=cap_words,
+        indices_are_sorted=True,
+    )
+    j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     def gather_k(k, acc):
         b = jnp.clip(j_lo + k, 0, nb - 1)
