@@ -327,10 +327,6 @@ class StreamingJpegEncoder:
             if data:
                 yield data
 
-    def _drain_inflight(self, handle) -> Iterator[bytes]:
-        yb, cbb, crb = self._device.jpeg_quantize_band_wait(handle)
-        yield from self._emit_blocks(yb, cbb, crb)
-
     def encode_band(self, band: np.ndarray) -> Iterator[bytes]:
         """Consume an (h, W, 4) uint8 band; yields encoded bytes."""
         if self._finished:
