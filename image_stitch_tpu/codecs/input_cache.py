@@ -16,8 +16,6 @@ from typing import Iterator
 
 import numpy as np
 
-from ..errors import StitchError
-
 _enabled = False
 _entries: dict[int, "_CacheEntry"] = {}
 

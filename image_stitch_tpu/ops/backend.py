@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils import get_bytes_per_pixel
 from .pixel import band_to_bytes
 from .png_filter import filter_select_band
 
