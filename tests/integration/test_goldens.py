@@ -18,6 +18,13 @@ def test_golden_outputs_stable(name_opts):
     path = os.path.join(GOLDEN_DIR, name)
     if not os.path.exists(path):
         pytest.skip(f"golden {name} not generated")
+    if name.endswith(".jpg"):
+        from image_stitch_tpu.native import native_available
+
+        if not native_available():
+            # JPEG goldens pin the native-DCT tier's (valid) byte stream;
+            # the numpy tier rounds a few coefficients differently.
+            pytest.skip("JPEG golden requires the native tier")
     with open(path, "rb") as f:
         expected = f.read()
     with warnings.catch_warnings():
