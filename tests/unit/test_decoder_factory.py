@@ -174,3 +174,38 @@ def test_lazy_decoder_dimension_mismatch():
     d = create_decoder(src)
     with pytest.raises(StitchError, match="declared 99x99"):
         list(d.scanlines())
+
+
+def test_heic_without_backend_raises_clear_error():
+    """HEIC decode without pillow-heif or an injected decoder must fail with
+    an actionable message (reference: optional sharp/heic-decode peers,
+    heic-decoder.ts:266-285)."""
+    import pytest as _pytest
+
+    from image_stitch_tpu import HeicDecoder
+    from image_stitch_tpu.codecs.heic import heic_backend_available
+
+    if heic_backend_available():  # pragma: no cover - env without pillow-heif
+        _pytest.skip("pillow-heif installed")
+    fake_heic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 64
+    dec = HeicDecoder(fake_heic)
+    with _pytest.raises(StitchError, match="pillow-heif|custom_decoders"):
+        dec.get_header()
+
+
+def test_heic_custom_decoder_injection():
+    import numpy as _np
+
+    from image_stitch_tpu import DecoderOptions, HeicDecoder
+
+    def fake(data):
+        out = _np.zeros((3, 5, 4), _np.uint8)
+        out[:] = [7, 8, 9, 255]
+        return out
+
+    fake_heic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 64
+    dec = HeicDecoder(fake_heic, DecoderOptions(custom_decoders={"heic": fake}))
+    header = dec.get_header()
+    assert (header.width, header.height) == (5, 3)
+    rows = _np.vstack(list(dec.bands(2)))
+    assert rows.shape == (3, 20)
