@@ -270,9 +270,11 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc):
 # Block-local word capacity for the scatter-free packer: 768 bits/block.
 # Typical q85 blocks are 30-200 bits; overflow is detected and falls back.
 LOCAL_WORDS = 24
-# Max blocks overlapping one 32-bit output word: a block emits >= 4 bits
-# (chroma DC size-0 + chroma EOB), so <= 2 partial + 7 full = 9; 10 is safe.
-K_OVERLAP = 10
+# Blocks overlapping one 32-bit output word gathered per word. Typical
+# blocks are >= 30 bits so 3 suffices almost always; the provable worst case
+# (4-bit minimum blocks) is 9. The kernel computes the band's actual max
+# overlap; if it exceeds K_OVERLAP the caller takes the exact host fallback.
+K_OVERLAP = 4
 
 
 def entropy_pack_trace_v2(
@@ -360,11 +362,21 @@ def entropy_pack_trace_v2(
     )
     j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
+    # Actual per-word overlap: j_hi[w] = #{b : start_b < 32(w+1)} via the
+    # same histogram trick; its max bounds the K loop (host fallback above).
+    start_word = jnp.clip(starts >> 5, 0, cap_words - 1)
+    start_counts = jax.ops.segment_sum(
+        jnp.ones_like(start_word), start_word, num_segments=cap_words,
+        indices_are_sorted=True,
+    )
+    j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
+    max_overlap = jnp.max(j_hi - j_lo)
+
     def gather_k(k, acc):
         b = jnp.clip(j_lo + k, 0, nb - 1)
-        valid = (j_lo + k < nb) & (starts[b] < word_start + 32) & (
-            ends[b] > word_start
-        )
+        # ends[b] > word_start holds by construction of j_lo (ends are
+        # nondecreasing), so only the start-side bound needs a gather.
+        valid = (j_lo + k < nb) & (starts[b] < word_start + 32)
         rel = word_start - starts[b]  # may be negative
         li = rel >> 5
         sh = (rel & 31).astype(jnp.uint32)
@@ -380,7 +392,7 @@ def entropy_pack_trace_v2(
     words = jax.lax.fori_loop(
         0, K_OVERLAP, gather_k, jnp.zeros((cap_words,), jnp.uint32)
     )
-    return words, total_bits, new_dc, max_block_bits
+    return words, total_bits, new_dc, max_block_bits, max_overlap
 
 
 def jpeg_encode_band_trace(
@@ -403,10 +415,10 @@ def jpeg_encode_band_trace(
     from .device import jpeg_quantize_trace
 
     yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
-    words, total_bits, new_dc, max_block_bits = entropy_pack_trace_v2(
+    words, total_bits, new_dc, max_block_bits, max_overlap = entropy_pack_trace_v2(
         yb, cbb, crb, luts, prev_dc, bit_base, cap_words
     )
-    return words, total_bits, new_dc, max_block_bits, yb, cbb, crb
+    return words, total_bits, new_dc, max_block_bits, max_overlap, yb, cbb, crb
 
 
 class DeviceJpegEncoder:
@@ -436,7 +448,7 @@ class DeviceJpegEncoder:
         bit_base_in = self._bit_base
         n_pixels = band.shape[0] * band.shape[1]
         cap_words = max(64, (n_pixels * self._cap_bits_per_px + 31) // 32)
-        words, total_bits, new_dc, max_bb, yb, cbb, crb = self._jit(
+        words, total_bits, new_dc, max_bb, max_ov, yb, cbb, crb = self._jit(
             band,
             self._lq,
             self._cq,
@@ -451,17 +463,22 @@ class DeviceJpegEncoder:
         try:
             total_bits.copy_to_host_async()
             max_bb.copy_to_host_async()
+            max_ov.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
         return (
-            words, total_bits, cap_words, max_bb, (yb, cbb, crb),
+            words, total_bits, cap_words, max_bb, max_ov, (yb, cbb, crb),
             prev_dc_in, bit_base_in,
         )
 
     def wait(self, handle) -> bytes:
-        words, total_bits, cap_words, max_bb, blocks, prev_dc_in, _bb = handle
+        words, total_bits, cap_words, max_bb, max_ov, blocks, prev_dc_in, _bb = handle
         total_bits = int(total_bits)
-        if int(max_bb) > LOCAL_WORDS * 32 or total_bits > cap_words * 32:
+        if (
+            int(max_bb) > LOCAL_WORDS * 32
+            or total_bits > cap_words * 32
+            or int(max_ov) > K_OVERLAP
+        ):
             # Pathological-entropy overflow: fetch the (device-computed,
             # hence bit-identical) quantized blocks and entropy-code this
             # band on the host. The device carry chain stays valid because

@@ -147,8 +147,8 @@ def test_fused_encoder_overflow_falls_back_to_host():
     band = rng.integers(0, 256, (16, 64, 4), dtype=np.uint8)
     enc = DeviceJpegEncoder(lq, cq, DC_L, AC_L, DC_C, AC_C)
     h = enc.submit(band)
-    forced = (h[0], h[1], h[2], jnp.int32(10_000), h[4], h[5], h[6])
+    forced = (h[0], h[1], h[2], jnp.int32(10_000), h[4], h[5], h[6], h[7])
     out = enc.wait(forced) + enc.flush()
-    blocks = tuple(np.asarray(b) for b in h[4])
+    blocks = tuple(np.asarray(b) for b in h[5])
     expected = host_encode([blocks])
     assert out == expected
