@@ -48,7 +48,13 @@ class PngDecoder:
 
     format = "png"
 
-    def __init__(self, source, band_height: int | None = None):
+    def __init__(self, source, band_height: int | None = None,
+                 verify_crc: bool = False):
+        # verify_crc: strict per-chunk CRC checking while streaming. Off by
+        # default for throughput (the reference's streaming decoder also
+        # skips CRC on the hot path; its parse paths verify,
+        # png-parser.ts:57-64).
+        self._verify_crc = verify_crc
         self._band_height = band_height or DEFAULT_BAND_HEIGHT
         self._closed = False
         self._owns_stream = False
@@ -81,6 +87,18 @@ class PngDecoder:
             )
         return data
 
+    @staticmethod
+    def _check_crc(ctype: bytes, data: bytes, crc: bytes) -> None:
+        from ...utils import png_crc32, read_u32be
+
+        computed = png_crc32(data, png_crc32(ctype))
+        expected = read_u32be(crc, 0)
+        if computed != expected:
+            raise StitchError(
+                f"CRC mismatch in chunk '{ctype.decode('ascii', 'replace')}': "
+                f"expected {expected:#010x}, got {computed:#010x}"
+            )
+
     def _read_pre_idat(self) -> None:
         """Walk chunks up to (not including) the first IDAT, capturing IHDR,
         PLTE and tRNS. Leaves the stream positioned at the first IDAT header."""
@@ -96,7 +114,9 @@ class PngDecoder:
                 self._idat_started = True
                 break
             data = self._read_exact(length)
-            self._read_exact(4)  # CRC — verified in parse paths; streaming skips
+            crc = self._read_exact(4)
+            if self._verify_crc:
+                self._check_crc(ctype, data, crc)
             if ctype == b"IHDR":
                 self._header = parse_header_chunk(data)
             elif ctype == b"PLTE":
@@ -144,16 +164,29 @@ class PngDecoder:
         if not self._idat_started:
             return
         (length,) = self._pending_idat_header
+        import zlib as _zlib
+
         while True:
             # Stream current IDAT payload in bounded pieces.
             remaining = length
+            running = _zlib.crc32(b"IDAT") if self._verify_crc else 0
             while remaining > 0:
                 piece = self._stream.read(min(remaining, 1 << 16))
                 if not piece:
                     raise StitchError("Truncated PNG: IDAT data incomplete")
                 remaining -= len(piece)
+                if self._verify_crc:
+                    running = _zlib.crc32(piece, running)
                 yield piece
-            self._read_exact(4)  # CRC
+            crc = self._read_exact(4)
+            if self._verify_crc:
+                from ...utils import read_u32be
+
+                if (running & 0xFFFFFFFF) != read_u32be(crc, 0):
+                    raise StitchError(
+                        f"CRC mismatch in IDAT chunk: expected "
+                        f"{read_u32be(crc, 0):#010x}, got {running & 0xFFFFFFFF:#010x}"
+                    )
             head = self._stream.read(8)
             if head is None or len(head) < 8:
                 return  # tolerate missing IEND like a stream EOF

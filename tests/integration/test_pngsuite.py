@@ -117,13 +117,12 @@ def test_pngsuite_headers_parse(name):
 
 @pytest.mark.parametrize("name", corrupt_files())
 def test_pngsuite_corrupt_rejected(name):
-    # xcsn0g01: bad IDAT CRC only — our streaming path skips CRC checks for
-    # throughput, like the reference's streaming decoder skips per-chunk CRC.
-    if name in ("xcsn0g01.png", "xhdn0g08.png"):
-        pytest.skip("checksum-only corruption; streaming path tolerates")
+    # Strict mode (verify_crc=True) catches checksum-only corruption too
+    # (xcsn0g01 bad IDAT CRC, xhdn0g08 bad IHDR CRC); the default streaming
+    # path skips CRC for throughput like the reference's streaming decoder.
     path = os.path.join(PNGSUITE_DIR, name)
     with pytest.raises((StitchError, Exception)):
-        dec = PngDecoder(path)
+        dec = PngDecoder(path, verify_crc=True)
         for _ in dec.bands(64):
             pass
         # Also require the header itself to have been invalid if decode "worked"
