@@ -180,8 +180,6 @@ class PngDecoder:
                 yield piece
             crc = self._read_exact(4)
             if self._verify_crc:
-                from ...utils import read_u32be
-
                 if (running & 0xFFFFFFFF) != read_u32be(crc, 0):
                     raise StitchError(
                         f"CRC mismatch in IDAT chunk: expected "
