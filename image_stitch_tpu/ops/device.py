@@ -30,8 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent compilation cache: first-compile of the band programs is
-# expensive on remote-compile TPU links; cache across processes.
-if not jax.config.jax_compilation_cache_dir:
+# expensive on remote-compile TPU links; cache across processes. CPU runs
+# skip it — CPU AOT cache entries record compile-machine features and can
+# mismatch the executing host (SIGILL risk), and CPU compiles are fast.
+if (
+    not jax.config.jax_compilation_cache_dir
+    and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+):
     _cache = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "image_stitch_tpu",
