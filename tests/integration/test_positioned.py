@@ -212,3 +212,35 @@ def test_positioned_16bit():
     dec = PngDecoder(out)
     got = np.vstack([convert_band(b, 8, 16, 6, 16) for b in dec.bands()])
     np.testing.assert_array_equal(got, a16)
+
+
+def test_positioned_band_height_invariance():
+    """Positioned compositing must not depend on band partitioning: tall
+    overlapping sprites with clipping, compared across band heights at the
+    raw-pixel level."""
+    rng = np.random.default_rng(42)
+    inputs = []
+    for i in range(12):
+        h, w = int(rng.integers(10, 60)), int(rng.integers(10, 40))
+        spr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        inputs.append(
+            PositionedImage(
+                x=int(rng.integers(-10, 70)),
+                y=int(rng.integers(-10, 100)),
+                source=png_from_array(spr),
+                z_index=int(rng.integers(0, 5)),
+            )
+        )
+    import warnings as _w
+
+    outs = []
+    for bh in (1, 13, 256):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            out = concat_to_buffer(
+                {"inputs": list(inputs), "layout": {"width": 80, "height": 120},
+                 "band_height": bh}
+            )
+        outs.append(decode_png_pil(out))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
