@@ -135,3 +135,30 @@ def test_output_is_identical_with_and_without_cache(tmp_path):
     finally:
         disable_input_cache()
     assert baseline == cached
+
+
+def test_stream_is_demand_driven():
+    """Pulling only the header chunks must not decode any pixels — the
+    pipeline advances only as the consumer pulls (the reference's
+    Readable-pull backpressure, image-concat.ts:10-27)."""
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return tile_png(32, 9)
+
+    sources = [
+        ImageSource(width=32, height=32, factory=factory, format="png")
+        for _ in range(4)
+    ]
+    gen = concat_streaming(
+        {"inputs": sources, "layout": {"columns": 2}, "backend": "numpy"}
+    )
+    sig = next(gen)       # PNG signature
+    ihdr = next(gen)      # IHDR
+    assert sig[:4] == b"\x89PNG"[:4]
+    assert ihdr[4:8] == b"IHDR"
+    assert calls == []    # no pixel decode yet
+    rest = b"".join(gen)
+    assert calls == [1, 1, 1, 1]
+    assert rest.endswith(b"IEND\xae\x42\x60\x82")
