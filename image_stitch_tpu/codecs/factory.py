@@ -74,13 +74,19 @@ class LazyImageDecoder:
         return self._inner
 
     def scanlines(self):
-        return self._materialize().scanlines()
+        # Generator: the factory must not run until rows are actually
+        # pulled (deferred decode is the whole point of ImageSource).
+        yield from self._materialize().scanlines()
 
     def bands(self, band_height=None):
-        inner = self._materialize()
-        if hasattr(inner, "bands"):
-            return inner.bands(band_height)
-        return _bands_from_scanlines(inner, band_height or 256)
+        def gen():
+            inner = self._materialize()
+            if hasattr(inner, "bands"):
+                yield from inner.bands(band_height)
+            else:
+                yield from _bands_from_scanlines(inner, band_height or 256)
+
+        return gen()
 
     def close(self) -> None:
         if self._inner is not None:
