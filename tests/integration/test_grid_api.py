@@ -273,3 +273,37 @@ def test_jpeg_band_height_invariance():
         for bh in (8, 16, 64)
     ]
     assert all(o == outs[0] for o in outs[1:])
+
+
+def test_columns_with_height_limit():
+    """columns + height goes through the pixel-based planner with
+    fixedColumns (reference: calculateLayout branch order,
+    image-concat-core.ts:146-175)."""
+    tiles = [random_rgba(10, 10, s) for s in range(6)]
+    out = concat_to_buffer(
+        {
+            "inputs": [png_from_array(t) for t in tiles],
+            "layout": {"columns": 2, "height": 25},
+        }
+    )
+    dec = decode_png_pil(out)
+    # 2 per row; third row would exceed 25px -> 2 rows kept.
+    assert dec.shape == (20, 20, 4)
+    np.testing.assert_array_equal(dec[10:20, 10:20], tiles[3])
+
+
+def test_rows_with_width_limit():
+    """rows + width also routes through the pixel-based planner
+    (width takes precedence over the column-major rows fill)."""
+    tiles = [random_rgba(10, 10, s) for s in range(5)]
+    out = concat_to_buffer(
+        {
+            "inputs": [png_from_array(t) for t in tiles],
+            "layout": {"rows": 2, "width": 30},
+        }
+    )
+    dec = decode_png_pil(out)
+    # Width-based wrap: 3 per row -> rows of 3 and 2.
+    assert dec.shape == (20, 30, 4)
+    np.testing.assert_array_equal(dec[0:10, 20:30], tiles[2])
+    np.testing.assert_array_equal(dec[10:20, 0:10], tiles[3])
