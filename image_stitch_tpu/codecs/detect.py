@@ -44,22 +44,77 @@ def detect_image_format(magic: bytes) -> str | None:
     return None
 
 
+class PushbackStream:
+    """Readable wrapper that re-serves bytes consumed during format
+    detection before delegating to the underlying non-seekable stream.
+    Decoders in this package only ever ``.read()`` sequentially, so this
+    is a complete restoration of the stream state."""
+
+    def __init__(self, head: bytes, stream: Any):
+        self._head = head
+        self._pos = 0
+        self._stream = stream
+
+    def read(self, n: int = -1) -> bytes:
+        if self._pos < len(self._head):
+            if n is None or n < 0:
+                out = self._head[self._pos :] + (self._stream.read(-1) or b"")
+                self._pos = len(self._head)
+                return out
+            out = self._head[self._pos : self._pos + n]
+            self._pos += len(out)
+            if len(out) < n:
+                out += self._stream.read(n - len(out)) or b""
+            return bytes(out)
+        return self._stream.read(n)
+
+    def close(self) -> None:
+        close = getattr(self._stream, "close", None)
+        if close is not None:
+            close()
+
+
+def _stream_is_seekable(source: Any) -> bool:
+    if not (hasattr(source, "tell") and hasattr(source, "seek")):
+        return False
+    seekable = getattr(source, "seekable", None)
+    if seekable is not None:
+        try:
+            return bool(seekable())
+        except Exception:
+            return False
+    return True
+
+
 def read_magic_bytes(source: Any) -> bytes:
     """First 32 bytes of a file path, buffer, or readable stream
-    (reference: readMagicBytes, format-detection.ts:76-114)."""
+    (reference: readMagicBytes, format-detection.ts:76-114).
+
+    Non-seekable streams cannot be restored by this function — use
+    ``read_magic_and_source`` (which returns a pushback-wrapped stream)
+    when the source will be consumed afterwards."""
+    return read_magic_and_source(source)[0]
+
+
+def read_magic_and_source(source: Any) -> tuple[bytes, Any]:
+    """Read the magic bytes and return ``(magic, source)`` where ``source``
+    is usable from offset 0: seekable streams are rewound; non-seekable
+    streams come back wrapped in :class:`PushbackStream`."""
     if isinstance(source, (bytes, bytearray, memoryview)):
-        return bytes(source[:MAGIC_BYTES_LENGTH])
+        return bytes(source[:MAGIC_BYTES_LENGTH]), source
     if isinstance(source, np.ndarray):
-        return source.tobytes()[:MAGIC_BYTES_LENGTH]
+        return source.tobytes()[:MAGIC_BYTES_LENGTH], source
     if isinstance(source, (str, os.PathLike)):
         with open(source, "rb") as f:
-            return f.read(MAGIC_BYTES_LENGTH)
+            return f.read(MAGIC_BYTES_LENGTH), source
     if hasattr(source, "read"):
-        pos = source.tell() if hasattr(source, "tell") else None
-        data = source.read(MAGIC_BYTES_LENGTH)
-        if pos is not None and hasattr(source, "seek"):
+        if _stream_is_seekable(source):
+            pos = source.tell()
+            data = source.read(MAGIC_BYTES_LENGTH)
             source.seek(pos)
-        return bytes(data or b"")
+            return bytes(data or b""), source
+        data = bytes(source.read(MAGIC_BYTES_LENGTH) or b"")
+        return data, PushbackStream(data, source)
     raise StitchError(f"Cannot read magic bytes from {type(source).__name__}")
 
 

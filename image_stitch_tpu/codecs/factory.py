@@ -15,7 +15,7 @@ from typing import Any, Iterable, Mapping, Sequence
 
 from ..errors import StitchError
 from ..types import DecoderOptions, ImageHeader, ImageSource, PositionedImage
-from .detect import detect_format
+from .detect import detect_image_format
 from .registry import DecoderPlugin, get_default_decoder_plugins
 
 
@@ -178,7 +178,10 @@ def create_decoder(
     if isinstance(source, ImageSource):
         return LazyImageDecoder(source, options, plugins)
 
-    fmt = detect_format(source)
+    from .detect import read_magic_and_source
+
+    magic, source = read_magic_and_source(source)
+    fmt = detect_image_format(magic)
     if fmt is None:
         raise StitchError(
             "Unsupported or unrecognized image format (checked PNG/JPEG/HEIC magic bytes)"

@@ -355,11 +355,11 @@ class StreamingJpegEncoder:
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(full)
+                self._rows_consumed += n_full * self._mcu_h
                 prev = self._inflight
                 self._inflight = handle
                 if prev is not None:
                     data = self._dev_encoder.wait(prev)
-                    self._rows_consumed += 0  # rows tracked at submit
                     if data:
                         yield data
             else:
@@ -409,7 +409,7 @@ class StreamingJpegEncoder:
                 if self._inflight is not None:
                     out += self._dev_encoder.wait(self._inflight)
                 self._inflight = handle
-                self._rows_consumed += MCU_HEIGHT
+                self._rows_consumed += self._mcu_h
             if self._inflight is not None:
                 pending, self._inflight = self._inflight, None
                 out += self._dev_encoder.wait(pending)
@@ -417,7 +417,6 @@ class StreamingJpegEncoder:
         else:
             if part is not None:
                 out += self._encode_strip(part)
-                self._rows_consumed += MCU_HEIGHT
             if self._native_coder is not None:
                 out += self._native_coder.flush()
             else:

@@ -207,7 +207,13 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + c * 3], body[7 + c * 3], body[8 + c * 3]
-                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise StitchError(
+                        f"Invalid JPEG: component {cid} sampling factors "
+                        f"{h}x{v} out of range 1..4"
+                    )
+                comps.append(_Component(cid, h, v, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise StitchError(
                 "Owned JPEG decoder supports baseline sequential only "
@@ -221,7 +227,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             order: list[_Component] = []
             for c in range(ns):
                 cs, tdta = body[1 + c * 2], body[2 + c * 2]
-                comp = next(x for x in comps if x.comp_id == cs)
+                comp = next((x for x in comps if x.comp_id == cs), None)
+                if comp is None:
+                    raise StitchError(
+                        f"Invalid JPEG: scan references unknown component id {cs}"
+                    )
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 order.append(comp)
             scan_start = pos + 2 + seg_len

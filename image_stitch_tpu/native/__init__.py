@@ -48,10 +48,31 @@ class EntropyStateC(ctypes.Structure):
     ]
 
 
+def _host_isa_fingerprint() -> str:
+    """Short fingerprint of the host ISA. The library is compiled with
+    -march=native; a shared XDG cache across heterogeneous machines must not
+    load an ISA-incompatible .so (SIGILL) — same machine-feature-mismatch
+    class ops/device.py guards against for the JAX compile cache."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(" ".join(parts).encode()).hexdigest()[:8]
+
+
 def _build_library() -> str | None:
-    """Compile the shared library into a cache dir keyed by source hash."""
+    """Compile the shared library into a cache dir keyed by source hash
+    and host-ISA fingerprint."""
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    digest = f"{digest}-{_host_isa_fingerprint()}"
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "image_stitch_tpu",
@@ -104,7 +125,7 @@ def get_native_lib():
         fn.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
-            ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
+            ctypes.POINTER(EntropyStateC), ctypes.c_void_p, ctypes.c_int64,
         ]
     lib.jpeg_entropy_flush.restype = ctypes.c_int64
     lib.jpeg_entropy_flush.argtypes = [
@@ -384,9 +405,11 @@ class NativeEntropyCoder:
         yb = np.ascontiguousarray(yb, dtype=np.int16)
         cbb = np.ascontiguousarray(cbb, dtype=np.int16)
         crb = np.ascontiguousarray(crb, dtype=np.int16)
-        # Worst case ~ 16 bits/coef + stuffing; be generous.
+        # Structural worst case is ~528 bytes/block (see kMaxBlockBytes in
+        # stitchnative.cpp); the C++ writer also bounds-checks per MCU and
+        # returns -1 on exhaustion, so arbitrary int16 input cannot overflow.
         blocks_total = yb.shape[0] + 2 * n_mcus
-        cap = int(blocks_total * 64 * 4 + 1024)
+        cap = int(blocks_total * 528 + 1024)
         out = np.empty(cap, dtype=np.uint8)
         n = getattr(lib, self._fn_name)(
             yb.ctypes.data_as(ctypes.c_void_p),
@@ -397,7 +420,12 @@ class NativeEntropyCoder:
             ctypes.byref(self._chroma),
             ctypes.byref(self._state),
             out.ctypes.data_as(ctypes.c_void_p),
+            cap,
         )
+        if n < 0:
+            from ..errors import StitchError
+
+            raise StitchError("JPEG entropy output buffer capacity exhausted")
         return out[:n].tobytes()
 
     def flush(self) -> bytes:

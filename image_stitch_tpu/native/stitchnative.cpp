@@ -230,13 +230,22 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
     if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
 }
 
+// Structural worst case per encoded block: DC (16-bit code + 17 magnitude
+// bits) + 63 AC x (16-bit code + 16 magnitude bits) = 2049 bits ~ 257 bytes,
+// doubled by 0xFF stuffing = 514 bytes (+ <8 carried bytes). The per-MCU
+// headroom check below uses this bound so put_bits stays branch-light.
+static const int64_t kMaxBlockBytes = 528;
+
 int64_t jpeg_entropy_encode_444(const int16_t* y_blocks,
                                 const int16_t* cb_blocks,
                                 const int16_t* cr_blocks, int64_t n_mcus,
                                 const HuffTable* luma, const HuffTable* chroma,
-                                EntropyState* state, uint8_t* out) {
+                                EntropyState* state, uint8_t* out,
+                                int64_t capacity) {
     uint8_t* p = out;
+    const uint8_t* end = out + capacity;
     for (int64_t m = 0; m < n_mcus; ++m) {
+        if (end - p < 3 * kMaxBlockBytes) return -1;  // capacity exhausted
         encode_block(state, &p, y_blocks + m * 64, luma, 0);
         encode_block(state, &p, cb_blocks + m * 64, chroma, 1);
         encode_block(state, &p, cr_blocks + m * 64, chroma, 2);
@@ -249,9 +258,12 @@ int64_t jpeg_entropy_encode_420(const int16_t* y_blocks,
                                 const int16_t* cb_blocks,
                                 const int16_t* cr_blocks, int64_t n_mcus,
                                 const HuffTable* luma, const HuffTable* chroma,
-                                EntropyState* state, uint8_t* out) {
+                                EntropyState* state, uint8_t* out,
+                                int64_t capacity) {
     uint8_t* p = out;
+    const uint8_t* end = out + capacity;
     for (int64_t m = 0; m < n_mcus; ++m) {
+        if (end - p < 6 * kMaxBlockBytes) return -1;  // capacity exhausted
         for (int i = 0; i < 4; ++i)
             encode_block(state, &p, y_blocks + (m * 4 + i) * 64, luma, 0);
         encode_block(state, &p, cb_blocks + m * 64, chroma, 1);

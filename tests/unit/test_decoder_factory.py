@@ -209,3 +209,34 @@ def test_heic_custom_decoder_injection():
     assert (header.width, header.height) == (5, 3)
     rows = _np.vstack(list(dec.bands(2)))
     assert rows.shape == (3, 20)
+
+
+def test_non_seekable_stream_decodes():
+    """Format detection consumes the first 32 bytes of non-seekable streams;
+    create_decoder must hand the plugin a restored (pushback-wrapped) stream
+    (detect.PushbackStream)."""
+    import io
+
+    import numpy as _np
+
+    from image_stitch_tpu import concat_to_buffer
+    from tests.utils.fixtures import png_from_array
+
+    png = png_from_array(_np.full((16, 16, 4), 42, _np.uint8))
+
+    class NonSeekable:
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+    out = concat_to_buffer(
+        {"inputs": [NonSeekable(png), NonSeekable(png)], "layout": {"columns": 2}}
+    )
+    from PIL import Image as _Image
+
+    img = _Image.open(io.BytesIO(out))
+    assert img.size == (32, 16)
+    arr = _np.array(img.convert("RGBA"))
+    assert (arr == 42).all()

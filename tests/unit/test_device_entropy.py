@@ -152,3 +152,32 @@ def test_fused_encoder_overflow_falls_back_to_host():
     blocks = tuple(np.asarray(b) for b in h[5])
     expected = host_encode([blocks])
     assert out == expected
+
+
+def test_native_coder_dense_blocks_no_overflow():
+    """Adversarial dense size-10 blocks (~314 stuffed bytes/block) must not
+    overflow the native output buffer: the C++ writer bounds-checks per MCU
+    and the Python buffer is sized at the structural worst case."""
+    from image_stitch_tpu.native import (
+        NativeEntropyCoder,
+        make_huff_table,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native tier unavailable")
+    def dense(n):
+        # Every coefficient +1023: size-10 magnitude bits are all ones, so
+        # the stream is nearly all 0xFF bytes and stuffing almost doubles it.
+        return np.full((n, 64), 1023, dtype=np.int16)
+
+    n = 64
+    yb, cb, cr = dense(n), dense(n), dense(n)
+    coder = NativeEntropyCoder(
+        make_huff_table(DC_L, AC_L), make_huff_table(DC_C, AC_C)
+    )
+    out = coder.encode(yb, cb, cr) + coder.flush()
+    assert out == host_encode([(yb, cb, cr)])
+    # Confirm this really is the worst-case regime the old 256 B/block
+    # buffer could not hold.
+    assert len(out) > n * 3 * 260

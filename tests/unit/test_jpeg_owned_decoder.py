@@ -104,3 +104,29 @@ def test_force_owned_tier_through_decoder():
     rgba = rows.reshape(24, 40, 4)
     assert (rgba[:, :, 3] == 255).all()
     assert np.abs(rgba[:, :, :3].astype(int) - pil_decode(data)).mean() < 2.0
+
+
+def test_crafted_sof_zero_sampling_rejected():
+    """SOF declaring sampling factor 0 must raise StitchError, not
+    ZeroDivisionError (sampling factors are 1..4 per T.81 B.2.2)."""
+    arr = smooth(16, 16)
+    data = bytearray(pil_jpeg(arr, quality=85, subsampling=0))
+    # Find SOF0 and zero the first component's h/v byte.
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    hv_off = i + 4 + 6 + 1  # marker+len+prec+dims+nc, comp0: id, hv
+    data[hv_off] = 0x00
+    with pytest.raises(StitchError, match="sampling"):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_crafted_sos_unknown_component_rejected():
+    """SOS referencing a component id absent from SOF must raise
+    StitchError, not StopIteration."""
+    arr = smooth(16, 16)
+    data = bytearray(pil_jpeg(arr, quality=85, subsampling=0))
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    data[i + 5] = 0xEE  # first scan component id -> unknown
+    with pytest.raises(StitchError, match="unknown component"):
+        decode_baseline_jpeg(bytes(data))
