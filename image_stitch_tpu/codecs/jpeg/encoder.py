@@ -144,6 +144,8 @@ class StreamingJpegEncoder:
         quality: int = 85,
         backend: str = "numpy",
         sampling: str = "444",
+        restart_interval_rows: int = 0,
+        mesh=None,
     ):
         if width < 1 or height < 1:
             raise StitchError(f"Invalid JPEG dimensions: {width}x{height}")
@@ -151,6 +153,8 @@ class StreamingJpegEncoder:
             raise StitchError("JPEG quality must be between 1 and 100")
         if sampling not in ("444", "420"):
             raise StitchError(f"Unsupported JPEG sampling: {sampling}")
+        if restart_interval_rows < 0:
+            raise StitchError("restart_interval_rows must be >= 0")
         self.width = width
         self.height = height
         self.quality = quality
@@ -181,6 +185,14 @@ class StreamingJpegEncoder:
         except Exception:
             self._native_coder = None
         self._prev_dc = [0, 0, 0]
+        # Restart markers every `restart_interval_rows` MCU rows (T.81
+        # B.2.4.4): each group's bitstream is byte-aligned and DC-reset, so
+        # groups entropy-code independently — the unit of parallel encode.
+        self._restart_rows = int(restart_interval_rows)
+        _mcu_px = 16 if sampling == "420" else 8
+        self._mcus_per_row = (width + ((-width) % _mcu_px)) // _mcu_px
+        self._mcu_rows_done = 0
+        self._rst_n = 0
         self._header_emitted = False
         self._finished = False
         self._rows_consumed = 0
@@ -194,7 +206,7 @@ class StreamingJpegEncoder:
         if backend in ("tpu", "jax") and sampling == "444":
             from ...ops.device import JaxBackend
 
-            self._device = JaxBackend()
+            self._device = JaxBackend(mesh=mesh)
             # Fully fused device pipeline: quantize + entropy pack on-device;
             # only the compressed bitstream crosses the host link.
             from ...ops.jpeg_entropy_device import DeviceJpegEncoder
@@ -202,6 +214,9 @@ class StreamingJpegEncoder:
             self._dev_encoder = DeviceJpegEncoder(
                 self.luma_q, self.chroma_q,
                 self._dc_luma, self._ac_luma, self._dc_chroma, self._ac_chroma,
+                restart_interval_rows=self._restart_rows,
+                mcus_per_row=self._mcus_per_row,
+                mesh=mesh,
             )
 
     # ----- headers ------------------------------------------------------ #
@@ -235,6 +250,15 @@ class StreamingJpegEncoder:
         ):
             payload = bytes([tc_th]) + bytes(bits[1:17]) + bytes(vals)
             out += b"\xff\xc4" + (2 + len(payload)).to_bytes(2, "big") + payload
+        # DRI (restart interval in MCUs, T.81 B.2.4.4)
+        if self._restart_rows:
+            dri = self._restart_rows * self._mcus_per_row
+            if dri > 0xFFFF:
+                raise StitchError(
+                    f"Restart interval {dri} MCUs exceeds the 16-bit DRI "
+                    f"field; lower jpeg_restart_interval_rows"
+                )
+            out += b"\xff\xdd" + (4).to_bytes(2, "big") + dri.to_bytes(2, "big")
         # SOS
         out += b"\xff\xda" + (12).to_bytes(2, "big") + bytes([3])
         out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
@@ -305,6 +329,23 @@ class StreamingJpegEncoder:
         yb, cbb, crb = self._quantize_band(strip)
         return b"".join(self._emit_blocks(yb, cbb, crb))
 
+    def _restart_boundary(self) -> bytes:
+        """Bytes closing the current restart group, if one ends here: pad the
+        bitstream to a byte with 1s, emit RSTn (cycling 0-7), reset DC
+        predictors (T.81 E.2.4). Empty when restarts are off or mid-group."""
+        ri = self._restart_rows
+        if not ri or self._mcu_rows_done == 0 or self._mcu_rows_done % ri:
+            return b""
+        if self._native_coder is not None:
+            out = self._native_coder.flush()
+            self._native_coder.reset()
+        else:
+            out = self._packer.flush()
+            self._prev_dc = [0, 0, 0]
+        out += bytes([0xFF, 0xD0 + self._rst_n])
+        self._rst_n = (self._rst_n + 1) & 7
+        return out
+
     def _emit_blocks(self, yb, cbb, crb) -> Iterator[bytes]:
         """Entropy-code quantized blocks strip-by-strip so bytes stream."""
         if self.sampling == "420":
@@ -313,8 +354,10 @@ class StreamingJpegEncoder:
             for i in range(n_strips):
                 ysl = slice(i * 4 * mpr, (i + 1) * 4 * mpr)
                 csl = slice(i * mpr, (i + 1) * mpr)
-                data = self._entropy_code(yb[ysl], cbb[csl], crb[csl])
+                data = self._restart_boundary()
+                data += self._entropy_code(yb[ysl], cbb[csl], crb[csl])
                 self._rows_consumed += self._mcu_h
+                self._mcu_rows_done += 1
                 if data:
                     yield data
             return
@@ -322,8 +365,10 @@ class StreamingJpegEncoder:
         n_strips = yb.shape[0] // bps
         for i in range(n_strips):
             sl = slice(i * bps, (i + 1) * bps)
-            data = self._entropy_code(yb[sl], cbb[sl], crb[sl])
+            data = self._restart_boundary()
+            data += self._entropy_code(yb[sl], cbb[sl], crb[sl])
             self._rows_consumed += MCU_HEIGHT
+            self._mcu_rows_done += 1
             if data:
                 yield data
 
@@ -342,7 +387,14 @@ class StreamingJpegEncoder:
         if self._pending is not None:
             band = np.concatenate([self._pending, band], axis=0)
             self._pending = None
-        n_full = band.shape[0] // self._mcu_h
+        # Fused device path with restarts: submit whole restart groups only
+        # (groups pack independently on device; a shorter group is legal only
+        # as the image tail, handled in finish()).
+        unit = self._mcu_h
+        if self._dev_encoder is not None and self._restart_rows:
+            unit = self._restart_rows * self._mcu_h
+        n_units = band.shape[0] // unit
+        n_full = n_units * (unit // self._mcu_h)
         if n_full:
             full = band[: n_full * self._mcu_h]
             if self._dev_encoder is not None:
@@ -392,10 +444,13 @@ class StreamingJpegEncoder:
         if self._pending is not None and self._pending.shape[0]:
             part = self._pending
             self._pending = None
-            pad_rows = self._mcu_h - part.shape[0]
-            part = np.concatenate(
-                [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
-            )
+            # Pending may exceed one MCU strip in restart mode (group-aligned
+            # holdback); pad to the next MCU-height multiple.
+            pad_rows = (-part.shape[0]) % self._mcu_h
+            if pad_rows:
+                part = np.concatenate(
+                    [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
+                )
         if self._dev_encoder is not None:
             # Drain the fused device pipeline; the padded partial strip goes
             # through the same device path so the carry chain stays on device.
@@ -409,7 +464,7 @@ class StreamingJpegEncoder:
                 if self._inflight is not None:
                     out += self._dev_encoder.wait(self._inflight)
                 self._inflight = handle
-                self._rows_consumed += self._mcu_h
+                self._rows_consumed += part.shape[0]
             if self._inflight is not None:
                 pending, self._inflight = self._inflight, None
                 out += self._dev_encoder.wait(pending)

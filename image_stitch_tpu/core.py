@@ -224,6 +224,17 @@ class CoreStreamingConcatenator:
         # timings, streaming-efficiency check). SURVEY §5: first-class here,
         # absent in the reference.
         self.stats = PipelineStats()
+        self._mesh_backend = None
+
+    def _resolved_mesh(self):
+        """Normalize options.mesh (Mesh | int | None) to a Mesh | None."""
+        m = self.options.mesh
+        if m is None or not isinstance(m, int):
+            return m
+        from .parallel.mesh import make_mesh
+
+        self.options.mesh = make_mesh(m)
+        return self.options.mesh
 
     # ------------------------------------------------------------------ #
 
@@ -491,9 +502,17 @@ class CoreStreamingConcatenator:
 
         from .ops.pixel import band_to_bytes
 
-        backend = get_backend(
-            self.options.backend, out_header.width * out_header.height
-        )
+        mesh = self._resolved_mesh()
+        if mesh is not None:
+            if self._mesh_backend is None:
+                from .ops.device import JaxBackend
+
+                self._mesh_backend = JaxBackend(mesh=mesh)
+            backend = self._mesh_backend
+        else:
+            backend = get_backend(
+                self.options.backend, out_header.width * out_header.height
+            )
         bpp = get_bytes_per_pixel(out_header.bit_depth, out_header.color_type)
         chunks: list[bytes] = []
         deflator = StreamingDeflator(
@@ -541,14 +560,19 @@ class CoreStreamingConcatenator:
 
         from .ops.backend import resolve_backend_name
 
+        mesh = self._resolved_mesh()
         encoder = StreamingJpegEncoder(
             width=out_header.width,
             height=out_header.height,
             quality=self.options.jpeg_quality,
-            backend=resolve_backend_name(
+            backend="jax"
+            if mesh is not None
+            else resolve_backend_name(
                 self.options.backend, out_header.width * out_header.height
             ),
             sampling=self.options.jpeg_sampling,
+            restart_interval_rows=self.options.jpeg_restart_interval_rows,
+            mesh=mesh,
         )
         yield from encoder.header()
         for canvas in bands:

@@ -436,3 +436,8 @@ class NativeEntropyCoder:
             ctypes.byref(self._state), out.ctypes.data_as(ctypes.c_void_p)
         )
         return out[:n].tobytes()
+
+    def reset(self) -> None:
+        """Zero the bit buffer and DC predictors — the state reset at a
+        restart marker (T.81 E.2.4)."""
+        self._state = EntropyStateC()

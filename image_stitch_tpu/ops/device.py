@@ -18,7 +18,12 @@ so each canvas size compiles exactly twice (full band + final partial band).
 
 Exactness: all integer paths (filter select, placement, conversion) are
 bit-exact by construction. JPEG DCT runs in f32 on device vs f32 on host —
-the quantized outputs are validated equal in tests for 8-bit inputs.
+the quantized outputs are validated equal in tests at production qualities
+(q<=95). At q100 (quant divisor 1) a 1-ULP difference between the XLA and
+numpy matmuls can flip a round-half tie in rare coefficients, so device-
+vs-host *bytes* may differ there; within any one backend (including any
+mesh sharding of it) the output is deterministic and sharded == unsharded
+bytes hold at every quality.
 """
 
 from __future__ import annotations
@@ -272,9 +277,45 @@ class JaxBackend:
     device->host copy without blocking, enabling a one-band-lookahead
     pipeline: the host entropy-codes/deflates band N-1 while the device
     computes band N and its results stream back.
+
+    With ``mesh`` set (a jax.sharding.Mesh with axes ('band', 'x')), the
+    band programs run SPMD: rows shard over 'band' (the 1-row filter halo
+    rides ICI as an XLA-inserted collective-permute), row bytes over 'x'
+    (bpp-byte left halo, same mechanism). The programs are unchanged —
+    sharding is annotation-only, so multi-chip output is bit-identical to
+    single-chip (SURVEY §5 "Distributed communication backend").
     """
 
     name = "jax"
+
+    def __init__(self, mesh=None):
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            # Two variants: row-bytes sharded over 'x' when divisible, else
+            # rows-only. Rows are always made divisible by edge-padding (the
+            # filter argmin is per-row and the carry is input data, so extra
+            # trailing rows change nothing observable).
+            self._filter_jit = jax.jit(
+                filter_select_trace,
+                static_argnames=("bpp",),
+                in_shardings=(NamedSharding(mesh, P("band", "x")), rep),
+            )
+            self._filter_jit_rows_only = jax.jit(
+                filter_select_trace,
+                static_argnames=("bpp",),
+                in_shardings=(NamedSharding(mesh, P("band", None)), rep),
+            )
+            band3d = NamedSharding(mesh, P("band", "x", None))
+            self._quantize_jit = jax.jit(
+                jpeg_quantize_trace, in_shardings=(band3d, rep, rep)
+            )
+        else:
+            self._filter_jit = _filter_select_jit
+            self._filter_jit_rows_only = None
+            self._quantize_jit = _jpeg_quantize_jit
 
     def png_filter_band_async(self, canvas: np.ndarray, prev_row: np.ndarray | None):
         if canvas.dtype == np.uint16:
@@ -288,12 +329,27 @@ class JaxBackend:
             if prev_row is None
             else jnp.asarray(prev_row, dtype=jnp.uint8)
         )
-        out = _filter_select_jit(raw, prev, bpp)
+        h = raw.shape[0]
+        fjit = self._filter_jit
+        if self._mesh is not None:
+            nb = self._mesh.shape["band"]
+            nx = self._mesh.shape["x"]
+            pad = (-h) % nb
+            if pad:
+                # Edge replication keeps the 'last raw row' output exact.
+                raw = jnp.concatenate([raw, jnp.repeat(raw[-1:], pad, axis=0)])
+            if raw.shape[1] % nx:
+                fjit = self._filter_jit_rows_only
+        out = fjit(raw, prev, bpp)
         _start_host_copy(out)
-        return out
+        return (out, h) if self._mesh is not None else out
 
     @staticmethod
     def png_filter_band_wait(pending) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if isinstance(pending, tuple) and len(pending) == 2 and isinstance(pending[1], int):
+            out, h = pending
+            choice, filtered, last = jax.device_get(out)
+            return choice[:h].astype(np.uint8), filtered[:h], last
         choice, filtered, last = jax.device_get(pending)
         return choice.astype(np.uint8), filtered, last
 
@@ -305,7 +361,15 @@ class JaxBackend:
     def jpeg_quantize_band_async(
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ):
-        out = _jpeg_quantize_jit(
+        qjit = self._quantize_jit
+        if self._mesh is not None and (
+            band.shape[0] % self._mesh.shape["band"]
+            or band.shape[1] % self._mesh.shape["x"]
+        ):
+            # Indivisible band: run unsharded (padding would add MCUs and
+            # change the encoded stream).
+            qjit = _jpeg_quantize_jit
+        out = qjit(
             jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
         )
         _start_host_copy(out)

@@ -421,6 +421,41 @@ def jpeg_encode_band_trace(
     return words, total_bits, new_dc, max_block_bits, max_overlap, yb, cbb, crb
 
 
+def jpeg_encode_band_groups_trace(
+    band: jax.Array,  # (8k, W, 4) uint8, W % 8 == 0
+    luma_q: jax.Array,
+    chroma_q: jax.Array,
+    luts: dict,
+    n_groups: int,
+    cap_words: int,  # per group
+):
+    """Fused band program for restart-interval mode: quantize once, then pack
+    each restart group independently (vmapped v2 packer, prev_dc = 0 and
+    bit_base = 0 per group — T.81 E.2.4 restart semantics).
+
+    Groups are byte-aligned in the output stream, so there is no inter-band
+    bit carry at all; the host pads each group's tail byte with 1s, stuffs,
+    and joins groups with RSTn markers.
+    """
+    from .device import jpeg_quantize_trace
+
+    yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
+    nb = yb.shape[0]
+    bpg = nb // n_groups  # blocks per group per component (strip-major)
+    ybg = yb.reshape(n_groups, bpg, 64)
+    cbg = cbb.reshape(n_groups, bpg, 64)
+    crg = crb.reshape(n_groups, bpg, 64)
+
+    def pack_one(y, cb, cr):
+        words, total_bits, _dc, max_bb, max_ov = entropy_pack_trace_v2(
+            y, cb, cr, luts, jnp.zeros(3, jnp.int32), jnp.int32(0), cap_words
+        )
+        return words, total_bits, max_bb, max_ov
+
+    words, bits, max_bb, max_ov = jax.vmap(pack_one)(ybg, cbg, crg)
+    return words, bits, jnp.max(max_bb), jnp.max(max_ov), yb, cbb, crb
+
+
 class DeviceJpegEncoder:
     """Streaming fused device encoder with device-resident carry chain.
 
@@ -428,10 +463,16 @@ class DeviceJpegEncoder:
     the bit offset through *device* arrays so consecutive submissions never
     synchronize with the host; ``wait`` fetches the packed words and applies
     stuffing + the sub-byte carry. One-band lookahead happens in the caller.
+
+    With ``restart_interval_rows`` > 0 the band is packed as independent
+    restart groups (see jpeg_encode_band_groups_trace); the caller must
+    submit group-aligned bands (a final shorter group only at the end).
     """
 
     def __init__(self, luma_q, chroma_q, dc_luma, ac_luma, dc_chroma, ac_chroma,
-                 cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX):
+                 cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX,
+                 restart_interval_rows: int = 0, mcus_per_row: int | None = None,
+                 mesh=None):
         self._lq = jnp.asarray(luma_q)
         self._cq = jnp.asarray(chroma_q)
         self._luts = build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma)
@@ -441,8 +482,44 @@ class DeviceJpegEncoder:
         self._carry_val = 0  # host-side partial-byte value (bits = bit_base)
         self._cap_bits_per_px = cap_bits_per_px
         self._jit = jax.jit(jpeg_encode_band_trace, static_argnames=("cap_words",))
+        self._restart_rows = int(restart_interval_rows)
+        self._mcus_per_row = mcus_per_row
+        self._groups_emitted = 0
+        self._rst_n = 0
+        self._mesh = mesh
+        self._jit_groups_plain = jax.jit(
+            jpeg_encode_band_groups_trace,
+            static_argnames=("n_groups", "cap_words"),
+        )
+        if mesh is not None:
+            # Restart groups are row slabs: sharding band rows over 'band'
+            # distributes whole groups across devices; each packs its own
+            # byte-aligned bitstream with zero cross-device carry.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            band3d = NamedSharding(mesh, P("band", "x", None))
+            rep = NamedSharding(mesh, P())
+            lut_shardings = {k: rep for k in self._luts}
+            self._jit_groups = jax.jit(
+                jpeg_encode_band_groups_trace,
+                static_argnames=("n_groups", "cap_words"),
+                in_shardings=(band3d, rep, rep, lut_shardings),
+            )
+        else:
+            self._jit_groups = self._jit_groups_plain
+
+    def _groups_jit_for(self, shape) -> object:
+        """Sharded jit when the (rows, width) divide the mesh; plain
+        otherwise (indivisible tails, e.g. the final partial group)."""
+        if self._mesh is None:
+            return self._jit_groups
+        if shape[0] % self._mesh.shape["band"] or shape[1] % self._mesh.shape["x"]:
+            return self._jit_groups_plain
+        return self._jit_groups
 
     def submit(self, band: np.ndarray):
+        if self._restart_rows:
+            return self._submit_groups(band)
         band = jnp.asarray(band)
         prev_dc_in = self._prev_dc
         bit_base_in = self._bit_base
@@ -471,7 +548,109 @@ class DeviceJpegEncoder:
             prev_dc_in, bit_base_in,
         )
 
+    def _submit_groups(self, band: np.ndarray):
+        """Restart-group dispatch: the band must hold whole ri-row groups,
+        except a single final shorter group (tail of the image)."""
+        ri = self._restart_rows
+        band = jnp.asarray(band)
+        mcu_rows = band.shape[0] // 8
+        tail_rows = mcu_rows % ri
+        handles = []
+        if mcu_rows - tail_rows:
+            main = band[: (mcu_rows - tail_rows) * 8]
+            n_groups = (mcu_rows - tail_rows) // ri
+            px_per_group = ri * 8 * band.shape[1]
+            cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
+            out = self._groups_jit_for(main.shape)(
+                main, self._lq, self._cq, self._luts, n_groups, cap_words
+            )
+            self._async_copy(out)
+            handles.append((out, n_groups, cap_words))
+        if tail_rows:
+            tail = band[(mcu_rows - tail_rows) * 8 :]
+            px = tail_rows * 8 * band.shape[1]
+            cap_words = max(64, (px * self._cap_bits_per_px + 31) // 32)
+            out = self._groups_jit_for(tail.shape)(
+                tail, self._lq, self._cq, self._luts, 1, cap_words
+            )
+            self._async_copy(out)
+            handles.append((out, 1, cap_words))
+        return ("groups", handles)
+
+    @staticmethod
+    def _async_copy(out) -> None:
+        try:
+            for a in out[:4]:
+                a.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+
+    def _rst_marker(self) -> bytes:
+        m = bytes([0xFF, 0xD0 + self._rst_n])
+        self._rst_n = (self._rst_n + 1) & 7
+        return m
+
+    def _wait_groups(self, handles) -> bytes:
+        out = bytearray()
+        for (res, n_groups, cap_words) in handles:
+            words, bits, max_bb, max_ov, yb, cbb, crb = res
+            if int(max_bb) > LOCAL_WORDS * 32 or int(max_ov) > K_OVERLAP or bool(
+                (np.asarray(bits) > cap_words * 32).any()
+            ):
+                if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
+                    self._cap_bits_per_px = min(
+                        MAX_CAP_BITS_PER_PX, self._cap_bits_per_px * 2
+                    )
+                out += self._host_fallback_groups((yb, cbb, crb), n_groups)
+                continue
+            bits_h = np.asarray(bits)
+            words_h = np.asarray(words)
+            for g in range(n_groups):
+                if self._groups_emitted:
+                    out += self._rst_marker()
+                self._groups_emitted += 1
+                total = int(bits_h[g])
+                n_bytes = (total + 7) // 8
+                data = bytearray(
+                    words_h[g, : (total + 31) // 32].astype(">u4").tobytes()[:n_bytes]
+                )
+                rem = total % 8
+                if rem and n_bytes:
+                    data[-1] |= (1 << (8 - rem)) - 1  # pad with 1s (byte-align)
+                payload = np.frombuffer(bytes(data), dtype=np.uint8)
+                ff = np.nonzero(payload == 0xFF)[0]
+                if len(ff):
+                    payload = np.insert(payload, ff + 1, 0)
+                out += payload.tobytes()
+        return bytes(out)
+
+    def _host_fallback_groups(self, blocks, n_groups: int) -> bytes:
+        """Exact host coding of a group-aligned band (overflow path)."""
+        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder, interleave_mcus
+
+        yb, cbb, crb = (np.asarray(b) for b in blocks)
+        dc_l, ac_l, dc_c, ac_c = self._host_tables
+        enc_l = HuffmanEncoder(dc_l, ac_l)
+        enc_c = HuffmanEncoder(dc_c, ac_c)
+        bpg = yb.shape[0] // n_groups
+        out = bytearray()
+        for g in range(n_groups):
+            if self._groups_emitted:
+                out += self._rst_marker()
+            self._groups_emitted += 1
+            sl = slice(g * bpg, (g + 1) * bpg)
+            packer = BitPacker()
+            yc, yl, _ = enc_l.encode_component_blocks(yb[sl], 0)
+            cbc, cbl, _ = enc_c.encode_component_blocks(cbb[sl], 0)
+            crc, crl, _ = enc_c.encode_component_blocks(crb[sl], 0)
+            codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+            out += packer.pack(codes, lens)
+            out += packer.flush()
+        return bytes(out)
+
     def wait(self, handle) -> bytes:
+        if isinstance(handle, tuple) and handle and handle[0] == "groups":
+            return self._wait_groups(handle[1])
         words, total_bits, cap_words, max_bb, max_ov, blocks, prev_dc_in, _bb = handle
         total_bits = int(total_bits)
         if (

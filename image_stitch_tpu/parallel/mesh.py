@@ -41,6 +41,13 @@ def make_mesh(
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        from ..errors import StitchError
+
+        raise StitchError(
+            f"mesh requests {n} devices but only {len(devices)} are "
+            f"available (jax.devices())"
+        )
     devices = devices[:n]
     if len(axes) == 1:
         return Mesh(np.array(devices), axes)

@@ -143,6 +143,11 @@ class ConcatOptions:
     # '444' (reference parity, default) or '420' (2x2 chroma subsampling:
     # smaller files, faster chroma path).
     jpeg_sampling: str = "444"
+    # Restart marker cadence in MCU rows (0 = none, reference parity).
+    # Restart groups are byte-aligned and reset DC prediction, making the
+    # entropy-coded segment a concatenation of independent chunks — the
+    # enabler for sharded/parallel entropy coding (T.81 B.2.4.4, E.2.4).
+    jpeg_restart_interval_rows: int = 0
     background_color: BackgroundColor = None
     enable_alpha_blending: bool = True
     on_progress: Callable[[int, int], None] | None = None
@@ -160,12 +165,18 @@ class ConcatOptions:
     # 'numpy'/'oracle' (host float64 path matching the reference's JS
     # semantics bit-for-bit).
     backend: str = "auto"
+    # Multi-chip scale-out: a jax.sharding.Mesh with axes ('band', 'x') or an
+    # int device count (first N jax devices, factored near-square). Implies
+    # the device backend for band programs; output bytes are identical to
+    # single-chip (sharding is annotation-only).
+    mesh: Any = None
 
     _CAMEL = {
         "decoderOptions": "decoder_options",
         "outputFormat": "output_format",
         "jpegQuality": "jpeg_quality",
         "jpegSampling": "jpeg_sampling",
+        "jpegRestartIntervalRows": "jpeg_restart_interval_rows",
         "backgroundColor": "background_color",
         "enableAlphaBlending": "enable_alpha_blending",
         "onProgress": "on_progress",
@@ -219,6 +230,8 @@ class ConcatOptions:
             raise StitchError("JPEG quality must be between 1 and 100")
         if self.band_height < 1:
             raise StitchError("band_height must be >= 1")
+        if int(self.jpeg_restart_interval_rows) < 0:
+            raise StitchError("jpeg_restart_interval_rows must be >= 0")
 
 
 def image_header_to_png_header(header: ImageHeader) -> PngHeader:

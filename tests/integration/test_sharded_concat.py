@@ -1,0 +1,138 @@
+"""Multi-chip orchestrator integration: `concat_to_buffer` over a device
+mesh must produce byte-identical output to the single-device and host paths
+(VERDICT r1 item 4; SURVEY §5 "Distributed communication backend" — the
+sharding is annotation-only, so collectives change nothing observable).
+
+Runs on the 8-virtual-CPU-device mesh from conftest.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu import concat_to_buffer
+
+from tests.utils.fixtures import decode_png_pil, png_from_array
+
+
+def noisy_tile(seed: int, w: int = 96, h: int = 80) -> np.ndarray:
+    r = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w).astype(np.uint8)
+    a = np.zeros((h, w, 4), np.uint8)
+    a[:, :, 0] = x[None, :]
+    a[:, :, 1] = seed * 37 % 256
+    a[:, :, 2] = x[None, ::-1]
+    a[:, :, 3] = 255
+    return (
+        (a.astype(np.int16) + r.integers(-10, 11, a.shape)).clip(0, 255).astype(np.uint8)
+    )
+
+
+@pytest.fixture(scope="module")
+def tiles():
+    return [png_from_array(noisy_tile(i)) for i in range(4)]
+
+
+def _run(tiles, mesh=None, backend=None, **extra):
+    opts = {
+        "inputs": tiles,
+        "layout": {"columns": 2},
+        "bandHeight": 48,
+        **extra,
+    }
+    if mesh is not None:
+        opts["mesh"] = mesh
+    if backend is not None:
+        opts["backend"] = backend
+    return concat_to_buffer(opts)
+
+
+def test_sharded_png_bytes_match_host(tiles):
+    shard = _run(tiles, mesh=8)
+    host = _run(tiles, backend="numpy")
+    assert shard == host
+
+
+def test_sharded_png_bytes_match_single_device(tiles):
+    shard = _run(tiles, mesh=8)
+    single = _run(tiles, backend="jax")
+    assert shard == single
+
+
+def test_sharded_jpeg_bytes_match_host(tiles):
+    shard = _run(tiles, mesh=8, outputFormat="jpeg")
+    host = _run(tiles, backend="numpy", outputFormat="jpeg")
+    assert shard == host
+
+
+@pytest.mark.parametrize("ri", [1, 2])
+def test_sharded_jpeg_restart_groups_match_host(tiles, ri):
+    """Restart groups are the parallel-entropy unit: byte-aligned, DC-reset,
+    packed per-device — still byte-identical to the sequential host coder."""
+    kw = {"outputFormat": "jpeg", "jpeg_restart_interval_rows": ri}
+    shard = _run(tiles, mesh=8, **kw)
+    host = _run(tiles, backend="numpy", **kw)
+    single = _run(tiles, backend="jax", **kw)
+    assert shard == host
+    assert shard == single
+
+
+def test_sharded_output_decodes_correctly(tiles):
+    """Independent-oracle check: PIL decode of the sharded PNG equals the
+    assembled input mosaic."""
+    out = _run(tiles, mesh=8)
+    arr = decode_png_pil(out)
+    top = np.concatenate([noisy_tile(0), noisy_tile(1)], axis=1)
+    bot = np.concatenate([noisy_tile(2), noisy_tile(3)], axis=1)
+    np.testing.assert_array_equal(arr, np.concatenate([top, bot], axis=0))
+
+
+def test_mesh_accepts_mesh_object(tiles):
+    from image_stitch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    out = _run(tiles, mesh=mesh)
+    host = _run(tiles, backend="numpy")
+    assert out == host
+
+
+def test_mesh_uneven_band_height(tiles):
+    """Band heights that don't divide the mesh band axis: rows are
+    edge-padded (exact — the per-row argmin and input-data carry are
+    unaffected) and outputs sliced."""
+    shard = _run(tiles, mesh=8, bandHeight=37)
+    host = _run(tiles, backend="numpy", bandHeight=37)
+    assert shard == host
+
+
+def test_mesh_x_indivisible_row_bytes(tiles):
+    """Row bytes not divisible by the 'x' axis fall back to rows-only
+    sharding, still byte-exact (mesh=3 -> x=3, 384 % 3 = 0 but 97px tile
+    gives 388 % 3 != 0)."""
+    from tests.utils.fixtures import png_from_array
+
+    t = png_from_array(noisy_tile(9, w=97, h=41))
+    shard = concat_to_buffer(
+        {"inputs": [t], "layout": {"columns": 1}, "mesh": 3, "bandHeight": 29}
+    )
+    host = concat_to_buffer(
+        {"inputs": [t], "layout": {"columns": 1}, "backend": "numpy", "bandHeight": 29}
+    )
+    assert shard == host
+
+
+def test_mesh_oversubscription_rejected(tiles):
+    from image_stitch_tpu import StitchError
+
+    with pytest.raises(StitchError, match="devices"):
+        _run(tiles, mesh=64)
+
+
+def test_mesh_sharded_matches_single_device_at_q100(tiles):
+    """The multi-chip contract: sharding never changes bytes, even at q100
+    where cross-*backend* f32 DCT ties may differ (see ops/device.py)."""
+    kw = {"outputFormat": "jpeg", "jpegQuality": 100, "jpeg_restart_interval_rows": 1}
+    shard = _run(tiles, mesh=8, **kw)
+    single = _run(tiles, backend="jax", **kw)
+    assert shard == single
