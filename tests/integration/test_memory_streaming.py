@@ -162,3 +162,91 @@ def test_stream_is_demand_driven():
     rest = b"".join(gen)
     assert calls == [1, 1, 1, 1]
     assert rest.endswith(b"IEND\xae\x42\x60\x82")
+
+
+def gradient_tile_png(size: int) -> bytes:
+    """Compressible tile so the 10000^2 PNG proof fits the CI time budget."""
+    x = np.linspace(0, 255, size).astype(np.uint8)
+    arr = np.empty((size, size, 4), dtype=np.uint8)
+    arr[:, :, 0] = x[None, :]
+    arr[:, :, 1] = x[:, None]
+    arr[:, :, 2] = 80
+    arr[:, :, 3] = 255
+    raw = arr.reshape(size, size * 4)
+    types, filtered = filter_select_band(raw, None, 4)
+    payload = np.empty((size, 1 + size * 4), dtype=np.uint8)
+    payload[:, 0] = types
+    payload[:, 1:] = filtered
+    return build_png(
+        PngHeader(width=size, height=size, bit_depth=8, color_type=6),
+        zlib.compress(payload.tobytes(), 1),
+    )
+
+
+def test_10000px_png_memory_budget(tmp_path):
+    """Reference-scale proof: 10000x10000 canvas (400 MB RGBA) streamed to
+    disk under an absolute peak budget (model: memory.test.ts:275-326,
+    10000^2 < 900 MB; tighter here because bands are the only live pixels).
+    One shared tile + input cache = decode-once, like the reference's tiled
+    mega-image tests (memory.test.ts:33-35)."""
+    tile = gradient_tile_png(1000)
+    enable_input_cache()
+    try:
+        opts = {
+            "inputs": [tile] * 100,
+            "layout": {"columns": 10},
+            "band_height": 256,
+            "backend": "numpy",
+            "png_compression_level": 1,
+        }
+        total, report = monitor_memory(lambda: run_streaming(opts, tmp_path))
+    finally:
+        disable_input_cache()
+    assert total > 0
+    assert_memory_below(report, 500 << 20, "10000^2 PNG")
+
+
+def test_10000px_jpeg_memory_and_efficiency(tmp_path):
+    """10000^2 noise -> JPEG: high-entropy output large enough for the
+    reference's 15x streaming-efficiency invariant to bite
+    (memory-monitor.ts:213-234)."""
+    tile = tile_png(1000, seed=7)  # noise tile
+    enable_input_cache()
+    try:
+        opts = {
+            "inputs": [tile] * 100,
+            "layout": {"columns": 10},
+            "band_height": 256,
+            "backend": "numpy",
+            "outputFormat": "jpeg",
+        }
+        total, report = monitor_memory(lambda: run_streaming(opts, tmp_path))
+    finally:
+        disable_input_cache()
+    assert total > 50 << 20  # noise at q85: plenty of entropy
+    assert_memory_below(report, 500 << 20, "10000^2 JPEG")
+    assert_streaming_efficiency(report, total)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STITCH_TPU_BIG_MEMORY_TESTS"),
+    reason="set STITCH_TPU_BIG_MEMORY_TESTS=1 for the 20000^2 tiled proof",
+)
+def test_20000px_tiled_memory_budget(tmp_path):
+    """The reference's largest proof: 20000x20000 tiled (1.6 GB RGBA)
+    < 1.5 GB peak (memory.test.ts:325-326). Opt-in: ~4x the 10000^2 cost."""
+    tile = gradient_tile_png(1000)
+    enable_input_cache()
+    try:
+        opts = {
+            "inputs": [tile] * 400,
+            "layout": {"columns": 20},
+            "band_height": 256,
+            "backend": "numpy",
+            "png_compression_level": 1,
+        }
+        total, report = monitor_memory(lambda: run_streaming(opts, tmp_path))
+    finally:
+        disable_input_cache()
+    assert total > 0
+    assert_memory_below(report, 1500 << 20, "20000^2 tiled PNG")
