@@ -1,11 +1,13 @@
-"""Owned (from-scratch) baseline JPEG decoder — host Huffman + array IDCT.
+"""Owned (from-scratch) JPEG decoder — host Huffman + array IDCT.
 
 Tier-2 decoder used when PIL is unavailable or ``force_owned`` is set,
 mirroring the reference's pure-JS jpeg-js fallback (jpeg-decoder.ts:250-262).
-Supports baseline sequential DCT (SOF0/SOF1), grayscale and 3-component
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, and custom
-quant/Huffman tables. The bitstream walk is host-serial (as it must be);
-dequantize + IDCT + upsample + color convert are vectorized over all blocks.
+Supports baseline sequential DCT (SOF0/SOF1) and progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 §G), grayscale and
+3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals,
+and custom quant/Huffman tables. The bitstream walk is host-serial (as it
+must be); dequantize + IDCT + upsample + color convert are vectorized over
+all blocks.
 """
 
 from __future__ import annotations
@@ -155,6 +157,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     pos = 2
 
     while pos + 4 <= len(data):
@@ -197,7 +201,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 i += n
                 table = _HuffDecoder(bits, vals)
                 (ac_tables if tc else dc_tables)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise StitchError(f"Unsupported JPEG precision: {precision}")
@@ -214,11 +219,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                         f"{h}x{v} out of range 1..4"
                     )
                 comps.append(_Component(cid, h, v, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise StitchError(
-                "Owned JPEG decoder supports baseline sequential only "
-                f"(got SOF marker 0xFF{marker:02X}); install PIL for "
-                "progressive/extended JPEGs"
+                "Owned JPEG decoder supports baseline sequential and "
+                f"progressive only (got SOF marker 0xFF{marker:02X}); install "
+                "PIL for lossless/arithmetic/hierarchical JPEGs"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
@@ -235,13 +240,39 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 order.append(comp)
             scan_start = pos + 2 + seg_len
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    data, scan_start, width, height, comps, order,
+                    qtables, dc_tables, ac_tables, restart_interval,
+                )
+            # Progressive: accumulate coefficients scan by scan
+            # (T.81 G.2; reference parity: jpeg-decoder.ts:250-262 via
+            # jpeg-js decodeScan successive approximation).
+            if not comps or width == 0 or height == 0:
+                raise StitchError("Invalid JPEG: missing SOF before SOS")
+            if comps[0].blocks is None:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                for c in comps:
+                    c.bx = mcux * c.h
+                    c.by = mcuy * c.v
+                    c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            end = _decode_progressive_scan(
                 data, scan_start, width, height, comps, order,
-                qtables, dc_tables, ac_tables, restart_interval,
+                dc_tables, ac_tables, restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
+            pos = end
+            continue
         elif marker == 0xD9:
             break
         pos += 2 + seg_len
+    if progressive and saw_scan:
+        return _finish_decode(width, height, comps, qtables)
     raise StitchError("Invalid JPEG: no SOS marker found")
 
 
@@ -310,6 +341,181 @@ def _decode_scan(
     return _finish_decode(width, height, comps, qtables)
 
 
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next non-RST, non-stuffing marker at/after ``pos``
+    (entropy-coded data only ever contains 0xFF00 and RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data, scan_start, width, height, comps, order,
+    dc_tables, ac_tables, restart_interval, ss, se, ah, al,
+) -> int:
+    """Decode one progressive scan into the components' coefficient arrays
+    (T.81 G.2: DC/AC first scans and successive-approximation refinements;
+    structure mirrors libjpeg jdphuff.c). Returns the stream position of the
+    marker following the scan."""
+    br = _BitReader(data, scan_start)
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    def refine_nonzero(blk, z) -> None:
+        if br.bit():
+            if (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] >= 0 else m1
+
+    def decode_ac_first(blk) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise StitchError("AC coefficient index out of range")
+            blk[ZIGZAG[k]] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def decode_ac_refine(blk) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_t.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    # s is always 1 in refinement scans
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z] != 0:
+                        refine_nonzero(blk, z)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    refine_nonzero(blk, z)
+                k += 1
+            eobrun -= 1
+
+    preds = {c.comp_id: 0 for c in comps}
+
+    def restart_sync() -> None:
+        nonlocal eobrun
+        br.sync_restart()
+        eobrun = 0
+        for cid in preds:
+            preds[cid] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise StitchError("Invalid progressive scan: DC scan with Se != 0")
+        # DC scans may be interleaved (MCU order) or single-component.
+        unit_count = 0
+        if len(order) > 1 or (len(comps) == 1):
+            iterspace = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            for my, mx in iterspace:
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    restart_sync()
+                for c in order:
+                    for v in range(c.v):
+                        for hh in range(c.h):
+                            blk = c.blocks[(my * c.v + v) * c.bx + (mx * c.h + hh)]
+                            if ah == 0:
+                                dc_t = dc_tables.get(c.td)
+                                if dc_t is None:
+                                    raise StitchError("Missing DC Huffman table")
+                                s = dc_t.decode(br)
+                                preds[c.comp_id] += _extend(br.bits(s), s)
+                                blk[0] = preds[c.comp_id] << al
+                            else:
+                                blk[0] |= br.bit() << al
+                unit_count += 1
+        else:
+            c = order[0]
+            comp_w = -(-width * c.h // hmax)
+            comp_h = -(-height * c.v // vmax)
+            wb, hb = -(-comp_w // 8), -(-comp_h // 8)
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart_interval and unit_count and unit_count % restart_interval == 0:
+                        restart_sync()
+                    blk = c.blocks[by * c.bx + bx]
+                    if ah == 0:
+                        dc_t = dc_tables.get(c.td)
+                        if dc_t is None:
+                            raise StitchError("Missing DC Huffman table")
+                        s = dc_t.decode(br)
+                        preds[c.comp_id] += _extend(br.bits(s), s)
+                        blk[0] = preds[c.comp_id] << al
+                    else:
+                        blk[0] |= br.bit() << al
+                    unit_count += 1
+    else:
+        # AC scans are always single-component (T.81 G.1.1.1).
+        if len(order) != 1:
+            raise StitchError("Invalid progressive scan: interleaved AC scan")
+        c = order[0]
+        ac_t = ac_tables.get(c.ta)
+        if ac_t is None:
+            raise StitchError("Missing AC Huffman table")
+        comp_w = -(-width * c.h // hmax)
+        comp_h = -(-height * c.v // vmax)
+        wb, hb = -(-comp_w // 8), -(-comp_h // 8)
+        unit_count = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    restart_sync()
+                blk = c.blocks[by * c.bx + bx]
+                if ah == 0:
+                    decode_ac_first(blk)
+                else:
+                    decode_ac_refine(blk)
+                unit_count += 1
+
+    return _next_marker_pos(data, scan_start)
+
+
 def _decode_scan_native(
     data, scan_start, comps, order, dc_tables, ac_tables,
     mcux, mcuy, restart_interval,
@@ -363,7 +569,11 @@ def _decode_scan_native(
 
 
 def _finish_decode(width, height, comps, qtables) -> np.ndarray:
-    """Dequantize + IDCT + upsample + color-convert (vectorized)."""
+    """Dequantize + IDCT + upsample + color-convert, bit-identical to
+    libjpeg (islow IDCT, fancy upsampling, fixed-point YCbCr->RGB — see
+    codecs/jpeg/libjpeg_exact.py). Vectorized over all blocks."""
+    from .libjpeg_exact import idct_islow_blocks, upsample_plane, ycc_to_rgb
+
     vmax = max(c.v for c in comps)
     hmax = max(c.h for c in comps)
     planes = []
@@ -371,18 +581,20 @@ def _finish_decode(width, height, comps, qtables) -> np.ndarray:
         q = qtables.get(c.tq)
         if q is None:
             raise StitchError(f"Missing quantization table {c.tq}")
-        coefs = (c.blocks * q[None, :]).astype(np.float32).reshape(-1, 8, 8)
-        pix = (_DCT.T @ coefs) @ _DCT
-        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        coefs = (c.blocks.astype(np.int64) * q[None, :]).reshape(-1, 8, 8)
+        pix = idct_islow_blocks(coefs)
         plane = (
             pix.reshape(c.by, c.bx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(c.by * 8, c.bx * 8)
         )
-        # Upsample to full resolution (nearest/box like libjpeg "fancy off").
-        ry, rx = vmax // c.v, hmax // c.h
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        # Crop to the component's real (downsampled) size before upsampling:
+        # libjpeg's fancy filters replicate at the true edge, not the MCU
+        # padding (jdsample.c uses downsampled_width).
+        comp_w = -(-width * c.h // hmax)
+        comp_h = -(-height * c.v // vmax)
+        plane = plane[:comp_h, :comp_w]
+        plane = upsample_plane(plane, hmax // c.h, vmax // c.v)
         planes.append(plane[:height, :width])
 
     if len(planes) == 1:
@@ -390,12 +602,4 @@ def _finish_decode(width, height, comps, qtables) -> np.ndarray:
         return np.stack([g, g, g], axis=-1)
     if len(planes) != 3:
         raise StitchError(f"Unsupported JPEG component count: {len(planes)}")
-    y = planes[0].astype(np.float32)
-    cb = planes[1].astype(np.float32) - 128.0
-    cr = planes[2].astype(np.float32) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(
-        np.round(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.uint8)
+    return ycc_to_rgb(planes[0], planes[1], planes[2])
