@@ -458,6 +458,21 @@ class CoreStreamingConcatenator:
         band_h = opts.band_height
         blend = opts.enable_alpha_blending is not False
 
+        # Device compositor (one fused program per band) for 8-bit alpha
+        # blending on the jax backend or a mesh; exact-tie bands replay
+        # through the host float64 oracle (ops/composite_device.py).
+        compositor = None
+        if blend and dtype == np.uint8:
+            mesh = self._resolved_mesh()
+            from .ops.backend import resolve_backend_name
+
+            if mesh is not None or resolve_backend_name(
+                opts.backend, out_header.width * out_header.height
+            ) == "jax":
+                from .ops.composite_device import DeviceCompositor
+
+                compositor = DeviceCompositor(mesh=mesh)
+
         plans = build_band_plan(placed, out_header.height, band_h)
         # Per-image caches: positioned images can span bands; rows are read
         # once and in order (sources are streams). Because z-order within a
@@ -469,6 +484,7 @@ class CoreStreamingConcatenator:
             h = min(band_h, out_header.height - band_y0)
             canvas = np.empty((h, out_header.width, 4), dtype=dtype)
             canvas[:] = bg
+            seg_rows: list[tuple[np.ndarray, int, int]] = []
             for seg in segs:
                 src = sources[seg.image_idx]
                 clip = clip_by_idx.get(seg.image_idx)
@@ -482,10 +498,17 @@ class CoreStreamingConcatenator:
                 rows = src.take(want_hi - max(want_lo, src.rows_served))
                 seg_w = seg.end_x - seg.start_x
                 rows = rows[:, src_off_x : src_off_x + seg_w]
+                seg_rows.append((rows, seg.band_y0, seg.start_x))
+            if compositor is not None and seg_rows:
+                blended = compositor.composite_band(canvas, seg_rows)
+                if blended is not None:
+                    yield blended
+                    continue
+            for rows, seg_y0, start_x in seg_rows:
                 composite_band(
-                    canvas[seg.band_y0 : seg.band_y0 + rows.shape[0]],
+                    canvas[seg_y0 : seg_y0 + rows.shape[0]],
                     rows,
-                    start_x=seg.start_x,
+                    start_x=start_x,
                     use_alpha_blending=blend,
                 )
             yield canvas

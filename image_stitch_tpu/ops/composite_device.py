@@ -1,0 +1,164 @@
+"""Device-side positioned alpha compositing — the fused band pass.
+
+The reference composites one scanline at a time with per-pixel float64 JS
+(pixel-ops.ts:646-744). The TPU-native redesign blends a whole band's
+z-sorted segment stack in ONE device program: a ``lax.scan`` over uniformly
+padded segments, each step alpha-over-ing its window into the band canvas
+with ``dynamic_update_slice``.
+
+Exactness story (vs the frozen float64 contract, SURVEY §7 item 3):
+the blend is computed in *exact integer rationals* —
+
+    blended = round_half_up((s*255*As + d*Ad*(255-As)) / (255*As + Ad*(255-As)))
+    new_a   = round_half_up((255*As + Ad*(255-As)) / 255)
+
+For 8-bit inputs these rationals have denominator <= 2*65025, so any value
+not EXACTLY on a .5 boundary is > 7.6e-6 away from it, while the float64
+evaluation error is ~1e-13: integer-rational and float64 rounding can only
+disagree at exact rational ties. (Verified exhaustively: 165,805 of the 4.2e9
+possible (s, d, As, Ad) combos tie-flip; the alpha channel can never tie —
+2*Na is even, 255*(2k+1) is odd.) The kernel therefore *detects* ties
+exactly ((2*num) mod (2*den) == den) and the caller replays any band
+containing one through the host float64 oracle (ops/pixel.composite_band).
+Production content (opaque or smoothly-varying alpha) essentially never
+ties, so the device path is the fast path and the result is bit-identical
+to the reference everywhere.
+
+16-bit bands stay on the host oracle (their rationals need 64-bit
+intermediates the TPU path doesn't carry).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _alpha_over_window_u8(dest: jax.Array, src: jax.Array, valid: jax.Array):
+    """Exact integer-rational alpha 'over' of src onto dest (both (h, w, 4)
+    uint8), with tie detection. ``valid`` masks the real segment area.
+
+    Returns (out (h, w, 4) uint8, ties (h, w) bool).
+    """
+    s = src.astype(jnp.int32)
+    d = dest.astype(jnp.int32)
+    a_s = jnp.where(valid, s[:, :, 3], 0)
+    a_d = d[:, :, 3]
+
+    copy = a_s == 255
+    blend = (a_s > 0) & ~copy
+
+    den = 255 * a_s + a_d * (255 - a_s)  # 255^2 * out_alpha, >= 255 when blending
+    den_safe = jnp.maximum(den, 1)
+    num = s[:, :, :3] * (255 * a_s)[:, :, None] + d[:, :, :3] * (
+        a_d * (255 - a_s)
+    )[:, :, None]
+    q = (2 * num + den_safe[:, :, None]) // (2 * den_safe[:, :, None])
+    new_a = (2 * den + 255) // 510
+
+    tie = blend & jnp.any(
+        (2 * num) % (2 * den_safe[:, :, None]) == den_safe[:, :, None], axis=2
+    )
+
+    out_rgb = jnp.where(
+        copy[:, :, None], s[:, :, :3], jnp.where(blend[:, :, None], q, d[:, :, :3])
+    )
+    out_a = jnp.where(copy, s[:, :, 3], jnp.where(blend, new_a, a_d))
+    out = jnp.concatenate([out_rgb, out_a[:, :, None]], axis=2).astype(jnp.uint8)
+    return out, tie
+
+
+def _composite_band_trace(canvas: jax.Array, srcs: jax.Array, metas: jax.Array):
+    """Blend S z-ordered segments into a padded band canvas.
+
+    canvas: (Hp, Wp, 4) uint8, padded by (hmax, wmax) bottom/right so every
+    window slice is in bounds. srcs: (S, hmax, wmax, 4) uint8 (padding rows/
+    cols have alpha 0 = no-op). metas: (S, 4) int32 rows (y0, x0, h, w).
+    Returns (canvas, tie_count).
+    """
+    s_count, hmax, wmax, _ = srcs.shape
+    rows = jnp.arange(hmax, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(wmax, dtype=jnp.int32)[None, :]
+
+    def step(carry, xs):
+        canvas, ties = carry
+        src, meta = xs
+        y0, x0, h, w = meta[0], meta[1], meta[2], meta[3]
+        valid = (rows < h) & (cols < w)
+        window = jax.lax.dynamic_slice(canvas, (y0, x0, 0), (hmax, wmax, 4))
+        out, tie = _alpha_over_window_u8(window, src, valid)
+        canvas = jax.lax.dynamic_update_slice(canvas, out, (y0, x0, 0))
+        return (canvas, ties + jnp.sum(tie.astype(jnp.int32))), None
+
+    (canvas, ties), _ = jax.lax.scan(
+        step, (canvas, jnp.int32(0)), (srcs, metas)
+    )
+    return canvas, ties
+
+
+@functools.lru_cache(maxsize=64)
+def _composite_jit(mesh=None):
+    if mesh is None:
+        return jax.jit(_composite_band_trace)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # Segments run in z-order (sequential scan); parallelism is spatial:
+    # canvas rows over 'band', columns over 'x'. XLA inserts the halo/
+    # gather collectives for the dynamic window slices.
+    return jax.jit(
+        _composite_band_trace,
+        in_shardings=(
+            NamedSharding(mesh, P("band", "x", None)),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ),
+    )
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class DeviceCompositor:
+    """Per-band fused compositing with host-oracle fallback on ties."""
+
+    def __init__(self, mesh=None):
+        self._mesh = mesh
+        self.bands_on_device = 0
+        self.bands_fallback = 0
+
+    def composite_band(
+        self, canvas: np.ndarray, segments: list[tuple[np.ndarray, int, int]]
+    ) -> np.ndarray | None:
+        """Blend ``segments`` = [(rows (h, w, 4) uint8, band_y0, start_x)]
+        (z-sorted, back to front) into ``canvas`` (H, W, 4) uint8.
+
+        Returns the blended band, or None when this band must take the host
+        oracle (16-bit, or an exact rational tie was detected).
+        """
+        if canvas.dtype != np.uint8 or not segments:
+            return None
+        h_canvas, w_canvas = canvas.shape[:2]
+        s_cap = _next_pow2(len(segments))
+        hmax = _next_pow2(max(r.shape[0] for r, _, _ in segments))
+        wmax = _next_pow2(max(r.shape[1] for r, _, _ in segments))
+        # Shape buckets keep the compile count logarithmic in scene size.
+        srcs = np.zeros((s_cap, hmax, wmax, 4), dtype=np.uint8)
+        metas = np.zeros((s_cap, 4), dtype=np.int32)
+        for i, (rows, y0, x0) in enumerate(segments):
+            srcs[i, : rows.shape[0], : rows.shape[1]] = rows
+            metas[i] = (y0, x0, rows.shape[0], rows.shape[1])
+        padded = np.zeros((h_canvas + hmax, w_canvas + wmax, 4), dtype=np.uint8)
+        padded[:h_canvas, :w_canvas] = canvas
+        out, ties = _composite_jit(self._mesh)(padded, srcs, metas)
+        if int(ties):
+            # Exact rational tie: float64 rounding may differ — replay the
+            # band through the host oracle (see module docstring).
+            self.bands_fallback += 1
+            return None
+        self.bands_on_device += 1
+        return np.asarray(out)[:h_canvas, :w_canvas]
