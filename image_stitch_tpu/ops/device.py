@@ -290,6 +290,13 @@ class JaxBackend:
 
     def __init__(self, mesh=None):
         self._mesh = mesh
+        # Pallas kernels (VMEM-resident filter candidates / MXU DCT tiles):
+        # opt-in via STITCH_TPU_PALLAS=1 on a real TPU; bit-exact vs the XLA
+        # traces (tested in interpret mode on CPU). Mesh path stays on the
+        # sharded XLA programs.
+        from .pallas_kernels import pallas_enabled
+
+        self._pallas = mesh is None and pallas_enabled()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -329,6 +336,12 @@ class JaxBackend:
             if prev_row is None
             else jnp.asarray(prev_row, dtype=jnp.uint8)
         )
+        if self._pallas:
+            from .pallas_kernels import filter_select_pallas
+
+            out = filter_select_pallas(raw, prev, bpp)
+            _start_host_copy(out)
+            return out
         h = raw.shape[0]
         fjit = self._filter_jit
         if self._mesh is not None:
@@ -361,6 +374,14 @@ class JaxBackend:
     def jpeg_quantize_band_async(
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ):
+        if self._pallas:
+            from .pallas_kernels import jpeg_quantize_pallas
+
+            out = jpeg_quantize_pallas(
+                jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
+            )
+            _start_host_copy(out)
+            return out
         qjit = self._quantize_jit
         if self._mesh is not None and (
             band.shape[0] % self._mesh.shape["band"]

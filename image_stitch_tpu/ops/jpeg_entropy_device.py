@@ -403,6 +403,7 @@ def jpeg_encode_band_trace(
     prev_dc: jax.Array,  # (3,) int32 — device-resident carry
     bit_base: jax.Array,  # () int32 — device-resident carry
     cap_words: int,
+    use_pallas: bool = False,
 ):
     """The fully fused band program: YCbCr + DCT + quantize + entropy pack
     (scatter-free v2 packer).
@@ -412,9 +413,12 @@ def jpeg_encode_band_trace(
     blocks are additional outputs that are fetched *only* in the rare
     local-capacity-overflow fallback.
     """
-    from .device import jpeg_quantize_trace
+    if use_pallas:
+        from .pallas_kernels import jpeg_quantize_pallas as _quantize
+    else:
+        from .device import jpeg_quantize_trace as _quantize
 
-    yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
+    yb, cbb, crb = _quantize(band, luma_q, chroma_q)
     words, total_bits, new_dc, max_block_bits, max_overlap = entropy_pack_trace_v2(
         yb, cbb, crb, luts, prev_dc, bit_base, cap_words
     )
@@ -428,6 +432,7 @@ def jpeg_encode_band_groups_trace(
     luts: dict,
     n_groups: int,
     cap_words: int,  # per group
+    use_pallas: bool = False,
 ):
     """Fused band program for restart-interval mode: quantize once, then pack
     each restart group independently (vmapped v2 packer, prev_dc = 0 and
@@ -437,9 +442,12 @@ def jpeg_encode_band_groups_trace(
     bit carry at all; the host pads each group's tail byte with 1s, stuffs,
     and joins groups with RSTn markers.
     """
-    from .device import jpeg_quantize_trace
+    if use_pallas:
+        from .pallas_kernels import jpeg_quantize_pallas as _quantize
+    else:
+        from .device import jpeg_quantize_trace as _quantize
 
-    yb, cbb, crb = jpeg_quantize_trace(band, luma_q, chroma_q)
+    yb, cbb, crb = _quantize(band, luma_q, chroma_q)
     nb = yb.shape[0]
     bpg = nb // n_groups  # blocks per group per component (strip-major)
     ybg = yb.reshape(n_groups, bpg, 64)
@@ -481,7 +489,12 @@ class DeviceJpegEncoder:
         self._bit_base = jnp.int32(0)
         self._carry_val = 0  # host-side partial-byte value (bits = bit_base)
         self._cap_bits_per_px = cap_bits_per_px
-        self._jit = jax.jit(jpeg_encode_band_trace, static_argnames=("cap_words",))
+        from .pallas_kernels import pallas_enabled
+
+        self._use_pallas = mesh is None and pallas_enabled()
+        self._jit = jax.jit(
+            jpeg_encode_band_trace, static_argnames=("cap_words", "use_pallas")
+        )
         self._restart_rows = int(restart_interval_rows)
         self._mcus_per_row = mcus_per_row
         self._groups_emitted = 0
@@ -489,7 +502,7 @@ class DeviceJpegEncoder:
         self._mesh = mesh
         self._jit_groups_plain = jax.jit(
             jpeg_encode_band_groups_trace,
-            static_argnames=("n_groups", "cap_words"),
+            static_argnames=("n_groups", "cap_words", "use_pallas"),
         )
         if mesh is not None:
             # Restart groups are row slabs: sharding band rows over 'band'
@@ -502,7 +515,7 @@ class DeviceJpegEncoder:
             lut_shardings = {k: rep for k in self._luts}
             self._jit_groups = jax.jit(
                 jpeg_encode_band_groups_trace,
-                static_argnames=("n_groups", "cap_words"),
+                static_argnames=("n_groups", "cap_words", "use_pallas"),
                 in_shardings=(band3d, rep, rep, lut_shardings),
             )
         else:
@@ -533,6 +546,7 @@ class DeviceJpegEncoder:
             prev_dc_in,
             bit_base_in,
             cap_words=cap_words,
+            use_pallas=self._use_pallas,
         )
         # Thread the carry on-device; no host synchronization here.
         self._prev_dc = new_dc
@@ -562,7 +576,8 @@ class DeviceJpegEncoder:
             px_per_group = ri * 8 * band.shape[1]
             cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(main.shape)(
-                main, self._lq, self._cq, self._luts, n_groups, cap_words
+                main, self._lq, self._cq, self._luts, n_groups, cap_words,
+                self._use_pallas,
             )
             self._async_copy(out)
             handles.append((out, n_groups, cap_words))
@@ -571,7 +586,8 @@ class DeviceJpegEncoder:
             px = tail_rows * 8 * band.shape[1]
             cap_words = max(64, (px * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(tail.shape)(
-                tail, self._lq, self._cq, self._luts, 1, cap_words
+                tail, self._lq, self._cq, self._luts, 1, cap_words,
+                self._use_pallas,
             )
             self._async_copy(out)
             handles.append((out, 1, cap_words))

@@ -138,13 +138,19 @@ def _dct_matrix() -> np.ndarray:
     return m.astype(np.float32)
 
 
-def _dct_kernel(plane_ref, dctm_ref, invq_ref, out_ref):
+def _dct_kernel(plane_ref, dctm_ref, q_ref, out_ref):
     """One (8, 128) tile = 16 blocks side by side: DCT cols via matmul on the
-    (8, 128) tile, DCT rows per 8-lane group, then quantize."""
+    (8, 128) tile, DCT rows per 8-lane group, then quantize.
+
+    Bit-exactness: full-f32 matmuls (precision=HIGHEST, same association as
+    ops/device.jpeg_quantize_trace) and DIVISION by the quant table with the
+    same round-half-away — so pallas output == XLA trace == host numpy."""
     x = plane_ref[:].astype(jnp.float32)  # (8, 128): 16 blocks of (8, 8)
     m = dctm_ref[:]  # (8, 8)
     # Column transform: C @ X for all 16 blocks at once (MXU).
-    cx = jnp.dot(m, x, preferred_element_type=jnp.float32)  # (8, 128)
+    cx = jnp.dot(
+        m, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )  # (8, 128)
     # Row transform per block: reshape lanes into (16, 8) groups.
     blocks = cx.reshape(8, 16, 8).transpose(1, 0, 2)  # (16, 8, 8)
     coefs = jax.lax.dot_general(
@@ -152,8 +158,9 @@ def _dct_kernel(plane_ref, dctm_ref, invq_ref, out_ref):
         m.T,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (16, 8, 8)
-    scaled = coefs * invq_ref[:].reshape(1, 8, 8)
+    scaled = coefs / q_ref[:].reshape(1, 8, 8)
     rounded = jnp.where(scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5))
     out_ref[:] = rounded.astype(jnp.int16).reshape(16, 64)
 
@@ -164,7 +171,7 @@ def dct8_pallas(plane: jax.Array, qtable: jax.Array, interpret: bool = False):
     Returns (H/8 * W/8, 64) int16 quantized blocks in strip-major order."""
     h, w = plane.shape
     dctm = jnp.asarray(_dct_matrix())
-    invq = (1.0 / qtable.reshape(8, 8).astype(jnp.float32))
+    q = qtable.reshape(8, 8).astype(jnp.float32)
     grid = (h // 8, w // 128)
     out = pl.pallas_call(
         _dct_kernel,
@@ -178,5 +185,56 @@ def dct8_pallas(plane: jax.Array, qtable: jax.Array, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h // 8 * (w // 128) * 16, 64), jnp.int16),
         interpret=interpret,
-    )(plane, dctm, invq)
+    )(plane, dctm, q)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Full JPEG quantize stage (YCbCr + DCT + quantize) via the pallas DCT
+# --------------------------------------------------------------------------- #
+
+
+def jpeg_quantize_pallas(
+    band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array, interpret: bool = False
+):
+    """Drop-in for ops/device.jpeg_quantize_trace using dct8_pallas.
+
+    band: (H, W, 4) uint8, H%8 == 0, W%8 == 0. Width is padded to the
+    128-lane tile internally; the padded blocks are sliced away, so block
+    order and values match the XLA trace exactly.
+    """
+    h, w, _ = band.shape
+    r = band[:, :, 0].astype(jnp.float32)
+    g = band[:, :, 1].astype(jnp.float32)
+    b = band[:, :, 2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    w_pad = max(128, -(-w // 128) * 128)
+
+    def one(plane, q):
+        if w_pad != w:
+            plane = jnp.pad(plane, ((0, 0), (0, w_pad - w)))
+        blocks = dct8_pallas(plane, q, interpret=interpret)
+        if w_pad != w:
+            blocks = blocks.reshape(h // 8, w_pad // 8, 64)[:, : w // 8].reshape(
+                -1, 64
+            )
+        return blocks
+
+    return one(y, luma_q), one(cb, chroma_q), one(cr, chroma_q)
+
+
+def pallas_enabled() -> bool:
+    """Production gate for the pallas kernels: explicitly requested AND a
+    real TPU backend is active (on CPU pallas only runs in interpret mode,
+    which is for tests)."""
+    import os
+
+    if os.environ.get("STITCH_TPU_PALLAS") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
