@@ -86,6 +86,9 @@ def run_streaming(opts) -> tuple[float, int]:
 def build_config(backend: str):
     band = int(os.environ.get("BENCH_BAND", "512"))
     base = {"backend": backend, "band_height": band}
+    restart = int(os.environ.get("BENCH_RESTART", "0"))
+    if restart:
+        base["jpeg_restart_interval_rows"] = restart
     if CONFIG == "grid_jpeg":
         tiles = [make_tile_png(s, TILE) for s in range(min(GRID * GRID, 8))]
         inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]

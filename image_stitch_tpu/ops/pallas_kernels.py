@@ -56,8 +56,16 @@ def _filter_kernel(raw_ref, up_ref, out_ref, types_ref, *, bpp: int, n_valid: in
         signed = jnp.where(c > 127, c - 256, c)
         return jnp.sum(jnp.where(valid, jnp.abs(signed), 0), axis=1)
 
-    sums = jnp.stack([score(c0), score(c1), score(c2), score(c3), score(c4)])
-    choice = jnp.argmin(sums, axis=0).astype(jnp.int32)  # first min wins
+    # First-min selection unrolled over the 5 candidates (strict < keeps the
+    # earlier filter on ties, png-filter.ts:166-178). Mosaic has no integer
+    # argmin lowering; the unrolled compare chain is equivalent and cheap.
+    best = score(c0)
+    choice = jnp.zeros_like(best)
+    for k, c in enumerate((c1, c2, c3, c4), start=1):
+        s = score(c)
+        better = s < best
+        choice = jnp.where(better, k, choice)
+        best = jnp.where(better, s, best)
 
     ch = choice[:, None]
     out = jnp.where(
@@ -138,31 +146,39 @@ def _dct_matrix() -> np.ndarray:
     return m.astype(np.float32)
 
 
-def _dct_kernel(plane_ref, dctm_ref, q_ref, out_ref):
-    """One (8, 128) tile = 16 blocks side by side: DCT cols via matmul on the
-    (8, 128) tile, DCT rows per 8-lane group, then quantize.
+def _dct_kernel(plane_ref, dctm_ref, mtbd_ref, qtile_ref, out_ref):
+    """One (8, 128) tile = 16 blocks side by side: DCT columns via one
+    (8,8)@(8,128) matmul, DCT rows via one (8,128)@(128,128) matmul against
+    a block-diagonal stack of 16 copies of M^T (Mosaic has no lane-dim 3D
+    reshape, and adding exact f32 zeros never changes a sum, so the
+    block-diagonal contraction is both legal and value-identical).
 
     Bit-exactness: full-f32 matmuls (precision=HIGHEST, same association as
     ops/device.jpeg_quantize_trace) and DIVISION by the quant table with the
     same round-half-away — so pallas output == XLA trace == host numpy."""
     x = plane_ref[:].astype(jnp.float32)  # (8, 128): 16 blocks of (8, 8)
     m = dctm_ref[:]  # (8, 8)
-    # Column transform: C @ X for all 16 blocks at once (MXU).
     cx = jnp.dot(
         m, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )  # (8, 128)
-    # Row transform per block: reshape lanes into (16, 8) groups.
-    blocks = cx.reshape(8, 16, 8).transpose(1, 0, 2)  # (16, 8, 8)
-    coefs = jax.lax.dot_general(
-        blocks,
-        m.T,
-        dimension_numbers=(((2,), (0,)), ((), ())),
+    coefs = jnp.dot(
+        cx,
+        mtbd_ref[:],  # (128, 128) block-diag of M^T
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (16, 8, 8)
-    scaled = coefs / q_ref[:].reshape(1, 8, 8)
+    )  # (8, 128)
+    scaled = coefs / qtile_ref[:]  # (8, 128) q tiled 16x along lanes
     rounded = jnp.where(scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5))
-    out_ref[:] = rounded.astype(jnp.int16).reshape(16, 64)
+    out_ref[:] = rounded.astype(jnp.int16)
+
+
+@functools.lru_cache(maxsize=1)
+def _mt_block_diag() -> np.ndarray:
+    m = _dct_matrix()
+    bd = np.zeros((128, 128), dtype=np.float32)
+    for j in range(16):
+        bd[j * 8 : (j + 1) * 8, j * 8 : (j + 1) * 8] = m.T
+    return bd
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -171,7 +187,9 @@ def dct8_pallas(plane: jax.Array, qtable: jax.Array, interpret: bool = False):
     Returns (H/8 * W/8, 64) int16 quantized blocks in strip-major order."""
     h, w = plane.shape
     dctm = jnp.asarray(_dct_matrix())
-    q = qtable.reshape(8, 8).astype(jnp.float32)
+    mtbd = jnp.asarray(_mt_block_diag())
+    q8 = qtable.reshape(8, 8).astype(jnp.float32)
+    qtile = jnp.tile(q8, (1, 16))  # (8, 128)
     grid = (h // 8, w // 128)
     out = pl.pallas_call(
         _dct_kernel,
@@ -179,14 +197,18 @@ def dct8_pallas(plane: jax.Array, qtable: jax.Array, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, 64), lambda i, j: (i * (w // 128) + j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h // 8 * (w // 128) * 16, 64), jnp.int16),
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int16),
         interpret=interpret,
-    )(plane, dctm, q)
-    return out
+    )(plane, dctm, mtbd, qtile)
+    # (H, W) coefficient layout -> strip-major (H/8 * W/8, 64) natural-order
+    # blocks (an XLA reshape outside the kernel, fused into the consumer).
+    return (
+        out.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Warm the persistent JAX compile cache with every device program the
+benchmarks need, via AOT lower+compile (no data upload).
+
+Remote TPU compiles on this link take minutes and degrade through a
+session (CLAUDE.md); run this ONCE in the background, then benchmark
+against the warm cache. Idempotent: cached programs compile in ~ms.
+
+Usage: python scripts/warm_tpu_cache.py [band_h] [canvas_w]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import ShapeDtypeStruct as S
+
+BAND_H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+CANVAS_W = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def timed(label: str, fn) -> None:
+    t0 = time.perf_counter()
+    try:
+        fn()
+        log(f"{label}: compiled in {time.perf_counter() - t0:.1f}s")
+    except Exception as exc:  # keep warming the rest
+        log(f"{label}: FAILED after {time.perf_counter() - t0:.1f}s: {exc!r}")
+
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    import image_stitch_tpu.ops.device as dev  # sets the compile cache dir
+    from image_stitch_tpu.codecs.jpeg.tables import (
+        STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS, STD_AC_LUMA_BITS,
+        STD_AC_LUMA_VALS, STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS,
+        STD_DC_LUMA_BITS, STD_DC_LUMA_VALS, build_huffman_codes,
+        quality_scaled_tables,
+    )
+    from image_stitch_tpu.ops.jpeg_entropy_device import (
+        build_entropy_luts, jpeg_encode_band_groups_trace, jpeg_encode_band_trace,
+    )
+
+    band = S((BAND_H, CANVAS_W, 4), jnp.uint8)
+    qt = S((64,), jnp.int32)
+    dc_l = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_l = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    dc_c = build_huffman_codes(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+    ac_c = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+    luts = build_entropy_luts(dc_l, ac_l, dc_c, ac_c)
+    lut_specs = {k: S(v.shape, v.dtype) for k, v in luts.items()}
+    prev_dc = S((3,), jnp.int32)
+    bit_base = S((), jnp.int32)
+
+    n_px = BAND_H * CANVAS_W
+    cap_full = max(64, (n_px * 3 + 31) // 32)
+
+    # 1. Fused band encode (round-1 path, non-restart)
+    timed(
+        f"fused band ({BAND_H}x{CANVAS_W}) cap3bpp",
+        lambda: jax.jit(
+            jpeg_encode_band_trace, static_argnames=("cap_words", "use_pallas")
+        )
+        .lower(band, qt, qt, lut_specs, prev_dc, bit_base, cap_words=cap_full)
+        .compile(),
+    )
+
+    # 2. Restart-group variants (ri = 1 and 4 MCU rows)
+    for ri in (1, 4):
+        n_groups = (BAND_H // 8) // ri
+        cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
+        timed(
+            f"groups band ri={ri} (n_groups={n_groups})",
+            lambda n_groups=n_groups, cap_g=cap_g: jax.jit(
+                jpeg_encode_band_groups_trace,
+                static_argnames=("n_groups", "cap_words", "use_pallas"),
+            )
+            .lower(band, qt, qt, lut_specs, n_groups, cap_g)
+            .compile(),
+        )
+
+    # 3. PNG filter-select (XLA trace) at the png_out width
+    raw = S((BAND_H, CANVAS_W * 4), jnp.uint8)
+    prev = S((CANVAS_W * 4,), jnp.uint8)
+    timed(
+        f"filter_select ({BAND_H}x{CANVAS_W * 4})",
+        lambda: jax.jit(dev.filter_select_trace, static_argnames=("bpp",))
+        .lower(raw, prev, 4)
+        .compile(),
+    )
+
+    # 4. Quantize-only trace (device quantize + host entropy path)
+    timed(
+        f"quantize ({BAND_H}x{CANVAS_W})",
+        lambda: jax.jit(dev.jpeg_quantize_trace).lower(band, qt, qt).compile(),
+    )
+
+    # 5. Pallas kernels (Mosaic compiles; also their fused variants)
+    from image_stitch_tpu.ops.pallas_kernels import (
+        dct8_pallas, filter_select_pallas, jpeg_quantize_pallas,
+    )
+
+    plane = S((BAND_H, CANVAS_W), jnp.float32)
+    timed(
+        "pallas dct8",
+        lambda: jax.jit(dct8_pallas, static_argnames=("interpret",))
+        .lower(plane, qt)
+        .compile(),
+    )
+    timed(
+        "pallas quantize stage",
+        lambda: jax.jit(jpeg_quantize_pallas)
+        .lower(band, qt, qt)
+        .compile(),
+    )
+    timed(
+        "pallas filter_select",
+        lambda: jax.jit(
+            lambda r, p: filter_select_pallas(r, p, 4)
+        )
+        .lower(raw, prev)
+        .compile(),
+    )
+    timed(
+        "fused band pallas-quantize",
+        lambda: jax.jit(
+            jpeg_encode_band_trace, static_argnames=("cap_words", "use_pallas")
+        )
+        .lower(
+            band, qt, qt, lut_specs, prev_dc, bit_base,
+            cap_words=cap_full, use_pallas=True,
+        )
+        .compile(),
+    )
+    timed(
+        "groups ri=1 pallas-quantize",
+        lambda: jax.jit(
+            jpeg_encode_band_groups_trace,
+            static_argnames=("n_groups", "cap_words", "use_pallas"),
+        )
+        .lower(
+            band, qt, qt, lut_specs, BAND_H // 8,
+            max(64, (8 * CANVAS_W * 3 + 31) // 32), True,
+        )
+        .compile(),
+    )
+    log("warm complete")
+
+
+if __name__ == "__main__":
+    main()
