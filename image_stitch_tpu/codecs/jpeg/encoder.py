@@ -20,6 +20,7 @@ on the host.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -200,8 +201,14 @@ class StreamingJpegEncoder:
         self._last_row: np.ndarray | None = None
         self._pad_w = (-width) % (16 if sampling == "420" else 8)
         self._device = None
-        # One-band device lookahead: (pending device arrays, n_strips, bps).
-        self._inflight = None
+        # Device pipeline depth: submissions in flight before the oldest is
+        # drained. Depth >1 overlaps host decode/assembly of later bands
+        # with the link transfer + device compute of earlier ones (restart
+        # groups carry no inter-band state, so depth is free).
+        import collections
+
+        self._inflight = collections.deque()
+        self._inflight_depth = max(1, int(os.environ.get("STITCH_TPU_INFLIGHT", "2")))
         self._dev_encoder = None
         if backend in ("tpu", "jax") and sampling == "444":
             from ...ops.device import JaxBackend
@@ -408,10 +415,9 @@ class StreamingJpegEncoder:
                     )
                 handle = self._dev_encoder.submit(full)
                 self._rows_consumed += n_full * self._mcu_h
-                prev = self._inflight
-                self._inflight = handle
-                if prev is not None:
-                    data = self._dev_encoder.wait(prev)
+                self._inflight.append(handle)
+                while len(self._inflight) > self._inflight_depth:
+                    data = self._dev_encoder.wait(self._inflight.popleft())
                     if data:
                         yield data
             else:
@@ -461,13 +467,10 @@ class StreamingJpegEncoder:
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(part)
-                if self._inflight is not None:
-                    out += self._dev_encoder.wait(self._inflight)
-                self._inflight = handle
+                self._inflight.append(handle)
                 self._rows_consumed += part.shape[0]
-            if self._inflight is not None:
-                pending, self._inflight = self._inflight, None
-                out += self._dev_encoder.wait(pending)
+            while self._inflight:
+                out += self._dev_encoder.wait(self._inflight.popleft())
             out += self._dev_encoder.flush()
         else:
             if part is not None:
