@@ -431,7 +431,9 @@ class NativeEntropyCoder:
     def flush(self) -> bytes:
         lib = get_native_lib()
         assert lib is not None
-        out = np.empty(8, dtype=np.uint8)
+        # Deferred flushing buffers up to 57 bits: 7 bytes + stuffing + the
+        # padded final byte -> at most 16 output bytes.
+        out = np.empty(24, dtype=np.uint8)
         n = lib.jpeg_entropy_flush(
             ctypes.byref(self._state), out.ctypes.data_as(ctypes.c_void_p)
         )

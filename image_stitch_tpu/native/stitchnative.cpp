@@ -178,15 +178,11 @@ static const int kZigzag[64] = {
 
 static inline int bit_size(int v) {
     unsigned uv = (unsigned)(v < 0 ? -v : v);
-    int n = 0;
-    while (uv) { ++n; uv >>= 1; }
-    return n;
+    return uv ? 32 - __builtin_clz(uv) : 0;
 }
 
-static inline void put_bits(EntropyState* st, uint8_t** outp, uint32_t code,
-                            int len) {
-    st->bits = (st->bits << len) | (uint64_t)(code & ((1u << len) - 1u));
-    st->count += len;
+// Emit whole bytes from the bit buffer one at a time (stuffing-aware).
+static inline void drain_bytes(EntropyState* st, uint8_t** outp) {
     while (st->count >= 8) {
         uint8_t byte = (uint8_t)(st->bits >> (st->count - 8));
         st->count -= 8;
@@ -195,10 +191,66 @@ static inline void put_bits(EntropyState* st, uint8_t** outp, uint32_t code,
     }
 }
 
+static inline void put_bits(EntropyState* st, uint8_t** outp, uint32_t code,
+                            int len) {
+    // Deferred flushing: keep up to 57 bits buffered; when >= 32 are
+    // pending, emit 4 bytes at once. 0xFF bytes (needing 0x00 stuffing) are
+    // detected with a SWAR zero-byte test on the complemented word — the
+    // fast path is a plain big-endian store (0xFF bytes are ~1/256 of
+    // entropy output).
+    if (st->count >= 32) {
+        uint32_t chunk = (uint32_t)(st->bits >> (st->count - 32));
+        uint32_t t = ~chunk;
+        if ((t - 0x01010101u) & ~t & 0x80808080u) {
+            drain_bytes(st, outp);  // an 0xFF byte somewhere: stuff per byte
+        } else {
+            (*outp)[0] = (uint8_t)(chunk >> 24);
+            (*outp)[1] = (uint8_t)(chunk >> 16);
+            (*outp)[2] = (uint8_t)(chunk >> 8);
+            (*outp)[3] = (uint8_t)chunk;
+            *outp += 4;
+            st->count -= 32;
+            st->bits &= (st->count ? ((1ull << st->count) - 1ull) : 0ull);
+        }
+    }
+    st->bits = (st->bits << len) | (uint64_t)(code & ((1u << len) - 1u));
+    st->count += len;
+}
+
+#ifdef __AVX2__
+#include <immintrin.h>
+// Bitmask of nonzero int16 lanes in zz[0..63] (bit k set iff zz[k] != 0).
+static inline uint64_t nonzero_mask64(const int16_t* zz) {
+    const __m256i zero = _mm256_setzero_si256();
+    uint64_t m = 0;
+    for (int g = 0; g < 4; ++g) {
+        __m256i a = _mm256_loadu_si256((const __m256i*)(zz + g * 16));
+        __m256i eq = _mm256_cmpeq_epi16(a, zero);
+        // Two bytes per lane; take one bit per int16 via pack+movemask.
+        __m256i packed = _mm256_packs_epi16(eq, zero);  // lanes interleave
+        packed = _mm256_permute4x64_epi64(packed, 0xD8);
+        uint32_t z16 = (uint32_t)_mm256_movemask_epi8(packed) & 0xFFFFu;
+        m |= ((uint64_t)(~z16 & 0xFFFFu)) << (g * 16);
+    }
+    return m;
+}
+#else
+static inline uint64_t nonzero_mask64(const int16_t* zz) {
+    uint64_t m = 0;
+    for (int k = 0; k < 64; ++k) m |= (uint64_t)(zz[k] != 0) << k;
+    return m;
+}
+#endif
+
 static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
                          const HuffTable* t, int comp) {
-    // Zigzag + DC diff.
-    int32_t dc = blk[0];
+    // Zigzag gather into a dense local block, then iterate only the set
+    // bits of a nonzero bitmask (ctz walk) — skips zero runs entirely
+    // instead of branching per coefficient.
+    int16_t zz[64];
+    for (int k = 0; k < 64; ++k) zz[k] = blk[kZigzag[k]];
+
+    int32_t dc = zz[0];
     int32_t diff = dc - st->prev_dc[comp];
     st->prev_dc[comp] = dc;
     int s = bit_size(diff);
@@ -207,25 +259,26 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
         int32_t v = diff < 0 ? diff + (1 << s) - 1 : diff;
         put_bits(st, outp, (uint32_t)v, s);
     }
-    int run = 0;
+
+    uint64_t m = nonzero_mask64(zz) & ~1ull;  // AC positions 1..63
+    int prev = 0;
     int last_nz = 0;
-    // Find last nonzero in zigzag order for EOB placement.
-    for (int k = 63; k >= 1; --k) {
-        if (blk[kZigzag[k]] != 0) { last_nz = k; break; }
-    }
-    for (int k = 1; k <= last_nz; ++k) {
-        int32_t v = blk[kZigzag[k]];
-        if (v == 0) { ++run; continue; }
+    while (m) {
+        int k = __builtin_ctzll(m);
+        m &= m - 1;
+        int run = k - prev - 1;
         while (run > 15) {
             put_bits(st, outp, t->ac_code[0xF0], t->ac_len[0xF0]);
             run -= 16;
         }
+        int32_t v = zz[k];
         int size = bit_size(v);
         int sym = (run << 4) | size;
         put_bits(st, outp, t->ac_code[sym], t->ac_len[sym]);
         int32_t vb = v < 0 ? v + (1 << size) - 1 : v;
         put_bits(st, outp, (uint32_t)vb, size);
-        run = 0;
+        prev = k;
+        last_nz = k;
     }
     if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
 }
@@ -445,6 +498,10 @@ static inline int16_t quant1(float v, float inv_q) {
     return (int16_t)(s >= 0.f ? (int)(s + 0.5f) : -(int)(-s + 0.5f));
 }
 
+// Note: the C++ tier's f32 DCT may differ from the numpy/XLA tiers by +-1
+// in rare round-half-tie coefficients (FMA contraction / summation order);
+// each tier is deterministic and all are valid JPEG (see ops/device.py
+// exactness notes). Measured: ~1e-5 of coefficients at q85.
 void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                          const int32_t* lq, const int32_t* cq,
                          int16_t* yout, int16_t* cbout, int16_t* crout) {
@@ -454,42 +511,53 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         inv_cq[i] = 1.0f / (float)cq[i];
     }
     int64_t bx = w / 8;
-    float yb[64], cbb[64], crb[64];
+    // Strip-at-a-time: convert 8 interleaved RGBA rows into three planar
+    // (8, w) float buffers with one contiguous sweep (auto-vectorizes),
+    // then DCT+quantize each 8x8 block from the planes.
+    float* planes = (float*)malloc((size_t)(3 * 8 * w) * sizeof(float));
+    float* yp = planes;
+    float* cbp = planes + 8 * w;
+    float* crp = planes + 16 * w;
+    float blkbuf[64];
     for (int64_t sy = 0; sy < h / 8; ++sy) {
+        const uint8_t* src = rgba + sy * 8 * w * 4;
+        int64_t n = 8 * w;
+        for (int64_t i = 0; i < n; ++i) {
+            float r = (float)src[i * 4 + 0];
+            float g = (float)src[i * 4 + 1];
+            float b = (float)src[i * 4 + 2];
+            yp[i] = 0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
+            cbp[i] = -0.168735892f * r - 0.331264108f * g + 0.5f * b;
+            crp[i] = 0.5f * r - 0.418687589f * g - 0.081312411f * b;
+        }
         for (int64_t sx = 0; sx < bx; ++sx) {
-            const uint8_t* base = rgba + (sy * 8 * w + sx * 8) * 4;
-            for (int yy = 0; yy < 8; ++yy) {
-                const uint8_t* row = base + yy * w * 4;
-                for (int xx = 0; xx < 8; ++xx) {
-                    float r = (float)row[xx * 4 + 0];
-                    float g = (float)row[xx * 4 + 1];
-                    float b = (float)row[xx * 4 + 2];
-                    yb[yy * 8 + xx] = 0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
-                    cbb[yy * 8 + xx] = -0.168735892f * r - 0.331264108f * g + 0.5f * b;
-                    crb[yy * 8 + xx] = 0.5f * r - 0.418687589f * g - 0.081312411f * b;
-                }
-            }
-            dct8_rows(yb);
-            dct8_rows(cbb);
-            dct8_rows(crb);
             int64_t blk = sy * bx + sx;
-            int16_t* yo = yout + blk * 64;
-            int16_t* cbo = cbout + blk * 64;
-            int16_t* cro = crout + blk * 64;
-            for (int i = 0; i < 64; ++i) {
-                yo[i] = quant1(yb[i], inv_lq[i]);
-                cbo[i] = quant1(cbb[i], inv_cq[i]);
-                cro[i] = quant1(crb[i], inv_cq[i]);
+            const struct { const float* plane; const float* invq; int16_t* out; }
+                jobs[3] = {{yp, inv_lq, yout + blk * 64},
+                           {cbp, inv_cq, cbout + blk * 64},
+                           {crp, inv_cq, crout + blk * 64}};
+            for (int j = 0; j < 3; ++j) {
+                const float* p = jobs[j].plane + sx * 8;
+                for (int yy = 0; yy < 8; ++yy)
+                    for (int xx = 0; xx < 8; ++xx)
+                        blkbuf[yy * 8 + xx] = p[yy * w + xx];
+                dct8_rows(blkbuf);
+                int16_t* o = jobs[j].out;
+                const float* iq = jobs[j].invq;
+                for (int i = 0; i < 64; ++i) o[i] = quant1(blkbuf[i], iq[i]);
             }
         }
     }
+    free(planes);
 }
 
-// Flush remaining bits padded with 1s. Returns bytes written (0..2).
+// Flush remaining buffered bits (up to 57 with deferred flushing), final
+// partial byte padded with 1s. Returns bytes written (0..16).
 int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {
     uint8_t* p = out;
+    drain_bytes(state, &p);
     if (state->count > 0) {
-        int pad = 8 - state->count;
+        int pad = 8 - (int)state->count;
         uint8_t byte =
             (uint8_t)((state->bits << pad) | ((1u << pad) - 1u));
         state->count = 0;
@@ -497,6 +565,7 @@ int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {
         *p++ = byte;
         if (byte == 0xFF) *p++ = 0x00;
     }
+    state->bits = 0;
     return (int64_t)(p - out);
 }
 
