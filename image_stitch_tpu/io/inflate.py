@@ -3,6 +3,14 @@
 Counterpart of ``createDecompressionStream`` (reference:
 src/streaming-inflate.ts:23-76) — feed compressed IDAT fragments in, pull
 decompressed bytes out, without materializing the whole stream.
+
+Two tiers, mirroring the reference's native-CompressionStream-vs-pako split
+(streaming-inflate.ts:24-26): the owned C++ inflate (native/stitchnative.cpp
+owned_inflate — two-level L1-resident tables, 64-bit branchless refills,
+~1.5x CPython zlib) when the native library is available, else CPython zlib
+(the byte-exact oracle; both produce identical output for valid streams).
+The owned tier skips Adler-32 (chunk CRC-32 covers integrity in strict
+mode).
 """
 
 from __future__ import annotations
@@ -12,8 +20,26 @@ import zlib
 from ..errors import StitchError
 
 
+def _native_inflater():
+    try:
+        from ..native import NativeInflater, native_available
+
+        if native_available():
+            return NativeInflater()
+    except Exception:
+        pass
+    return None
+
+
 class StreamingInflator:
     """Push compressed chunks, read decompressed output incrementally."""
+
+    def __new__(cls, *args, **kwargs):
+        if cls is StreamingInflator:
+            native = _native_inflater()
+            if native is not None:
+                return native
+        return super().__new__(cls)
 
     def __init__(self) -> None:
         self._obj = zlib.decompressobj()

@@ -151,6 +151,23 @@ def get_native_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.owned_inflate.restype = ctypes.c_int64
+    lib.owned_inflate.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.owned_inflate_init.restype = None
+    lib.owned_inflate_init.argtypes = [ctypes.c_void_p]
+    lib.owned_inflate_state_size.restype = ctypes.c_int64
+    lib.owned_inflate_state_size.argtypes = []
+    for name in ("owned_inflate_state", "owned_inflate_error"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [ctypes.c_void_p]
+    lib.owned_inflate_in_pos.restype = ctypes.c_int64
+    lib.owned_inflate_in_pos.argtypes = [ctypes.c_void_p]
+    lib.owned_inflate_rebase.restype = None
+    lib.owned_inflate_rebase.argtypes = [ctypes.c_void_p]
     lib.jpeg_decode_scan.restype = ctypes.c_int
     lib.jpeg_decode_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -443,3 +460,103 @@ class NativeEntropyCoder:
         """Zero the bit buffer and DC predictors — the state reset at a
         restart marker (T.81 E.2.4)."""
         self._state = EntropyStateC()
+
+
+# ------------------------------------------------------------------------- #
+# Owned streaming inflate binding
+# ------------------------------------------------------------------------- #
+
+
+class NativeInflater:
+    """Streaming zlib-stream inflater over the owned C++ decoder
+    (stitchnative.cpp owned_inflate): push compressed fragments, pull
+    decompressed bytes, O(32KB window + pending input) state.
+
+    Same surface as io.inflate.StreamingInflator; Adler-32 is not verified
+    (chunk CRC-32 covers integrity in strict mode)."""
+
+    _COMPACT_AT = 1 << 22  # drop consumed input beyond 4 MB
+
+    def __init__(self):
+        lib = get_native_lib()
+        assert lib is not None
+        self._lib = lib
+        self._st = np.zeros(int(lib.owned_inflate_state_size()), dtype=np.uint8)
+        self._stp = self._st.ctypes.data_as(ctypes.c_void_p)
+        lib.owned_inflate_init(self._stp)
+        self._input = bytearray()
+        self.finished = False
+        self.unused_data = b""
+
+    def push(self, chunk) -> bytes:
+        if self.finished:
+            if len(chunk):
+                from ..errors import StitchError
+
+                raise StitchError(
+                    "Inflate stream already finished but more data was pushed"
+                )
+            return b""
+        self._input += bytes(chunk)
+        return self._drain()
+
+    def _drain(self) -> bytes:
+        lib = self._lib
+        parts = []
+        if len(self._input):
+            view = np.frombuffer(self._input, dtype=np.uint8)
+            in_ptr = view.ctypes.data_as(ctypes.c_void_p)
+        else:
+            view, in_ptr = None, None
+        while True:
+            cap = 1 << 18
+            buf = np.empty(cap, dtype=np.uint8)
+            n = lib.owned_inflate(
+                in_ptr, len(self._input), self._stp,
+                buf.ctypes.data_as(ctypes.c_void_p), cap,
+            )
+            if n < 0:
+                from ..errors import StitchError
+
+                raise StitchError(f"Invalid zlib stream (owned inflate rc={n})")
+            if n:
+                parts.append(buf[:n].tobytes())
+            if lib.owned_inflate_state(self._stp) == 5:
+                self.finished = True
+                in_pos = int(lib.owned_inflate_in_pos(self._stp))
+                # Bytes buffered in the bit reader but never consumed count
+                # as residual too (they sit just before in_pos).
+                bitcount = int(np.frombuffer(self._st[8:12].tobytes(), "<i4")[0])
+                start = in_pos - bitcount // 8
+                self.unused_data = bytes(self._input[start:])
+                if self.unused_data.strip(b"\x00"):
+                    from ..errors import StitchError
+
+                    raise StitchError(
+                        f"Unexpected {len(self.unused_data)} residual bytes "
+                        f"after zlib stream end"
+                    )
+                break
+            if n < cap:
+                break  # input-limited
+        in_pos = int(lib.owned_inflate_in_pos(self._stp))
+        if in_pos > self._COMPACT_AT:
+            # Release the buffer exports (the ctypes pointer keeps a
+            # reference to the array) before resizing the bytearray.
+            view = None
+            in_ptr = None
+            del self._input[:in_pos]
+            lib.owned_inflate_rebase(self._stp)
+        return b"".join(parts)
+
+    def finish(self) -> bytes:
+        out = self._drain() if not self.finished else b""
+        if not self.finished:
+            from ..errors import StitchError
+
+            raise StitchError("Truncated or invalid zlib stream")
+        return out
+
+
+def native_inflater_available() -> bool:
+    return get_native_lib() is not None

@@ -714,3 +714,669 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Owned streaming inflate (RFC 1950/1951) — replaces runtime zlib on the
+// decode hot path (SURVEY §2 native item 2). Design: flat 15-bit decode
+// tables (one load per symbol, no subtable indirection; build cost is
+// exactly 2^15 writes per table per dynamic block, ~0.3% of decode time),
+// 64-bit branchless bit-buffer refills, and full suspend/resume at any
+// input/output boundary so the PNG band decoder keeps O(width) memory.
+// Adler-32 is not verified (PNG integrity is covered by per-chunk CRC-32 in
+// strict mode); the stream is parsed to its exact end so residual-data
+// checks still work.
+// ---------------------------------------------------------------------------
+
+// Two-level decode tables: an L1-resident root (10 bits lit/len, 8 bits
+// distance) plus per-pattern subtables for the rare codes longer than the
+// root (libdeflate-style). One load for short codes, two for long ones.
+#define INFL_LL_ROOT 10
+#define INFL_D_ROOT 8
+#define INFL_LL_CAP ((1 << INFL_LL_ROOT) + 2048)
+#define INFL_D_CAP ((1 << INFL_D_ROOT) + 2048)
+
+// Table entry: bits 0-4 = code length (total, incl. root bits for subtable
+// entries); bits 5-7 = kind; bits 8-23 = payload.
+#define INFL_K_LIT 0u
+#define INFL_K_LEN 1u
+#define INFL_K_EOB 2u
+#define INFL_K_BAD 3u
+#define INFL_K_SUB 4u
+#define INFL_ENTRY(kind, nbits, payload) \
+    ((uint32_t)(nbits) | ((kind) << 5) | ((uint32_t)(payload) << 8))
+#define INFL_NBITS(e) ((e) & 31u)
+#define INFL_KIND(e) (((e) >> 5) & 7u)
+#define INFL_PAYLOAD(e) ((e) >> 8)
+
+// Resolve a (possibly two-level) lookup. The returned entry's NBITS is the
+// full code length; the caller must verify NBITS <= bitcount before trusting
+// it (prefix-code property), and treat BAD as conclusive only with >= 15
+// live bits.
+static inline uint32_t infl_lookup(const uint32_t* tbl, uint64_t bitbuf,
+                                   int rootbits) {
+    uint32_t e = tbl[bitbuf & ((1u << rootbits) - 1u)];
+    if (INFL_KIND(e) == INFL_K_SUB) {
+        uint32_t subbits = INFL_NBITS(e);
+        e = tbl[INFL_PAYLOAD(e) +
+                ((bitbuf >> rootbits) & ((1u << subbits) - 1u))];
+    }
+    return e;
+}
+
+typedef struct InflState {
+    uint64_t bitbuf;
+    int32_t bitcount;
+    int64_t in_pos;       // cursor into the caller-accreted input buffer
+    int32_t state;        // 0 zhdr, 1 blkhdr, 2 stored, 3 huff, 4 adler, 5 done
+    int32_t final_block;
+    int64_t stored_left;
+    int32_t pending_len;  // suspended match
+    int32_t pending_dist;
+    int32_t window_len;
+    int64_t total_out;
+    int32_t error;        // sticky error code (negative)
+    uint32_t litlen[INFL_LL_CAP];
+    uint32_t dist[INFL_D_CAP];
+    uint8_t window[32768];
+} InflState;
+
+static const uint16_t kLenBase[29] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+    35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t kLenExtra[29] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint16_t kDistBase[30] = {
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577};
+static const uint8_t kDistExtra[30] = {
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+static const uint8_t kClOrder[19] = {
+    16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+// Build a two-level LSB-indexed table from canonical code lengths.
+// Returns 0, or -1 for an over-subscribed/invalid code.
+static int infl_build_table(const uint8_t* lens, int n, uint32_t* table,
+                            int table_cap, int rootbits, int is_litlen) {
+    int count[16] = {0};
+    for (int i = 0; i < n; ++i) count[lens[i]]++;
+    count[0] = 0;
+    int64_t left = 1 << 15;
+    int used = 0;
+    for (int l = 1; l <= 15; ++l) {
+        left -= (int64_t)count[l] << (15 - l);
+        if (left < 0) return -1;  // over-subscribed
+        used += count[l];
+    }
+    const uint32_t bad = INFL_ENTRY(INFL_K_BAD, 0, 0);
+    int rootsize = 1 << rootbits;
+    for (int i = 0; i < rootsize; ++i) table[i] = bad;
+    if (used == 0) return 0;  // empty code: any use hits BAD
+    int next_code[16];
+    int code = 0;
+    for (int l = 1; l <= 15; ++l) {
+        code = (code + count[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    // Pass 1: size the subtables (max code length per root pattern).
+    int sub_bits[1 << INFL_LL_ROOT];
+    int sub_off[1 << INFL_LL_ROOT];
+    memset(sub_bits, 0, sizeof(int) * (size_t)rootsize);
+    {
+        int nc[16];
+        memcpy(nc, next_code, sizeof nc);
+        for (int sym = 0; sym < n; ++sym) {
+            int len = lens[sym];
+            if (!len) continue;
+            int c = nc[len]++;
+            if (len <= rootbits) continue;
+            uint32_t rev = 0;
+            for (int b = 0; b < len; ++b)
+                rev |= (uint32_t)((c >> b) & 1) << (len - 1 - b);
+            int r = (int)(rev & (uint32_t)(rootsize - 1));
+            if (len - rootbits > sub_bits[r]) sub_bits[r] = len - rootbits;
+        }
+    }
+    int sub_next = rootsize;
+    for (int r = 0; r < rootsize; ++r) {
+        if (!sub_bits[r]) continue;
+        sub_off[r] = sub_next;
+        sub_next += 1 << sub_bits[r];
+        if (sub_next > table_cap) return -1;
+        for (int i = sub_off[r]; i < sub_next; ++i) table[i] = bad;
+        table[r] = INFL_ENTRY(INFL_K_SUB, sub_bits[r], sub_off[r]);
+    }
+    // Pass 2: fill entries.
+    for (int sym = 0; sym < n; ++sym) {
+        int len = lens[sym];
+        if (!len) continue;
+        int c = next_code[len]++;
+        uint32_t rev = 0;
+        for (int b = 0; b < len; ++b)
+            rev |= (uint32_t)((c >> b) & 1) << (len - 1 - b);
+        uint32_t entry;
+        if (!is_litlen) {
+            if (sym >= 30) return -1;
+            entry = INFL_ENTRY(INFL_K_LEN, len, sym);
+        } else if (sym < 256) {
+            entry = INFL_ENTRY(INFL_K_LIT, len, sym);
+        } else if (sym == 256) {
+            entry = INFL_ENTRY(INFL_K_EOB, len, 0);
+        } else {
+            if (sym >= 286) return -1;
+            entry = INFL_ENTRY(INFL_K_LEN, len, sym - 257);
+        }
+        if (len <= rootbits) {
+            for (uint32_t idx = rev; idx < (uint32_t)rootsize; idx += 1u << len)
+                table[idx] = entry;
+        } else {
+            int r = (int)(rev & (uint32_t)(rootsize - 1));
+            uint32_t high = rev >> rootbits;  // len-rootbits bits
+            uint32_t span = 1u << sub_bits[r];
+            for (uint32_t idx = high; idx < span; idx += 1u << (len - rootbits))
+                table[sub_off[r] + idx] = entry;
+        }
+    }
+    return 0;
+}
+
+static void infl_build_fixed(InflState* st) {
+    uint8_t lens[288];
+    for (int i = 0; i < 144; ++i) lens[i] = 8;
+    for (int i = 144; i < 256; ++i) lens[i] = 9;
+    for (int i = 256; i < 280; ++i) lens[i] = 7;
+    for (int i = 280; i < 288; ++i) lens[i] = 8;
+    infl_build_table(lens, 288, st->litlen, INFL_LL_CAP, INFL_LL_ROOT, 1);
+    uint8_t dlens[30];
+    for (int i = 0; i < 30; ++i) dlens[i] = 5;
+    infl_build_table(dlens, 30, st->dist, INFL_D_CAP, INFL_D_ROOT, 0);
+}
+
+static inline void infl_refill(InflState* st, const uint8_t* in, int64_t in_len) {
+    if (in_len - st->in_pos >= 8) {
+        uint64_t w;
+        memcpy(&w, in + st->in_pos, 8);  // little-endian host
+        st->bitbuf |= w << st->bitcount;
+        st->in_pos += (63 - st->bitcount) >> 3;
+        st->bitcount |= 56;
+    } else {
+        while (st->bitcount <= 56 && st->in_pos < in_len) {
+            st->bitbuf |= (uint64_t)in[st->in_pos++] << st->bitcount;
+            st->bitcount += 8;
+        }
+    }
+}
+
+static inline int infl_have(InflState* st, const uint8_t* in, int64_t in_len,
+                            int nbits) {
+    if (st->bitcount >= nbits) return 1;
+    infl_refill(st, in, in_len);
+    return st->bitcount >= nbits;
+}
+
+static inline uint32_t infl_take(InflState* st, int nbits) {
+    uint32_t v = (uint32_t)(st->bitbuf & ((1ull << nbits) - 1ull));
+    st->bitbuf >>= nbits;
+    st->bitcount -= nbits;
+    return v;
+}
+
+// Finish a match whose length was decoded but whose distance bits hadn't
+// arrived (pending_len < 0). Returns 0 when resolved or parked again.
+static int infl_resolve_pending_dist(InflState* st, const uint8_t* in,
+                                     int64_t in_len, uint8_t* out,
+                                     uint8_t** opp, uint8_t* oend) {
+    if (st->pending_len >= 0) return 0;
+    int32_t length = -st->pending_len;
+    st->pending_len = 0;
+    infl_refill(st, in, in_len);
+    uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
+    if (INFL_KIND(de) == INFL_K_BAD && st->bitcount >= 15) { st->error = -8; return -8; }
+    int32_t dextra =
+        INFL_KIND(de) == INFL_K_BAD ? 13 : kDistExtra[INFL_PAYLOAD(de)];
+    if (INFL_KIND(de) != INFL_K_BAD &&
+        st->bitcount >= (int32_t)INFL_NBITS(de) + dextra) {
+        infl_take(st, (int)INFL_NBITS(de));
+        int32_t dist = kDistBase[INFL_PAYLOAD(de)] + (int32_t)infl_take(st, dextra);
+        if ((uint64_t)dist > st->total_out + (uint64_t)(*opp - out)) {
+            st->error = -9;
+            return -9;
+        }
+        st->pending_len = length;
+        st->pending_dist = dist;
+        uint8_t* op = *opp;
+        while (st->pending_len > 0 && op < oend) {
+            int64_t produced = op - out;
+            uint8_t byte;
+            if (st->pending_dist <= produced) {
+                byte = *(op - st->pending_dist);
+            } else {
+                int32_t widx =
+                    st->window_len - (int32_t)(st->pending_dist - produced);
+                if (widx < 0) { st->error = -10; return -10; }
+                byte = st->window[widx];
+            }
+            *op++ = byte;
+            st->pending_len--;
+        }
+        *opp = op;
+    } else {
+        st->pending_len = -length;  // still waiting for input
+    }
+    return 0;
+}
+
+void owned_inflate_init(InflState* st) {
+    memset(st, 0, (size_t)((uint8_t*)st->litlen - (uint8_t*)st));
+    st->window_len = 0;
+}
+
+// Decode as much as possible. Returns bytes written to out (>= 0), with
+// st->state == 5 when the stream is complete and st->error < 0 on a
+// malformed stream. Suspends (returns early) when input runs dry or the
+// output buffer fills; call again with more input / fresh output.
+int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
+                      uint8_t* out, int64_t out_cap) {
+    if (st->error) return st->error;
+    uint8_t* op = out;
+    uint8_t* oend = out + out_cap;
+
+#define FAIL(code) do { st->error = (code); return (code); } while (0)
+
+    if (st->pending_len < 0) {
+        int rc = infl_resolve_pending_dist(st, in, in_len, out, &op, oend);
+        if (rc < 0) return rc;
+        if (st->pending_len < 0) return 0;  // still input-starved
+    }
+
+    // Resume a suspended match copy first.
+    while (st->pending_len > 0 && op < oend) {
+        int64_t produced = op - out;
+        int32_t dist = st->pending_dist;
+        uint8_t byte;
+        if (dist <= produced) {
+            byte = *(op - dist);
+        } else {
+            int32_t widx = st->window_len - (int32_t)(dist - produced);
+            if (widx < 0) FAIL(-10);
+            byte = st->window[widx];
+        }
+        *op++ = byte;
+        st->pending_len--;
+    }
+
+    for (;;) {
+        if (st->state == 0) {  // zlib header
+            if (!infl_have(st, in, in_len, 16)) break;
+            uint32_t cmf = infl_take(st, 8);
+            uint32_t flg = infl_take(st, 8);
+            if ((cmf & 0x0F) != 8) FAIL(-2);
+            if (((cmf << 8) | flg) % 31 != 0) FAIL(-3);
+            if (flg & 0x20) FAIL(-4);  // FDICT unsupported
+            st->state = 1;
+        } else if (st->state == 1) {  // block header
+            // Snapshot before consuming ANY header bits: a suspension
+            // anywhere in the (possibly long, dynamic) header rewinds to
+            // here and re-parses when more input arrives.
+            uint64_t save_buf = st->bitbuf;
+            int32_t save_cnt = st->bitcount;
+            int64_t save_pos = st->in_pos;
+            int32_t save_final = st->final_block;
+            if (!infl_have(st, in, in_len, 3)) break;
+            st->final_block = (int32_t)infl_take(st, 1);
+            uint32_t btype = infl_take(st, 2);
+            if (btype == 0) {
+                infl_take(st, st->bitcount & 7);  // byte align
+                if (!infl_have(st, in, in_len, 32)) goto hdr_suspend;
+                uint32_t len = infl_take(st, 16);
+                uint32_t nlen = infl_take(st, 16);
+                if ((len ^ nlen) != 0xFFFF) FAIL(-5);
+                st->stored_left = len;
+                st->state = 2;
+            } else if (btype == 1) {
+                infl_build_fixed(st);
+                st->state = 3;
+            } else if (btype == 2) {
+                // Dynamic header: demand the whole header, else rewind.
+                if (!infl_have(st, in, in_len, 14)) { goto hdr_suspend; }
+                {
+                uint32_t hlit = infl_take(st, 5) + 257;
+                uint32_t hdist = infl_take(st, 5) + 1;
+                uint32_t hclen = infl_take(st, 4) + 4;
+                if (hlit > 286 || hdist > 30) FAIL(-6);
+                uint8_t cl_lens[19];
+                memset(cl_lens, 0, sizeof cl_lens);
+                for (uint32_t i = 0; i < hclen; ++i) {
+                    if (!infl_have(st, in, in_len, 3)) goto hdr_suspend;
+                    cl_lens[kClOrder[i]] = (uint8_t)infl_take(st, 3);
+                }
+                uint32_t cl_table[128];
+                {
+                    // Small flat table for the 7-bit code-length code.
+                    int count[8] = {0};
+                    for (int i = 0; i < 19; ++i) count[cl_lens[i]]++;
+                    count[0] = 0;
+                    int left = 1 << 7;
+                    for (int l = 1; l <= 7; ++l) left -= count[l] << (7 - l);
+                    if (left < 0) FAIL(-6);
+                    for (int i = 0; i < 128; ++i)
+                        cl_table[i] = INFL_ENTRY(INFL_K_BAD, 0, 0);
+                    int next_code[8];
+                    int code = 0;
+                    for (int l = 1; l <= 7; ++l) {
+                        code = (code + count[l - 1]) << 1;
+                        next_code[l] = code;
+                    }
+                    for (int sym = 0; sym < 19; ++sym) {
+                        int len = cl_lens[sym];
+                        if (!len) continue;
+                        int c = next_code[len]++;
+                        uint32_t rev = 0;
+                        for (int b = 0; b < len; ++b)
+                            rev |= (uint32_t)((c >> b) & 1) << (len - 1 - b);
+                        for (uint32_t idx = rev; idx < 128; idx += 1u << len)
+                            cl_table[idx] = INFL_ENTRY(INFL_K_LIT, len, sym);
+                    }
+                }
+                uint8_t lens[286 + 30];
+                uint32_t total = hlit + hdist;
+                uint32_t li = 0;
+                while (li < total) {
+                    if (!infl_have(st, in, in_len, 7 + 7)) goto hdr_suspend;
+                    uint32_t e = cl_table[st->bitbuf & 127];
+                    if (INFL_KIND(e) == INFL_K_BAD) FAIL(-6);
+                    infl_take(st, (int)INFL_NBITS(e));
+                    uint32_t sym = INFL_PAYLOAD(e);
+                    if (sym < 16) {
+                        lens[li++] = (uint8_t)sym;
+                    } else if (sym == 16) {
+                        if (li == 0) FAIL(-6);
+                        uint32_t rep = 3 + infl_take(st, 2);
+                        if (li + rep > total) FAIL(-6);
+                        uint8_t prev = lens[li - 1];
+                        while (rep--) lens[li++] = prev;
+                    } else if (sym == 17) {
+                        uint32_t rep = 3 + infl_take(st, 3);
+                        if (li + rep > total) FAIL(-6);
+                        while (rep--) lens[li++] = 0;
+                    } else {
+                        uint32_t rep = 11 + infl_take(st, 7);
+                        if (li + rep > total) FAIL(-6);
+                        while (rep--) lens[li++] = 0;
+                    }
+                }
+                if (lens[256] == 0) FAIL(-6);  // EOB must exist
+                if (infl_build_table(lens, (int)hlit, st->litlen,
+                                     INFL_LL_CAP, INFL_LL_ROOT, 1)) FAIL(-6);
+                if (infl_build_table(lens + hlit, (int)hdist, st->dist,
+                                     INFL_D_CAP, INFL_D_ROOT, 0)) FAIL(-6);
+                st->state = 3;
+                }
+                continue;
+            hdr_suspend:
+                st->bitbuf = save_buf;
+                st->bitcount = save_cnt;
+                st->in_pos = save_pos;
+                st->final_block = save_final;
+                st->state = 1;
+                break;
+            } else {
+                FAIL(-5);
+            }
+        } else if (st->state == 2) {  // stored block
+            // Drain buffered whole bytes first, then bulk memcpy.
+            while (st->stored_left > 0 && st->bitcount >= 8 && op < oend) {
+                *op++ = (uint8_t)infl_take(st, 8);
+                st->stored_left--;
+            }
+            // The branchless refill leaves valid-but-uncounted bits above
+            // bitcount that mirror bytes at in_pos. Advancing in_pos by
+            // memcpy (bypassing the bit reader) would desynchronize them:
+            // mask the buffer down to the counted bits first.
+            st->bitbuf &= st->bitcount ? ((1ull << st->bitcount) - 1ull) : 0ull;
+            int64_t n = st->stored_left;
+            if (n > in_len - st->in_pos) n = in_len - st->in_pos;
+            if (n > oend - op) n = oend - op;
+            if (n > 0) {
+                memcpy(op, in + st->in_pos, (size_t)n);
+                op += n;
+                st->in_pos += n;
+                st->stored_left -= n;
+            }
+            if (st->stored_left > 0) break;  // out of input or output
+            st->state = st->final_block ? 4 : 1;
+        } else if (st->state == 3) {  // huffman block
+            // Fast path: with >= 8 input bytes and >= 300 output bytes,
+            // one branchless refill guarantees a full worst-case symbol
+            // sequence (2 literals, or a whole match incl. a second refill
+            // for the distance), so no suspension checks are needed.
+            for (;;) {
+                if (in_len - st->in_pos < 8 || oend - op < 300) break;
+                infl_refill(st, in, in_len);  // bitcount >= 56
+                uint32_t e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                uint32_t kind = INFL_KIND(e);
+                if (kind == INFL_K_LIT) {
+                    infl_take(st, (int)INFL_NBITS(e));
+                    *op++ = (uint8_t)INFL_PAYLOAD(e);
+                    e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                    kind = INFL_KIND(e);
+                    if (kind == INFL_K_LIT) {  // >= 41 bits left
+                        infl_take(st, (int)INFL_NBITS(e));
+                        *op++ = (uint8_t)INFL_PAYLOAD(e);
+                        e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                        kind = INFL_KIND(e);
+                        if (kind == INFL_K_LIT &&
+                            st->bitcount >= (int32_t)INFL_NBITS(e)) {
+                            infl_take(st, (int)INFL_NBITS(e));
+                            *op++ = (uint8_t)INFL_PAYLOAD(e);
+                            continue;
+                        }
+                    }
+                }
+                if (kind != INFL_K_LEN) break;  // EOB/BAD: general loop
+                if (st->bitcount <
+                    (int32_t)INFL_NBITS(e) + kLenExtra[INFL_PAYLOAD(e)])
+                    break;
+                uint32_t lsym = INFL_PAYLOAD(e);
+                infl_take(st, (int)INFL_NBITS(e));
+                int32_t length =
+                    kLenBase[lsym] + (int32_t)infl_take(st, kLenExtra[lsym]);
+                infl_refill(st, in, in_len);  // >= 28 bits for dist+extra
+                uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
+                if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);
+                uint32_t dsym = INFL_PAYLOAD(de);
+                infl_take(st, (int)INFL_NBITS(de));
+                int32_t dist =
+                    kDistBase[dsym] + (int32_t)infl_take(st, kDistExtra[dsym]);
+                int64_t produced = op - out;
+                if ((uint64_t)dist > st->total_out + (uint64_t)produced)
+                    FAIL(-9);
+                if (dist <= produced) {
+                    const uint8_t* sp = op - dist;
+                    if (dist >= 8) {
+                        int32_t k = 0;
+                        for (; k + 8 <= length; k += 8) memcpy(op + k, sp + k, 8);
+                        for (; k < length; ++k) op[k] = sp[k];
+                    } else {
+                        for (int32_t k = 0; k < length; ++k) op[k] = sp[k];
+                    }
+                    op += length;
+                } else {
+                    for (int32_t k = 0; k < length; ++k) {
+                        int64_t pk = produced + k;
+                        if (dist <= pk) {
+                            op[k] = *(op + k - dist);
+                        } else {
+                            int32_t widx = st->window_len - (int32_t)(dist - pk);
+                            if (widx < 0) FAIL(-10);
+                            op[k] = st->window[widx];
+                        }
+                    }
+                    op += length;
+                }
+            }
+            for (;;) {
+                // Worst case per iteration: 15+5+15+13 = 48 bits.
+                if (st->bitcount < 48) {
+                    infl_refill(st, in, in_len);
+                    if (st->bitcount < 48 && st->in_pos >= in_len) {
+                        // Tail mode: decode carefully bit-by-bit below.
+                        if (st->bitcount <= 0) goto suspend;
+                    }
+                }
+                uint32_t e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                uint32_t nb = INFL_NBITS(e);
+                uint32_t kind = INFL_KIND(e);
+                // A lookup is only trustworthy when the entry's code length
+                // fits the live bits (prefix-code property); BAD entries
+                // need all 15 index bits live to be conclusive.
+                if ((int32_t)nb > st->bitcount ||
+                    (kind == INFL_K_BAD && st->bitcount < 15)) {
+                    infl_refill(st, in, in_len);
+                    e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                    nb = INFL_NBITS(e);
+                    kind = INFL_KIND(e);
+                    if ((int32_t)nb > st->bitcount ||
+                        (kind == INFL_K_BAD && st->bitcount < 15))
+                        goto suspend;  // need more input
+                }
+                if (kind == INFL_K_LIT) {
+                    if (op >= oend) goto suspend;
+                    infl_take(st, (int)nb);
+                    *op++ = (uint8_t)INFL_PAYLOAD(e);
+                    continue;
+                }
+                if (kind == INFL_K_EOB) {
+                    infl_take(st, (int)nb);
+                    st->state = st->final_block ? 4 : 1;
+                    break;
+                }
+                if (kind == INFL_K_BAD) FAIL(-7);
+                // Match.
+                uint32_t lsym = INFL_PAYLOAD(e);
+                int32_t lextra = kLenExtra[lsym];
+                if (st->bitcount < (int32_t)nb + lextra + 28) {
+                    infl_refill(st, in, in_len);
+                    if (st->bitcount < (int32_t)nb + lextra + 1) goto suspend;
+                }
+                infl_take(st, (int)nb);
+                int32_t length = kLenBase[lsym] + (int32_t)infl_take(st, lextra);
+                uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
+                uint32_t dnb = INFL_NBITS(de);
+                int32_t dextra =
+                    INFL_KIND(de) == INFL_K_BAD ? 13 : kDistExtra[INFL_PAYLOAD(de)];
+                if (st->bitcount < (int32_t)dnb + dextra ||
+                    (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
+                    infl_refill(st, in, in_len);
+                    de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
+                    dnb = INFL_NBITS(de);
+                    dextra = INFL_KIND(de) == INFL_K_BAD
+                                 ? 13
+                                 : kDistExtra[INFL_PAYLOAD(de)];
+                    if (st->bitcount < (int32_t)dnb + dextra ||
+                        (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
+                        // The length code is consumed but the distance bits
+                        // haven't arrived yet: park the match (negative =
+                        // distance still undecoded) and wait for input.
+                        st->pending_len = -length;
+                        goto suspend;
+                    }
+                }
+                if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);
+                infl_take(st, (int)dnb);
+                int32_t dist = kDistBase[INFL_PAYLOAD(de)] +
+                               (int32_t)infl_take(st, dextra);
+                if ((uint64_t)dist > st->total_out + (uint64_t)(op - out))
+                    FAIL(-9);
+                {
+                    int64_t produced = op - out;
+                    int64_t space = oend - op;
+                    int32_t n = length;
+                    if (n > space) n = (int32_t)space;
+                    if (dist <= produced) {
+                        // Copy within this output buffer.
+                        uint8_t* src = op - dist;
+                        if (dist >= 8) {
+                            int32_t k = 0;
+                            for (; k + 8 <= n; k += 8) memcpy(op + k, src + k, 8);
+                            for (; k < n; ++k) op[k] = src[k];
+                        } else {
+                            for (int32_t k = 0; k < n; ++k) op[k] = src[k];
+                        }
+                        op += n;
+                    } else {
+                        // Source starts in the window.
+                        int32_t k = 0;
+                        for (; k < n; ++k) {
+                            int64_t produced_k = produced + k;
+                            if (dist <= produced_k) {
+                                op[k] = *(op + k - dist);
+                            } else {
+                                int32_t widx =
+                                    st->window_len - (int32_t)(dist - produced_k);
+                                if (widx < 0) FAIL(-10);
+                                op[k] = st->window[widx];
+                            }
+                        }
+                        op += n;
+                    }
+                    if (n < length) {
+                        st->pending_len = length - n;
+                        st->pending_dist = dist;
+                        goto suspend;
+                    }
+                }
+            }
+            continue;
+        } else if (st->state == 4) {  // adler32 (skipped) after byte align
+            infl_take(st, st->bitcount & 7);
+            if (!infl_have(st, in, in_len, 32)) break;
+            infl_take(st, 32);
+            st->state = 5;
+        } else {  // done
+            break;
+        }
+    }
+suspend:
+    // Resume for a length-decoded-but-distance-pending match.
+    if (st->pending_len < 0) {
+        int rc = infl_resolve_pending_dist(st, in, in_len, out, &op, oend);
+        if (rc < 0) return rc;
+    }
+    {
+        // Roll the 32KB window forward over this call's output.
+        int64_t produced = op - out;
+        if (produced >= 32768) {
+            memcpy(st->window, op - 32768, 32768);
+            st->window_len = 32768;
+        } else if (produced > 0) {
+            int32_t keep = 32768 - (int32_t)produced;
+            if (st->window_len < keep) keep = st->window_len;
+            if (keep > 0)
+                memmove(st->window, st->window + st->window_len - keep,
+                        (size_t)keep);
+            memcpy(st->window + keep, out, (size_t)produced);
+            st->window_len = keep + (int32_t)produced;
+        }
+        st->total_out += produced;
+        return produced;
+    }
+#undef FAIL
+}
+
+int64_t owned_inflate_state_size(void) { return (int64_t)sizeof(InflState); }
+int32_t owned_inflate_state(const InflState* st) { return st->state; }
+int32_t owned_inflate_error(const InflState* st) { return st->error; }
+int64_t owned_inflate_in_pos(const InflState* st) { return st->in_pos; }
+
+void owned_inflate_rebase(InflState* st) {
+    // Caller compacted its input buffer by dropping st->in_pos consumed
+    // bytes (bits already in bitbuf are unaffected).
+    st->in_pos = 0;
+}
+
+}  // extern "C" (inflate)

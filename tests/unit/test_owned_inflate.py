@@ -1,0 +1,132 @@
+"""Owned streaming inflate (native/stitchnative.cpp owned_inflate) vs the
+CPython zlib oracle: every block type, strategy, chunking pattern, and the
+suspend/resume paths (input-starved and output-limited)."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu.errors import StitchError
+
+pytest.importorskip("image_stitch_tpu.native")
+from image_stitch_tpu.native import NativeInflater, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def roundtrip(raw: bytes, level: int, strategy: int = 0, chunk: int | None = None):
+    co = zlib.compressobj(level, zlib.DEFLATED, 15, 8, strategy)
+    comp = co.compress(raw) + co.flush()
+    inf = NativeInflater()
+    out = b""
+    step = chunk or max(1, len(comp))
+    for i in range(0, len(comp), step):
+        out += inf.push(comp[i : i + step])
+    out += inf.finish()
+    assert out == raw
+
+
+def corpus():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 255, 512, dtype=np.float32)
+    gradient = ((x[None, :] * 0.7 + x[:, None] * 0.3).astype(np.uint8)).tobytes()
+    return [
+        ("gradient", gradient),
+        ("noise", rng.integers(0, 256, 1 << 17, dtype=np.uint8).tobytes()),
+        ("zeros", bytes(1 << 17)),
+        ("tiny", b"hello world" * 3),
+        ("empty", b""),
+        ("repeat", b"abcabcabc" * 5000),
+    ]
+
+
+@pytest.mark.parametrize("level", [0, 1, 6, 9])
+@pytest.mark.parametrize("strategy", [0, zlib.Z_RLE, zlib.Z_FILTERED])
+def test_roundtrip_all_block_types(level, strategy):
+    for _, raw in corpus():
+        roundtrip(raw, level, strategy)
+
+
+@pytest.mark.parametrize("chunk", [1, 7, 4096])
+def test_resume_across_arbitrary_input_chunks(chunk):
+    """Input starvation can suspend anywhere — mid-header, mid-match,
+    mid-stored-block — and must resume bit-exactly."""
+    for _, raw in corpus():
+        if len(raw) > 1 << 16 and chunk == 1:
+            continue  # 1-byte pushes on big payloads are CI-slow, not more revealing
+        roundtrip(raw, 6, 0, chunk)
+        roundtrip(raw, 0, 0, chunk)  # stored blocks
+
+
+def test_output_limited_resume():
+    """The Python wrapper drains through fixed-size output buffers; matches
+    spanning buffer boundaries exercise the pending-copy path."""
+    raw = b"A" * 100000 + bytes(np.arange(256, dtype=np.uint8)) * 400
+    roundtrip(raw, 9)
+
+
+def test_fuzz_vs_zlib():
+    for seed in range(15):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(0, 60000))
+        raw = (r.integers(0, 256, n, dtype=np.uint8) >> int(r.integers(0, 8))).tobytes()
+        comp = zlib.compress(raw, int(r.integers(0, 10)))
+        inf = NativeInflater()
+        out = b""
+        i = 0
+        while i < len(comp):
+            cs = int(r.integers(1, 5000))
+            out += inf.push(comp[i : i + cs])
+            i += cs
+        out += inf.finish()
+        assert out == raw, f"seed {seed}"
+
+
+def test_truncated_stream_rejected():
+    comp = zlib.compress(b"some data here", 6)
+    inf = NativeInflater()
+    inf.push(comp[: len(comp) // 2])
+    with pytest.raises(StitchError, match="[Tt]runcated"):
+        inf.finish()
+
+
+def test_corrupt_stream_rejected():
+    comp = bytearray(zlib.compress(b"x" * 5000, 6))
+    comp[10] ^= 0xFF
+    inf = NativeInflater()
+    with pytest.raises(StitchError):
+        inf.push(bytes(comp))
+        inf.finish()
+
+
+def test_bad_zlib_header_rejected():
+    inf = NativeInflater()
+    with pytest.raises(StitchError):
+        inf.push(b"\x00\x00datadata")
+
+
+def test_residual_data_rejected():
+    comp = zlib.compress(b"payload", 6) + b"EXTRA"
+    inf = NativeInflater()
+    with pytest.raises(StitchError, match="residual"):
+        inf.push(comp)
+
+
+def test_push_after_finish_rejected():
+    comp = zlib.compress(b"done", 6)
+    inf = NativeInflater()
+    inf.push(comp)
+    with pytest.raises(StitchError, match="finished"):
+        inf.push(b"more")
+
+
+def test_streaming_inflator_dispatches_to_native():
+    from image_stitch_tpu.io.inflate import StreamingInflator
+
+    inf = StreamingInflator()
+    assert isinstance(inf, NativeInflater)
+    out = inf.push(zlib.compress(b"dispatch check", 6)) + inf.finish()
+    assert out == b"dispatch check"
