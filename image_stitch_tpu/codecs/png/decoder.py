@@ -207,7 +207,7 @@ class PngDecoder:
 
         if header.interlace_method == 1:
             # Interlaced: full inflate then Adam7 (reference: png-decoder.ts:73-90).
-            inflator = StreamingInflator()
+            inflator = StreamingInflator(strict=self._verify_crc)
             parts = [inflator.push(c) for c in self._iter_idat()]
             parts.append(inflator.finish())
             raw = deinterlace_adam7(b"".join(parts), header)
@@ -215,7 +215,7 @@ class PngDecoder:
                 yield raw[y0 : y0 + band_height]
             return
 
-        inflator = StreamingInflator()
+        inflator = StreamingInflator(strict=self._verify_crc)
         buf = bytearray()
         rows_done = 0
         prev_row: np.ndarray | None = None

@@ -32,16 +32,20 @@ def _native_inflater():
 
 
 class StreamingInflator:
-    """Push compressed chunks, read decompressed output incrementally."""
+    """Push compressed chunks, read decompressed output incrementally.
 
-    def __new__(cls, *args, **kwargs):
-        if cls is StreamingInflator:
+    ``strict=True`` forces the zlib tier (which verifies Adler-32) — used by
+    the PNG decoder's verify_crc mode for full integrity checking.
+    """
+
+    def __new__(cls, strict: bool = False):
+        if cls is StreamingInflator and not strict:
             native = _native_inflater()
             if native is not None:
                 return native
         return super().__new__(cls)
 
-    def __init__(self) -> None:
+    def __init__(self, strict: bool = False) -> None:
         self._obj = zlib.decompressobj()
         self._finished = False
 

@@ -130,3 +130,20 @@ def test_streaming_inflator_dispatches_to_native():
     assert isinstance(inf, NativeInflater)
     out = inf.push(zlib.compress(b"dispatch check", 6)) + inf.finish()
     assert out == b"dispatch check"
+
+
+def test_strict_mode_uses_zlib_tier_and_verifies_adler():
+    from image_stitch_tpu.io.inflate import StreamingInflator
+
+    strict = StreamingInflator(strict=True)
+    assert not isinstance(strict, NativeInflater)
+    # Corrupt the Adler-32 trailer: strict catches it, lenient doesn't.
+    comp = bytearray(zlib.compress(b"adler check payload", 6))
+    comp[-1] ^= 0xFF
+    with pytest.raises(StitchError):
+        s = StreamingInflator(strict=True)
+        s.push(bytes(comp))
+        s.finish()
+    lenient = StreamingInflator()
+    out = lenient.push(bytes(comp)) + lenient.finish()
+    assert out == b"adler check payload"
