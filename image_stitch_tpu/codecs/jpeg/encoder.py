@@ -210,12 +210,13 @@ class StreamingJpegEncoder:
         self._inflight = collections.deque()
         self._inflight_depth = max(1, int(os.environ.get("STITCH_TPU_INFLIGHT", "2")))
         self._dev_encoder = None
-        if backend in ("tpu", "jax") and sampling == "444":
+        if backend in ("tpu", "jax"):
             from ...ops.device import JaxBackend
 
             self._device = JaxBackend(mesh=mesh)
             # Fully fused device pipeline: quantize + entropy pack on-device;
-            # only the compressed bitstream crosses the host link.
+            # only the compressed bitstream crosses the host link. 4:4:4 and
+            # 4:2:0 (box-averaged chroma on device).
             from ...ops.jpeg_entropy_device import DeviceJpegEncoder
 
             self._dev_encoder = DeviceJpegEncoder(
@@ -224,6 +225,7 @@ class StreamingJpegEncoder:
                 restart_interval_rows=self._restart_rows,
                 mcus_per_row=self._mcus_per_row,
                 mesh=mesh,
+                sampling=sampling,
             )
 
     # ----- headers ------------------------------------------------------ #

@@ -256,6 +256,53 @@ def jpeg_quantize_trace(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array)
 _jpeg_quantize_jit = jax.jit(jpeg_quantize_trace)
 
 
+def jpeg_quantize_420_trace(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
+    """4:2:0 quantize: full-res Y, 2x2 box-averaged chroma (device
+    counterpart of codecs/jpeg/encoder._band_to_blocks_numpy_420).
+
+    band: (16k, W, 4) uint8 with W % 16 == 0. Returns (y (4n, 64) in MCU
+    order [TL,TR,BL,BR], cb (n, 64), cr (n, 64)), n MCUs raster-major.
+    """
+    h, w, _ = band.shape
+    r = band[:, :, 0].astype(jnp.float32)
+    g = band[:, :, 1].astype(jnp.float32)
+    b = band[:, :, 2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    dct = jnp.asarray(_DCT_M)
+
+    def dct_blocks(plane: jax.Array, q: jax.Array) -> jax.Array:
+        hh, ww = plane.shape
+        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        coefs = jnp.matmul(
+            jnp.matmul(
+                dct, blocks, preferred_element_type=jnp.float32, precision="highest"
+            ),
+            dct.T,
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
+        scaled = coefs / q.reshape(8, 8).astype(jnp.float32)
+        rounded = jnp.where(
+            scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
+        )
+        return rounded.astype(jnp.int16)
+
+    yq = dct_blocks(y, luma_q).reshape(h // 8, w // 8, 64)
+    yq = (
+        yq.reshape(h // 16, 2, w // 16, 2, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 64)
+    )  # MCU order [TL, TR, BL, BR]
+    cb_s = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr_s = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cbq = dct_blocks(cb_s, chroma_q).reshape(-1, 64)
+    crq = dct_blocks(cr_s, chroma_q).reshape(-1, 64)
+    return yq, cbq, crq
+
+
 # --------------------------------------------------------------------------- #
 # Backend object
 # --------------------------------------------------------------------------- #

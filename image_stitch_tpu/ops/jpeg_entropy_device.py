@@ -199,20 +199,34 @@ def build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma) -> dict:
     }
 
 
-def _symbol_streams(yb, cbb, crb, luts, prev_dc):
-    """Shared symbol generation: (codes (3N,65), lens (3N,65), new_dc).
+def _symbol_streams(yb, cbb, crb, luts, prev_dc, sampling: str = "444"):
+    """Shared symbol generation: (codes (B,65), lens (B,65), new_dc) where
+    B = total blocks in MCU scan order (3 per MCU for 4:4:4, 6 — four Y +
+    Cb + Cr — for 4:2:0).
 
     Column 0 = DC, columns 1..63 = AC positions, column 64 = EOB.
     """
-    n = yb.shape[0]
+    n = cbb.shape[0]  # MCU count
+    per_mcu = (4, 1, 1) if sampling == "420" else (1, 1, 1)
+    comps = (yb, cbb, crb)
     zigzag = jnp.asarray(ZIGZAG)
-    seq = jnp.stack([yb, cbb, crb], axis=1).reshape(3 * n, 64).astype(jnp.int32)
+    seq = jnp.concatenate(
+        [c.reshape(n, k, 64) for c, k in zip(comps, per_mcu)], axis=1
+    ).reshape(-1, 64).astype(jnp.int32)
     zz = seq[:, zigzag]
-    tsel = jnp.tile(jnp.asarray([0, 1, 1], dtype=jnp.int32), n)
+    tsel_pattern = [0] * per_mcu[0] + [1] * per_mcu[1] + [1] * per_mcu[2]
+    tsel = jnp.tile(jnp.asarray(tsel_pattern, dtype=jnp.int32), n)
 
-    dc = zz[:, 0].reshape(n, 3)
-    prev = jnp.concatenate([prev_dc[None, :], dc[:-1]], axis=0)
-    diffs = (dc - prev).reshape(3 * n)
+    # DC prediction is a per-component chain in that component's scan order
+    # (T.81 F.1.1.5.1); compute each chain, then interleave to MCU order.
+    diff_parts = []
+    new_dc = []
+    for ci, (c, k) in enumerate(zip(comps, per_mcu)):
+        dc_c = c[:, 0].astype(jnp.int32)
+        prev_c = jnp.concatenate([prev_dc[ci][None], dc_c[:-1]])
+        diff_parts.append((dc_c - prev_c).reshape(n, k))
+        new_dc.append(dc_c[-1])
+    diffs = jnp.concatenate(diff_parts, axis=1).reshape(-1)
     dsz = _bit_size(diffs, 12)
     dval = jnp.where(diffs < 0, diffs + (1 << dsz) - 1, diffs) & ((1 << dsz) - 1)
     # Packed (len<<16 | code) LUT: one gather per symbol instead of two —
@@ -264,7 +278,7 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc):
         [dc_lens[:, None], ac_lens, eob_lens[:, None]], axis=1
     )
     codes = jnp.where(lens > 0, codes, jnp.uint32(0))
-    return codes, lens, dc[-1]
+    return codes, lens, jnp.stack(new_dc)
 
 
 # Block-local word capacity for the scatter-free packer: 768 bits/block.
@@ -279,7 +293,7 @@ K_OVERLAP = 4
 
 def entropy_pack_trace_v2(
     yb, cbb, crb, luts, prev_dc, bit_base, cap_words: int,
-    local_words: int = LOCAL_WORDS,
+    local_words: int = LOCAL_WORDS, sampling: str = "444",
 ):
     """Scatter-free entropy packing.
 
@@ -300,7 +314,7 @@ def entropy_pack_trace_v2(
     max_block_bits) — ``max_block_bits > local_words*32`` signals overflow
     (caller falls back to the host coder for the band).
     """
-    codes, lens, new_dc = _symbol_streams(yb, cbb, crb, luts, prev_dc)
+    codes, lens, new_dc = _symbol_streams(yb, cbb, crb, luts, prev_dc, sampling)
     nb = codes.shape[0]
     # TPU layout: put the big block dimension on lanes — state arrays are
     # (small, nb), symbol arrays (65, nb).
@@ -404,23 +418,26 @@ def jpeg_encode_band_trace(
     bit_base: jax.Array,  # () int32 — device-resident carry
     cap_words: int,
     use_pallas: bool = False,
+    sampling: str = "444",
 ):
     """The fully fused band program: YCbCr + DCT + quantize + entropy pack
-    (scatter-free v2 packer).
+    (scatter-free v2 packer). 4:4:4 or 4:2:0 (box-averaged chroma).
 
     One device dispatch per band; only the packed bitstream words (plus two
     scalars and the 3-vector DC carry) ever leave the device. The quantized
     blocks are additional outputs that are fetched *only* in the rare
     local-capacity-overflow fallback.
     """
-    if use_pallas:
+    if sampling == "420":
+        from .device import jpeg_quantize_420_trace as _quantize
+    elif use_pallas:
         from .pallas_kernels import jpeg_quantize_pallas as _quantize
     else:
         from .device import jpeg_quantize_trace as _quantize
 
     yb, cbb, crb = _quantize(band, luma_q, chroma_q)
     words, total_bits, new_dc, max_block_bits, max_overlap = entropy_pack_trace_v2(
-        yb, cbb, crb, luts, prev_dc, bit_base, cap_words
+        yb, cbb, crb, luts, prev_dc, bit_base, cap_words, sampling=sampling
     )
     return words, total_bits, new_dc, max_block_bits, max_overlap, yb, cbb, crb
 
@@ -433,6 +450,7 @@ def jpeg_encode_band_groups_trace(
     n_groups: int,
     cap_words: int,  # per group
     use_pallas: bool = False,
+    sampling: str = "444",
 ):
     """Fused band program for restart-interval mode: quantize once, then pack
     each restart group independently (vmapped v2 packer, prev_dc = 0 and
@@ -442,21 +460,24 @@ def jpeg_encode_band_groups_trace(
     bit carry at all; the host pads each group's tail byte with 1s, stuffs,
     and joins groups with RSTn markers.
     """
-    if use_pallas:
+    if sampling == "420":
+        from .device import jpeg_quantize_420_trace as _quantize
+    elif use_pallas:
         from .pallas_kernels import jpeg_quantize_pallas as _quantize
     else:
         from .device import jpeg_quantize_trace as _quantize
 
     yb, cbb, crb = _quantize(band, luma_q, chroma_q)
-    nb = yb.shape[0]
-    bpg = nb // n_groups  # blocks per group per component (strip-major)
-    ybg = yb.reshape(n_groups, bpg, 64)
-    cbg = cbb.reshape(n_groups, bpg, 64)
-    crg = crb.reshape(n_groups, bpg, 64)
+    # Per-component blocks-per-group (Y has 4x the chroma count in 4:2:0;
+    # MCU-raster block order makes groups contiguous slices).
+    ybg = yb.reshape(n_groups, yb.shape[0] // n_groups, 64)
+    cbg = cbb.reshape(n_groups, cbb.shape[0] // n_groups, 64)
+    crg = crb.reshape(n_groups, crb.shape[0] // n_groups, 64)
 
     def pack_one(y, cb, cr):
         words, total_bits, _dc, max_bb, max_ov = entropy_pack_trace_v2(
-            y, cb, cr, luts, jnp.zeros(3, jnp.int32), jnp.int32(0), cap_words
+            y, cb, cr, luts, jnp.zeros(3, jnp.int32), jnp.int32(0), cap_words,
+            sampling=sampling,
         )
         return words, total_bits, max_bb, max_ov
 
@@ -480,7 +501,7 @@ class DeviceJpegEncoder:
     def __init__(self, luma_q, chroma_q, dc_luma, ac_luma, dc_chroma, ac_chroma,
                  cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX,
                  restart_interval_rows: int = 0, mcus_per_row: int | None = None,
-                 mesh=None):
+                 mesh=None, sampling: str = "444"):
         self._lq = jnp.asarray(luma_q)
         self._cq = jnp.asarray(chroma_q)
         self._luts = build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma)
@@ -493,16 +514,19 @@ class DeviceJpegEncoder:
 
         self._use_pallas = mesh is None and pallas_enabled()
         self._jit = jax.jit(
-            jpeg_encode_band_trace, static_argnames=("cap_words", "use_pallas")
+            jpeg_encode_band_trace,
+            static_argnames=("cap_words", "use_pallas", "sampling"),
         )
         self._restart_rows = int(restart_interval_rows)
         self._mcus_per_row = mcus_per_row
         self._groups_emitted = 0
         self._rst_n = 0
         self._mesh = mesh
+        self._sampling = sampling
+        self._mcu_px = 16 if sampling == "420" else 8
         self._jit_groups_plain = jax.jit(
             jpeg_encode_band_groups_trace,
-            static_argnames=("n_groups", "cap_words", "use_pallas"),
+            static_argnames=("n_groups", "cap_words", "use_pallas", "sampling"),
         )
         if mesh is not None:
             # Restart groups are row slabs: sharding band rows over 'band'
@@ -515,7 +539,7 @@ class DeviceJpegEncoder:
             lut_shardings = {k: rep for k in self._luts}
             self._jit_groups = jax.jit(
                 jpeg_encode_band_groups_trace,
-                static_argnames=("n_groups", "cap_words", "use_pallas"),
+                static_argnames=("n_groups", "cap_words", "use_pallas", "sampling"),
                 in_shardings=(band3d, rep, rep, lut_shardings),
             )
         else:
@@ -547,6 +571,7 @@ class DeviceJpegEncoder:
             bit_base_in,
             cap_words=cap_words,
             use_pallas=self._use_pallas,
+            sampling=self._sampling,
         )
         # Thread the carry on-device; no host synchronization here.
         self._prev_dc = new_dc
@@ -566,28 +591,29 @@ class DeviceJpegEncoder:
         """Restart-group dispatch: the band must hold whole ri-row groups,
         except a single final shorter group (tail of the image)."""
         ri = self._restart_rows
+        mcu_px = self._mcu_px
         band = jnp.asarray(band)
-        mcu_rows = band.shape[0] // 8
+        mcu_rows = band.shape[0] // mcu_px
         tail_rows = mcu_rows % ri
         handles = []
         if mcu_rows - tail_rows:
-            main = band[: (mcu_rows - tail_rows) * 8]
+            main = band[: (mcu_rows - tail_rows) * mcu_px]
             n_groups = (mcu_rows - tail_rows) // ri
-            px_per_group = ri * 8 * band.shape[1]
+            px_per_group = ri * mcu_px * band.shape[1]
             cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(main.shape)(
                 main, self._lq, self._cq, self._luts, n_groups, cap_words,
-                self._use_pallas,
+                self._use_pallas, self._sampling,
             )
             self._async_copy(out)
             handles.append((out, n_groups, cap_words))
         if tail_rows:
-            tail = band[(mcu_rows - tail_rows) * 8 :]
-            px = tail_rows * 8 * band.shape[1]
+            tail = band[(mcu_rows - tail_rows) * mcu_px :]
+            px = tail_rows * mcu_px * band.shape[1]
             cap_words = max(64, (px * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(tail.shape)(
                 tail, self._lq, self._cq, self._luts, 1, cap_words,
-                self._use_pallas,
+                self._use_pallas, self._sampling,
             )
             self._async_copy(out)
             handles.append((out, 1, cap_words))
@@ -640,26 +666,44 @@ class DeviceJpegEncoder:
                 out += payload.tobytes()
         return bytes(out)
 
+    def _interleave_host(self, yc, yl, cbc, cbl, crc, crl):
+        from ..codecs.jpeg.huffman import interleave_mcus
+
+        if self._sampling != "420":
+            return interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        codes_parts, lens_parts = [], []
+        for m in range(len(cbc)):
+            for j in range(4):
+                codes_parts.append(yc[m * 4 + j])
+                lens_parts.append(yl[m * 4 + j])
+            codes_parts.append(cbc[m])
+            lens_parts.append(cbl[m])
+            codes_parts.append(crc[m])
+            lens_parts.append(crl[m])
+        return np.concatenate(codes_parts), np.concatenate(lens_parts)
+
     def _host_fallback_groups(self, blocks, n_groups: int) -> bytes:
         """Exact host coding of a group-aligned band (overflow path)."""
-        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder, interleave_mcus
+        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder
 
         yb, cbb, crb = (np.asarray(b) for b in blocks)
         dc_l, ac_l, dc_c, ac_c = self._host_tables
         enc_l = HuffmanEncoder(dc_l, ac_l)
         enc_c = HuffmanEncoder(dc_c, ac_c)
-        bpg = yb.shape[0] // n_groups
+        ybpg = yb.shape[0] // n_groups
+        cbpg = cbb.shape[0] // n_groups
         out = bytearray()
         for g in range(n_groups):
             if self._groups_emitted:
                 out += self._rst_marker()
             self._groups_emitted += 1
-            sl = slice(g * bpg, (g + 1) * bpg)
+            ysl = slice(g * ybpg, (g + 1) * ybpg)
+            csl = slice(g * cbpg, (g + 1) * cbpg)
             packer = BitPacker()
-            yc, yl, _ = enc_l.encode_component_blocks(yb[sl], 0)
-            cbc, cbl, _ = enc_c.encode_component_blocks(cbb[sl], 0)
-            crc, crl, _ = enc_c.encode_component_blocks(crb[sl], 0)
-            codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+            yc, yl, _ = enc_l.encode_component_blocks(yb[ysl], 0)
+            cbc, cbl, _ = enc_c.encode_component_blocks(cbb[csl], 0)
+            crc, crl, _ = enc_c.encode_component_blocks(crb[csl], 0)
+            codes, lens = self._interleave_host(yc, yl, cbc, cbl, crc, crl)
             out += packer.pack(codes, lens)
             out += packer.flush()
         return bytes(out)
@@ -707,7 +751,7 @@ class DeviceJpegEncoder:
         return payload.tobytes()
 
     def _host_fallback_blocks(self, blocks, prev_dc_in) -> bytes:
-        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder, interleave_mcus
+        from ..codecs.jpeg.huffman import BitPacker, HuffmanEncoder
 
         yb, cbb, crb = (np.asarray(b) for b in blocks)
         dc_l, ac_l, dc_c, ac_c = self._host_tables
@@ -720,7 +764,7 @@ class DeviceJpegEncoder:
         yc, yl, _ = enc_l.encode_component_blocks(yb, prev[0])
         cbc, cbl, _ = enc_c.encode_component_blocks(cbb, prev[1])
         crc, crl, _ = enc_c.encode_component_blocks(crb, prev[2])
-        codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
+        codes, lens = self._interleave_host(yc, yl, cbc, cbl, crc, crl)
         out = packer.pack(codes, lens)
         self._carry_val = packer._carry_val
         self._host_carry_n = packer._carry_n

@@ -170,3 +170,20 @@ def test_concat_option_plumbing():
     )
     assert dri_value(out) == 2 * (192 // 8)
     assert count_rst(out) == 4  # 10 MCU rows -> groups 2,2,2,2,2
+
+
+@pytest.mark.parametrize("ri", [0, 1, 2])
+def test_420_device_bytes_match_host(ri):
+    """The fused device encoder handles 4:2:0 (box-averaged chroma on
+    device, 6-block MCU interleave in the packer) byte-identically to the
+    host coder, with and without restart groups."""
+    host = encode(IMG, ri, backend="numpy", sampling="420")
+    dev = encode(IMG, ri, backend="jax", sampling="420")
+    assert host == dev
+
+
+def test_420_device_partial_tail_group():
+    img = make_image(h=112)  # 7 MCU rows (16px); ri=3 -> groups 3,3 + tail 1
+    host = encode(img, 3, backend="numpy", sampling="420")
+    dev = encode(img, 3, backend="jax", sampling="420")
+    assert host == dev
