@@ -1159,36 +1159,43 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 infl_refill(st, in, in_len);  // bitcount >= 56
                 uint32_t e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
                 uint32_t kind = INFL_KIND(e);
-                if (kind == INFL_K_LIT) {
+                // Literal burst: typical codes are 8-9 bits, so one 56-bit
+                // refill covers ~6 literals; budget keeps the 300-byte
+                // output margin intact.
+                int lit_budget = 6;
+                int emitted = 0;
+                while (kind == INFL_K_LIT &&
+                       st->bitcount >= (int32_t)INFL_NBITS(e) && lit_budget--) {
                     infl_take(st, (int)INFL_NBITS(e));
                     *op++ = (uint8_t)INFL_PAYLOAD(e);
+                    ++emitted;
                     e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
                     kind = INFL_KIND(e);
-                    if (kind == INFL_K_LIT) {  // >= 41 bits left
-                        infl_take(st, (int)INFL_NBITS(e));
-                        *op++ = (uint8_t)INFL_PAYLOAD(e);
-                        e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
-                        kind = INFL_KIND(e);
-                        if (kind == INFL_K_LIT &&
-                            st->bitcount >= (int32_t)INFL_NBITS(e)) {
-                            infl_take(st, (int)INFL_NBITS(e));
-                            *op++ = (uint8_t)INFL_PAYLOAD(e);
-                            continue;
-                        }
-                    }
                 }
-                if (kind != INFL_K_LEN) break;  // EOB/BAD: general loop
+                if (kind == INFL_K_LIT) continue;  // budget/bits: refill
+                if (kind != INFL_K_LEN) {
+                    if (emitted) continue;  // re-enter with fresh bits first
+                    break;  // EOB/BAD at full bits: general loop decides
+                }
                 if (st->bitcount <
                     (int32_t)INFL_NBITS(e) + kLenExtra[INFL_PAYLOAD(e)])
-                    break;
+                    continue;  // refill, then retry (nothing consumed)
                 uint32_t lsym = INFL_PAYLOAD(e);
                 infl_take(st, (int)INFL_NBITS(e));
                 int32_t length =
                     kLenBase[lsym] + (int32_t)infl_take(st, kLenExtra[lsym]);
                 infl_refill(st, in, in_len);  // >= 28 bits for dist+extra
                 uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
-                if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);
+                if (INFL_KIND(de) == INFL_K_BAD) {
+                    if (st->bitcount >= 15) FAIL(-8);
+                    st->pending_len = -length;  // dist bits not here yet
+                    goto suspend;
+                }
                 uint32_t dsym = INFL_PAYLOAD(de);
+                if (st->bitcount < (int32_t)INFL_NBITS(de) + kDistExtra[dsym]) {
+                    st->pending_len = -length;
+                    goto suspend;
+                }
                 infl_take(st, (int)INFL_NBITS(de));
                 int32_t dist =
                     kDistBase[dsym] + (int32_t)infl_take(st, kDistExtra[dsym]);
