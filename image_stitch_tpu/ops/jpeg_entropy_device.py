@@ -554,7 +554,19 @@ class DeviceJpegEncoder:
             return self._jit_groups_plain
         return self._jit_groups
 
+    @staticmethod
+    def _strip_alpha(band):
+        """JPEG ignores alpha; uploading (H, W, 3) cuts link traffic 25%
+        (the traces only read channels 0..2 so the programs are unchanged
+        modulo the input shape)."""
+        if band.shape[-1] == 4:
+            if isinstance(band, np.ndarray):
+                return np.ascontiguousarray(band[..., :3])
+            return band[..., :3]
+        return band
+
     def submit(self, band: np.ndarray):
+        band = self._strip_alpha(band)
         if self._restart_rows:
             return self._submit_groups(band)
         band = jnp.asarray(band)
