@@ -359,11 +359,23 @@ class CoreStreamingConcatenator:
                 x_cursor += col_w
             y_cursor += gl.row_heights[r]
 
+        # Rows of the canvas fully covered by placements skip the background
+        # fill (every cell image spans its full cell): in uniform grids that
+        # is every row, saving a full canvas-sized memset per band.
+        covered_rows = np.zeros(out_header.height, dtype=bool)
+        x_accum = np.zeros(out_header.height, dtype=np.int64)
+        for image_idx, y0, x0, _r, _c in placements:
+            hh = sources[image_idx].header.height
+            ww = sources[image_idx].header.width
+            x_accum[y0 : y0 + hh] += ww
+        covered_rows = x_accum >= width
+
         total_h = out_header.height
         for band_y0 in range(0, total_h, band_h):
             h = min(band_h, total_h - band_y0)
             canvas = np.empty((h, width, 4), dtype=dtype)
-            canvas[:] = bg
+            if not covered_rows[band_y0 : band_y0 + h].all():
+                canvas[:] = bg
             for image_idx, y0, x0, _r, _c in placements:
                 img_h = sources[image_idx].header.height
                 img_w = sources[image_idx].header.width

@@ -481,7 +481,10 @@ class NativeInflater:
         lib = get_native_lib()
         assert lib is not None
         self._lib = lib
-        self._st = np.zeros(int(lib.owned_inflate_state_size()), dtype=np.uint8)
+        # np.empty: owned_inflate_init zeroes the control prefix; the ~300KB
+        # of decode tables are initialized by the block-header builder before
+        # any lookup, so pre-zeroing them just burns a page-walk per stream.
+        self._st = np.empty(int(lib.owned_inflate_state_size()), dtype=np.uint8)
         self._stp = self._st.ctypes.data_as(ctypes.c_void_p)
         lib.owned_inflate_init(self._stp)
         self._input = bytearray()
