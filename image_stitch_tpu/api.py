@@ -92,8 +92,11 @@ def concat_arrays(
 
     ``output``: 'array' decodes the result back to an (H, W, 4) array;
     'png'/'jpeg' return encoded bytes.
+
+    Arrays feed the pipeline directly (codecs/array_source.ArrayDecoder) —
+    no encode round-trip, matching canvases feeding concatCanvases.
     """
-    inputs = [_array_to_png(a) for a in arrays]
+    inputs = list(arrays)
     opts: dict[str, Any] = {"inputs": inputs, "layout": dict(layout or {})}
     if output == "jpeg":
         opts["output_format"] = "jpeg"
@@ -114,21 +117,3 @@ def concat_arrays(
     return np.vstack(bands)
 
 
-def _array_to_png(arr: np.ndarray) -> bytes:
-    import zlib
-
-    from .codecs.png.writer import build_png
-    from .types import PngHeader
-
-    arr = np.asarray(arr)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, c = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    raw = b"".join(
-        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
-    )
-    return build_png(
-        PngHeader(width=w, height=h, bit_depth=8, color_type=color_type),
-        zlib.compress(raw, 6),
-    )

@@ -177,6 +177,12 @@ def create_decoder(
         return source
     if isinstance(source, ImageSource):
         return LazyImageDecoder(source, options, plugins)
+    from .array_source import ArrayDecoder, is_pixel_array
+
+    if is_pixel_array(source):
+        # Raw (H, W, 3|4) pixel arrays are first-class inputs — the
+        # canvas-input analog (image-concat-browser.ts:287-323).
+        return ArrayDecoder(source, options)
 
     from .detect import read_magic_and_source
 

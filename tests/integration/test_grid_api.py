@@ -307,3 +307,48 @@ def test_rows_with_width_limit():
     assert dec.shape == (20, 30, 4)
     np.testing.assert_array_equal(dec[0:10, 20:30], tiles[2])
     np.testing.assert_array_equal(dec[10:20, 0:10], tiles[3])
+
+
+def test_raw_array_inputs():
+    """(H, W, 3|4) numpy arrays are first-class inputs — the canvas-input
+    analog (image-concat-browser.ts:287-323) — with no encode round-trip."""
+    import io
+
+    from PIL import Image
+
+    rgba = np.full((20, 30, 4), (1, 2, 3, 255), np.uint8)
+    rgb = np.full((20, 30, 3), (9, 8, 7), np.uint8)
+    out = concat_to_buffer({"inputs": [rgba, rgb], "layout": {"columns": 2}})
+    r = np.array(Image.open(io.BytesIO(out)).convert("RGBA"))
+    np.testing.assert_array_equal(r[:, :30], rgba)
+    assert (r[:, 30:, :3] == (9, 8, 7)).all() and (r[:, 30:, 3] == 255).all()
+
+
+def test_raw_array_positioned_and_16bit():
+    import io
+
+    from PIL import Image
+
+    from image_stitch_tpu import PositionedImage, parse_png_header
+
+    bg = np.full((40, 40, 4), (10, 10, 10, 255), np.uint8)
+    sprite = np.zeros((10, 10, 4), np.uint8)
+    sprite[:] = (200, 0, 0, 128)
+    out = concat_to_buffer(
+        {"inputs": [PositionedImage(x=0, y=0, source=bg),
+                    PositionedImage(x=5, y=5, source=sprite, z_index=1)],
+         "layout": {}}
+    )
+    r = np.array(Image.open(io.BytesIO(out)).convert("RGBA"))
+    assert r.shape == (40, 40, 4)
+    assert (r[7, 7][:3] > r[0, 0][:3]).any()  # blended sprite visible
+
+    arr16 = np.full((8, 8, 4), 40000, np.uint16)
+    out16 = concat_to_buffer({"inputs": [arr16], "layout": {"columns": 1}})
+    assert parse_png_header(out16).bit_depth == 16
+
+
+def test_raw_array_invalid_shape_rejected():
+    with pytest.raises(StitchError, match="[Aa]rray|format"):
+        concat_to_buffer({"inputs": [np.zeros((4, 4, 2), np.uint8)],
+                          "layout": {"columns": 1}})
