@@ -216,9 +216,72 @@ class PngDecoder:
             return
 
         inflator = StreamingInflator(strict=self._verify_crc)
-        buf = bytearray()
         rows_done = 0
         prev_row: np.ndarray | None = None
+
+        if hasattr(inflator, "drain_into"):
+            # Zero-copy path (owned C++ inflate): decode straight into a
+            # band-sized scanline-unit scratch, defilter from it — no
+            # intermediate bytes objects or bytearray churn.
+            take_rows = min(band_height, header.height)
+            cap = take_rows * unit
+            from ...native import buffer_pool
+
+            scratch = buffer_pool.get(cap)
+            fill = 0
+
+            def emit(final: bool):
+                nonlocal fill, rows_done, prev_row
+                take = min(fill // unit, band_height, header.height - rows_done)
+                if take == 0:
+                    return None
+                if not final and take < band_height and rows_done + take < header.height:
+                    return None
+                band = _defilter_units(
+                    scratch[: take * unit].reshape(take, unit),
+                    row_bytes, bpp, prev_row,
+                )
+                rest = fill - take * unit
+                if rest:
+                    scratch[:rest] = scratch[take * unit : fill]
+                fill = rest
+                prev_row = band[-1]
+                rows_done += take
+                return band
+
+            try:
+                for fragment in self._iter_idat():
+                    inflator.feed(fragment)
+                    while True:
+                        n = inflator.drain_into(scratch[fill:])
+                        fill += n
+                        if fill == cap:
+                            band = emit(final=False)
+                            if band is not None:
+                                yield band
+                        if n == 0:
+                            break
+                inflator.verify_finished()
+                while True:
+                    band = emit(final=True)
+                    if band is None:
+                        break
+                    yield band
+                if rows_done < header.height:
+                    raise StitchError(
+                        f"Expected {header.height} scanlines, got {rows_done}"
+                    )
+                if fill > 0:
+                    raise StitchError(
+                        f"Unexpected {fill} residual decompressed bytes "
+                        f"after {rows_done} scanlines"
+                    )
+                return
+            finally:
+                buffer_pool.put(scratch)
+                scratch = None
+
+        buf = bytearray()
 
         def drain(final: bool) -> Iterator[np.ndarray]:
             nonlocal rows_done, prev_row

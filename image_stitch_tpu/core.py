@@ -188,6 +188,14 @@ class RowSource:
         out = self._buf[:n]
         self._buf = self._buf[n:] if self._buf.shape[0] > n else None
         self.rows_served += n
+        if self.rows_served >= self.header.height and self._buf is None:
+            # The decoder generator is suspended just after its last yield;
+            # close it now so its frame (inflate state, scratch, pending
+            # input) is released immediately instead of at stream end — with
+            # many inputs that retained ~0.5 MB per finished tile.
+            close = getattr(self._iter, "close", None)
+            if close is not None:
+                close()
         if self._progress is not None:
             self._progress.consumed(self.image_idx, n)
         return out
@@ -370,8 +378,12 @@ class CoreStreamingConcatenator:
             x_accum[y0 : y0 + hh] += ww
         covered_rows = x_accum >= width
 
+        from .utils import trim_malloc  # noqa: F401 (used below)
+
         total_h = out_header.height
-        for band_y0 in range(0, total_h, band_h):
+        for band_idx, band_y0 in enumerate(range(0, total_h, band_h)):
+            if band_idx and band_idx % 16 == 0:
+                trim_malloc()  # keep RSS at the live set, not the high-water
             h = min(band_h, total_h - band_y0)
             canvas = np.empty((h, width, 4), dtype=dtype)
             if not covered_rows[band_y0 : band_y0 + h].all():
@@ -491,7 +503,11 @@ class CoreStreamingConcatenator:
         # band can interleave images arbitrarily but rows are consumed
         # band-by-band monotonically per image, streaming works: each band
         # touches a contiguous, increasing row range per image.
+        from .utils import trim_malloc
+
         for band_idx, segs in enumerate(plans):
+            if band_idx and band_idx % 16 == 0:
+                trim_malloc()
             band_y0 = band_idx * band_h
             h = min(band_h, out_header.height - band_y0)
             canvas = np.empty((h, out_header.width, 4), dtype=dtype)

@@ -467,6 +467,35 @@ class NativeEntropyCoder:
 # ------------------------------------------------------------------------- #
 
 
+class BufferPool:
+    """Size-keyed free list of uint8 numpy buffers.
+
+    Decoding many small images churns ~450KB of state/scratch per stream;
+    glibc raises its mmap threshold after a few cycles and the churn then
+    fragments the heap (RSS grows without live objects). Reusing a bounded
+    pool keeps the allocations stable."""
+
+    def __init__(self, per_size: int = 8):
+        self._per_size = per_size
+        self._free: dict[int, list[np.ndarray]] = {}
+
+    def get(self, size: int) -> np.ndarray:
+        lst = self._free.get(size)
+        if lst:
+            return lst.pop()
+        return np.empty(size, dtype=np.uint8)
+
+    def put(self, buf) -> None:
+        if buf is None:
+            return
+        lst = self._free.setdefault(buf.size, [])
+        if len(lst) < self._per_size:
+            lst.append(buf)
+
+
+buffer_pool = BufferPool()
+
+
 class NativeInflater:
     """Streaming zlib-stream inflater over the owned C++ decoder
     (stitchnative.cpp owned_inflate): push compressed fragments, pull
@@ -481,15 +510,22 @@ class NativeInflater:
         lib = get_native_lib()
         assert lib is not None
         self._lib = lib
-        # np.empty: owned_inflate_init zeroes the control prefix; the ~300KB
-        # of decode tables are initialized by the block-header builder before
-        # any lookup, so pre-zeroing them just burns a page-walk per stream.
-        self._st = np.empty(int(lib.owned_inflate_state_size()), dtype=np.uint8)
+        # Pooled state buffer; owned_inflate_init zeroes the control prefix
+        # and the decode tables are built before any lookup, so a recycled
+        # buffer needs no pre-zeroing.
+        self._st = buffer_pool.get(int(lib.owned_inflate_state_size()))
         self._stp = self._st.ctypes.data_as(ctypes.c_void_p)
         lib.owned_inflate_init(self._stp)
         self._input = bytearray()
         self.finished = False
         self.unused_data = b""
+
+    def __del__(self):
+        try:
+            st, self._st, self._stp = self._st, None, None
+            buffer_pool.put(st)
+        except Exception:
+            pass
 
     def push(self, chunk) -> bytes:
         if self.finished:
@@ -559,6 +595,68 @@ class NativeInflater:
 
             raise StitchError("Truncated or invalid zlib stream")
         return out
+
+    # -- zero-copy variant (the PNG band decoder's hot path) -------------- #
+
+    def feed(self, chunk) -> None:
+        """Accrete compressed input without decoding yet."""
+        if self.finished:
+            if len(chunk):
+                from ..errors import StitchError
+
+                raise StitchError(
+                    "Inflate stream already finished but more data was pushed"
+                )
+            return
+        self._input += bytes(chunk)
+
+    def drain_into(self, out: np.ndarray) -> int:
+        """Decode directly into ``out`` (uint8, C-contiguous); returns bytes
+        written. Call repeatedly until it returns 0 (input-limited or done);
+        output-limited calls resume exactly where they stopped."""
+        if self.finished or not len(out):
+            return 0
+        lib = self._lib
+        if len(self._input):
+            view = np.frombuffer(self._input, dtype=np.uint8)
+            in_ptr = view.ctypes.data_as(ctypes.c_void_p)
+        else:
+            view, in_ptr = None, None
+        n = lib.owned_inflate(
+            in_ptr, len(self._input), self._stp,
+            out.ctypes.data_as(ctypes.c_void_p), len(out),
+        )
+        if n < 0:
+            from ..errors import StitchError
+
+            raise StitchError(f"Invalid zlib stream (owned inflate rc={n})")
+        if lib.owned_inflate_state(self._stp) == 5:
+            self.finished = True
+            in_pos = int(lib.owned_inflate_in_pos(self._stp))
+            bitcount = int(np.frombuffer(self._st[8:12].tobytes(), "<i4")[0])
+            start = in_pos - bitcount // 8
+            self.unused_data = bytes(self._input[start:])
+            if self.unused_data.strip(b"\x00"):
+                from ..errors import StitchError
+
+                raise StitchError(
+                    f"Unexpected {len(self.unused_data)} residual bytes "
+                    f"after zlib stream end"
+                )
+            return int(n)
+        in_pos = int(lib.owned_inflate_in_pos(self._stp))
+        if in_pos > self._COMPACT_AT:
+            view = None
+            in_ptr = None
+            del self._input[:in_pos]
+            lib.owned_inflate_rebase(self._stp)
+        return int(n)
+
+    def verify_finished(self) -> None:
+        if not self.finished:
+            from ..errors import StitchError
+
+            raise StitchError("Truncated or invalid zlib stream")
 
 
 def native_inflater_available() -> bool:

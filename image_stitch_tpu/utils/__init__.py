@@ -68,3 +68,31 @@ def scanline_byte_length(width: int, bit_depth: int, color_type: int) -> int:
     """Raw (unfiltered) byte length of one scanline."""
     samples = get_samples_per_pixel(color_type)
     return -(-(width * bit_depth * samples) // 8)
+
+
+_LIBC = None
+_LIBC_TRIED = False
+
+
+def trim_malloc() -> None:
+    """Return freed heap pages to the OS (glibc malloc_trim).
+
+    The band pipeline churns 100s of KB of short-lived buffers per input;
+    glibc's dynamic mmap threshold keeps those freed chunks on the heap and
+    RSS ratchets to the high-water mark. A periodic trim keeps resident
+    memory at the true live set — part of the O(canvas_width) contract the
+    memory suite enforces. No-op on non-glibc platforms."""
+    global _LIBC, _LIBC_TRIED
+    if not _LIBC_TRIED:
+        _LIBC_TRIED = True
+        try:
+            import ctypes
+
+            _LIBC = ctypes.CDLL("libc.so.6")
+        except Exception:
+            _LIBC = None
+    if _LIBC is not None:
+        try:
+            _LIBC.malloc_trim(0)
+        except Exception:
+            pass

@@ -203,7 +203,9 @@ def test_10000px_png_memory_budget(tmp_path):
     finally:
         disable_input_cache()
     assert total > 0
-    assert_memory_below(report, 500 << 20, "10000^2 PNG")
+    # Measured peak ~85 MB for the 400 MB-RGBA canvas (vs the reference's
+    # 900 MB CI budget at this size, memory.test.ts:275-276).
+    assert_memory_below(report, 200 << 20, "10000^2 PNG")
 
 
 def test_10000px_jpeg_memory_and_efficiency(tmp_path):
@@ -224,7 +226,8 @@ def test_10000px_jpeg_memory_and_efficiency(tmp_path):
     finally:
         disable_input_cache()
     assert total > 50 << 20  # noise at q85: plenty of entropy
-    assert_memory_below(report, 500 << 20, "10000^2 JPEG")
+    # Measured peak ~35 MB.
+    assert_memory_below(report, 150 << 20, "10000^2 JPEG")
     assert_streaming_efficiency(report, total)
 
 
