@@ -185,6 +185,23 @@ class StreamingJpegEncoder:
                 )
         except Exception:
             self._native_coder = None
+        if (
+            self._native_coder is None
+            and backend not in ("tpu", "jax")
+            and width * height > (1 << 21)
+        ):
+            import warnings
+
+            # The numpy symbol generator walks blocks in Python — correct
+            # (it is the oracle) but ~1-2 MP/s. Say so instead of silently
+            # crawling (round-1 review finding).
+            warnings.warn(
+                "Native JPEG entropy coder unavailable (no C++ toolchain?): "
+                "falling back to the Python oracle coder, which is ~50-100x "
+                "slower. Install g++ or use backend='jax'.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         self._prev_dc = [0, 0, 0]
         # Restart markers every `restart_interval_rows` MCU rows (T.81
         # B.2.4.4): each group's bitstream is byte-aligned and DC-reset, so
