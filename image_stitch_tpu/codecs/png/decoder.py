@@ -255,12 +255,15 @@ class PngDecoder:
                     while True:
                         n = inflator.drain_into(scratch[fill:])
                         fill += n
-                        if fill == cap:
-                            band = emit(final=False)
-                            if band is not None:
-                                yield band
-                        if n == 0:
+                        if fill < cap:
+                            break  # output not filled => input-limited/done
+                        band = emit(final=False)
+                        if band is None:
+                            # Full scratch but nothing emittable: the image's
+                            # rows are complete and the stream has residual
+                            # data — stop decoding; the checks below raise.
                             break
+                        yield band
                 inflator.verify_finished()
                 while True:
                     band = emit(final=True)
