@@ -482,7 +482,25 @@ def jpeg_encode_band_groups_trace(
         return words, total_bits, max_bb, max_ov
 
     words, bits, max_bb, max_ov = jax.vmap(pack_one)(ybg, cbg, crg)
-    return words, bits, jnp.max(max_bb), jnp.max(max_ov), yb, cbb, crb
+
+    # Dense repack: lay the groups' used words end to end so the host
+    # fetches only ~the compressed size instead of n_groups * cap_words of
+    # padding (the d2h link is the scarce resource). Same histogram trick
+    # as the packer's j_lo: grp(i) = #groups whose dense span ends <= i.
+    used = (bits + 31) >> 5  # words per group
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(used)[:-1]])
+    total = n_groups * cap_words
+    ends = offs + used
+    end_hist = jax.ops.segment_sum(
+        jnp.ones_like(ends), jnp.clip(ends, 0, total - 1),
+        num_segments=total, indices_are_sorted=True,
+    )
+    grp = jnp.cumsum(end_hist).astype(jnp.int32)  # inclusive: ends <= i
+    i = jnp.arange(total, dtype=jnp.int32)
+    g = jnp.clip(grp, 0, n_groups - 1)
+    local = jnp.clip(i - offs[g], 0, cap_words - 1)
+    dense = jnp.where(i < ends[-1], words[g, local], jnp.uint32(0))
+    return dense, bits, jnp.max(max_bb), jnp.max(max_ov), yb, cbb, crb
 
 
 class DeviceJpegEncoder:
@@ -633,8 +651,11 @@ class DeviceJpegEncoder:
 
     @staticmethod
     def _async_copy(out) -> None:
+        # Only the small control outputs (bits, overflow scalars) prefetch;
+        # the dense word stream transfers lazily so the host can fetch just
+        # the used prefix (bucketed slice) instead of the padded buffer.
         try:
-            for a in out[:4]:
+            for a in out[1:4]:
                 a.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
@@ -644,12 +665,17 @@ class DeviceJpegEncoder:
         self._rst_n = (self._rst_n + 1) & 7
         return m
 
+    # Host-side fetch bucket for the dense word stream (bounds the number
+    # of distinct slice shapes the fetch compiles).
+    _FETCH_BUCKET_WORDS = 8192
+
     def _wait_groups(self, handles) -> bytes:
         out = bytearray()
         for (res, n_groups, cap_words) in handles:
-            words, bits, max_bb, max_ov, yb, cbb, crb = res
+            dense, bits, max_bb, max_ov, yb, cbb, crb = res
+            bits_h = np.asarray(bits)
             if int(max_bb) > LOCAL_WORDS * 32 or int(max_ov) > K_OVERLAP or bool(
-                (np.asarray(bits) > cap_words * 32).any()
+                (bits_h > cap_words * 32).any()
             ):
                 if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
                     self._cap_bits_per_px = min(
@@ -657,17 +683,22 @@ class DeviceJpegEncoder:
                     )
                 out += self._host_fallback_groups((yb, cbb, crb), n_groups)
                 continue
-            bits_h = np.asarray(bits)
-            words_h = np.asarray(words)
+            used = (bits_h + 31) // 32
+            offs = np.concatenate([[0], np.cumsum(used)[:-1]])
+            total_used = int(used.sum())
+            fetch = min(
+                dense.shape[0],
+                -(-total_used // self._FETCH_BUCKET_WORDS) * self._FETCH_BUCKET_WORDS,
+            )
+            dense_h = np.asarray(dense[:fetch]) if fetch else np.empty(0, np.uint32)
             for g in range(n_groups):
                 if self._groups_emitted:
                     out += self._rst_marker()
                 self._groups_emitted += 1
                 total = int(bits_h[g])
                 n_bytes = (total + 7) // 8
-                data = bytearray(
-                    words_h[g, : (total + 31) // 32].astype(">u4").tobytes()[:n_bytes]
-                )
+                gw = dense_h[offs[g] : offs[g] + used[g]]
+                data = bytearray(gw.astype(">u4").tobytes()[:n_bytes])
                 rem = total % 8
                 if rem and n_bytes:
                     data[-1] |= (1 << (8 - rem)) - 1  # pad with 1s (byte-align)
