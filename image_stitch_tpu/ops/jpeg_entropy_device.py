@@ -674,8 +674,11 @@ class DeviceJpegEncoder:
         for (res, n_groups, cap_words) in handles:
             dense, bits, max_bb, max_ov, yb, cbb, crb = res
             bits_h = np.asarray(bits)
+            # A group whose words exactly fill cap_words would alias in the
+            # dense repack's end-histogram (its end bin clips onto its own
+            # last word), so treat >= cap as overflow too.
             if int(max_bb) > LOCAL_WORDS * 32 or int(max_ov) > K_OVERLAP or bool(
-                (bits_h > cap_words * 32).any()
+                ((bits_h + 31) // 32 >= cap_words).any()
             ):
                 if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
                     self._cap_bits_per_px = min(

@@ -181,3 +181,29 @@ def test_native_coder_dense_blocks_no_overflow():
     # Confirm this really is the worst-case regime the old 256 B/block
     # buffer could not hold.
     assert len(out) > n * 3 * 260
+
+
+def test_groups_full_cap_falls_back_exactly():
+    """A restart group whose bitstream exactly fills its word capacity must
+    take the host fallback (the dense repack's end-histogram would alias its
+    last word) and still produce byte-identical output."""
+    import numpy as np
+
+    from image_stitch_tpu.codecs.jpeg.encoder import StreamingJpegEncoder
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 64, 4), dtype=np.uint8)  # noisy
+    # q100 maximizes bits/px so tight caps overflow-or-fill quickly.
+    def enc(backend):
+        e = StreamingJpegEncoder(64, 32, 100, backend=backend,
+                                 restart_interval_rows=1)
+        if backend == "jax" and e._dev_encoder is not None:
+            e._dev_encoder._cap_bits_per_px = 3  # keep tight, no promotion room
+        out = b""
+        for c in e.encode_band(img):
+            out += c
+        for c in e.finish():
+            out += c
+        return out
+
+    assert enc("jax") == enc("numpy")
