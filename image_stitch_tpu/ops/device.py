@@ -17,13 +17,14 @@ Both are jitted per input shape; band heights are constant through a stream,
 so each canvas size compiles exactly twice (full band + final partial band).
 
 Exactness: all integer paths (filter select, placement, conversion) are
-bit-exact by construction. JPEG DCT runs in f32 on device vs f32 on host —
-the quantized outputs are validated equal in tests at production qualities
-(q<=95). At q100 (quant divisor 1) a 1-ULP difference between the XLA and
-numpy matmuls can flip a round-half tie in rare coefficients, so device-
-vs-host *bytes* may differ there; within any one backend (including any
-mesh sharding of it) the output is deterministic and sharded == unsharded
-bytes hold at every quality.
+bit-exact by construction — PNG output is therefore byte-identical across
+every backend and every mesh sharding. JPEG's DCT runs in f32: quantized
+outputs are validated equal across tiers at production qualities on test
+content, but a 1-ULP difference between numpy, XLA, and GSPMD-resharded
+XLA programs can flip a round-half quantization tie in rare coefficients
+(observed on full-range noise), so JPEG *bytes* are guaranteed
+deterministic per (backend, mesh) configuration and pixel-equivalent
+(+-1 coefficient) across configurations — not bit-identical between them.
 """
 
 from __future__ import annotations

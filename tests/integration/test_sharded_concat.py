@@ -136,3 +136,15 @@ def test_mesh_sharded_matches_single_device_at_q100(tiles):
     shard = _run(tiles, mesh=8, **kw)
     single = _run(tiles, backend="jax", **kw)
     assert shard == single
+
+
+def test_sharded_png_exact_on_full_range_noise():
+    """PNG's pipeline is all-integer: byte equality holds for ANY content
+    and ANY mesh factoring (unlike JPEG's f32 quantize, whose rare
+    round-half ties may flip under resharding — see ops/device.py)."""
+    rng = np.random.default_rng(123)
+    arrs = [rng.integers(0, 256, (128, 128, 4), dtype=np.uint8) for _ in range(4)]
+    host = concat_to_buffer({"inputs": arrs, "layout": {"columns": 2}, "backend": "numpy"})
+    for mesh in (8, 3):
+        shard = concat_to_buffer({"inputs": arrs, "layout": {"columns": 2}, "mesh": mesh})
+        assert shard == host
