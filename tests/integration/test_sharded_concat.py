@@ -69,7 +69,9 @@ def test_sharded_jpeg_bytes_match_host(tiles):
 @pytest.mark.parametrize("ri", [1, 2])
 def test_sharded_jpeg_restart_groups_match_host(tiles, ri):
     """Restart groups are the parallel-entropy unit: byte-aligned, DC-reset,
-    packed per-device — still byte-identical to the sequential host coder."""
+    packed per-device — byte-identical to the sequential host coder on this
+    content (the entropy layer is exact by construction; only f32 DCT ties
+    could ever differ, see ops/device.py)."""
     kw = {"outputFormat": "jpeg", "jpeg_restart_interval_rows": ri}
     shard = _run(tiles, mesh=8, **kw)
     host = _run(tiles, backend="numpy", **kw)
@@ -130,8 +132,9 @@ def test_mesh_oversubscription_rejected(tiles):
 
 
 def test_mesh_sharded_matches_single_device_at_q100(tiles):
-    """The multi-chip contract: sharding never changes bytes, even at q100
-    where cross-*backend* f32 DCT ties may differ (see ops/device.py)."""
+    """Pins mesh-vs-single byte equality on this fixed content at q100.
+    (Not a universal JPEG guarantee: resharding can flip rare f32 DCT ties
+    on extreme content — see ops/device.py; PNG is unconditionally exact.)"""
     kw = {"outputFormat": "jpeg", "jpegQuality": 100, "jpeg_restart_interval_rows": 1}
     shard = _run(tiles, mesh=8, **kw)
     single = _run(tiles, backend="jax", **kw)
