@@ -71,10 +71,11 @@ _MODEL_BAND_PIXELS = 2_500_000  # 256 rows x ~10k px, the planning band size
 
 @dataclass
 class LinkProfile:
-    """Measured host->device link characteristics."""
+    """Measured host<->device link characteristics."""
 
     h2d_mbps: float
     latency_ms: float
+    d2h_mbps: float | None = None  # None: unknown (ignore the d2h term)
 
 
 def decide_auto_backend(
@@ -98,7 +99,11 @@ def decide_auto_backend(
     upload_s = band_px * 4 / (profile.h2d_mbps * 1e6)
     overhead_s = LINK_ROUND_TRIPS_PER_BAND * profile.latency_ms / 1e3
     compute_s = band_px / (DEVICE_COMPUTE_RATE_MPS * 1e6)
-    device_rate = band_px / (upload_s + overhead_s + compute_s)
+    fetch_s = 0.0
+    if profile.d2h_mbps:
+        # The compressed result (~1.5 bits/px at q85) rides the d2h link.
+        fetch_s = band_px * 0.19 / (profile.d2h_mbps * 1e6)
+    device_rate = band_px / (upload_s + overhead_s + compute_s + fetch_s)
     return "jax" if device_rate > HOST_NATIVE_RATE_MPS * 1e6 else "numpy"
 
 
@@ -117,30 +122,46 @@ def _link_profile_cache_path() -> str:
 
 
 def probe_link_profile() -> LinkProfile | None:
-    """Measure h2d bandwidth/latency with a two-point transfer fit."""
+    """Measure h2d/d2h bandwidth and latency with two-point transfer fits.
+
+    Uploads are completed by fetching a tiny slice back: device_put +
+    block_until_ready can acknowledge before the bytes actually cross a
+    tunneled link, which made a naive probe report GB/s through a
+    ~100 MB/s tunnel (and the policy then wrongly picked the device).
+    """
     import time
 
     import numpy as np
 
     try:
         import jax
+        import jax.numpy as jnp
 
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             # Virtual-CPU "device": no real link; model it as instant.
-            return LinkProfile(h2d_mbps=1e6, latency_ms=0.0)
+            return LinkProfile(h2d_mbps=1e6, latency_ms=0.0, d2h_mbps=1e6)
         small = np.zeros(1 << 20, dtype=np.uint8)
-        big = np.zeros(1 << 24, dtype=np.uint8)
-        jax.block_until_ready(jax.device_put(small, dev))  # warm-up/setup
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(small, dev))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(big, dev))
-        t_big = time.perf_counter() - t0
+        big = np.zeros(1 << 23, dtype=np.uint8)
+
+        def upload_roundtrip(buf) -> float:
+            t0 = time.perf_counter()
+            x = jax.device_put(buf, dev)
+            # A 16-byte reduction fetch forces the upload to be complete.
+            np.asarray(jnp.sum(x[:16]))
+            return time.perf_counter() - t0
+
+        upload_roundtrip(small)  # warm-up/setup
+        t_small = upload_roundtrip(small)
+        t_big = upload_roundtrip(big)
         bw = (len(big) - len(small)) / max(t_big - t_small, 1e-9) / 1e6
         latency = max(0.0, t_small - len(small) / (bw * 1e6)) * 1e3
-        return LinkProfile(h2d_mbps=bw, latency_ms=latency)
+        x = jax.device_put(big, dev)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        np.asarray(x)
+        d2h = len(big) / max(time.perf_counter() - t0, 1e-9) / 1e6
+        return LinkProfile(h2d_mbps=bw, latency_ms=latency, d2h_mbps=d2h)
     except Exception:
         return None
 
@@ -175,8 +196,10 @@ def get_link_profile() -> LinkProfile | None:
     try:
         with open(path) as f:
             d = json.load(f)
-        if d.get("platform") == platform:
-            _LINK_PROFILE = LinkProfile(d["h2d_mbps"], d["latency_ms"])
+        if d.get("platform") == platform and d.get("v") == 2:
+            _LINK_PROFILE = LinkProfile(
+                d["h2d_mbps"], d["latency_ms"], d.get("d2h_mbps")
+            )
             return _LINK_PROFILE
     except Exception:
         pass
@@ -187,9 +210,11 @@ def get_link_profile() -> LinkProfile | None:
             with open(path, "w") as f:
                 json.dump(
                     {
+                        "v": 2,
                         "platform": platform,
                         "h2d_mbps": _LINK_PROFILE.h2d_mbps,
                         "latency_ms": _LINK_PROFILE.latency_ms,
+                        "d2h_mbps": _LINK_PROFILE.d2h_mbps,
                     },
                     f,
                 )

@@ -53,3 +53,13 @@ def test_explicit_names_resolve():
     assert B.resolve_backend_name("oracle") == "numpy"
     assert B.resolve_backend_name("tpu") == "jax"
     assert B.resolve_backend_name("numpy") == "numpy"
+
+
+def test_slow_d2h_picks_host_despite_fast_upload():
+    """The compressed result rides the d2h link; a degraded downlink (this
+    tunnel dips to ~0.1-30 MB/s) must veto the device even when uploads
+    look fast."""
+    prof = B.LinkProfile(h2d_mbps=10000, latency_ms=0.1, d2h_mbps=0.5)
+    assert B.decide_auto_backend(1 << 24, True, prof) == "numpy"
+    fast = B.LinkProfile(h2d_mbps=10000, latency_ms=0.1, d2h_mbps=5000)
+    assert B.decide_auto_backend(1 << 24, True, fast) == "jax"
