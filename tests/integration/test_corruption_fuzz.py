@@ -1,0 +1,99 @@
+"""Seeded corruption fuzzing: arbitrary byte damage to valid inputs must
+produce either a clean StitchError or decodable output — never a hang,
+crash, or non-Stitch exception. Exercises the owned C++ inflate, the PNG
+chunk walker, and the owned JPEG decoder on hostile bytes (reference
+analog: truncated/invalid-input tests, image-concat.test.ts:133-178)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_stitch_tpu import concat_to_buffer
+from image_stitch_tpu.errors import StitchError
+from image_stitch_tpu.types import DecoderOptions
+
+from tests.utils.fixtures import png_from_array
+
+
+def valid_png() -> bytes:
+    rng = np.random.default_rng(0)
+    return png_from_array(rng.integers(0, 256, (48, 40, 4), dtype=np.uint8))
+
+
+def valid_jpeg() -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)).save(
+        buf, "JPEG", quality=85
+    )
+    return buf.getvalue()
+
+
+def mutate(data: bytes, rng: np.random.Generator) -> bytes:
+    b = bytearray(data)
+    op = rng.integers(0, 4)
+    if op == 0:  # flip random bytes
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+    elif op == 1:  # truncate
+        b = b[: int(rng.integers(1, len(b)))]
+    elif op == 2:  # delete a span
+        i = int(rng.integers(0, len(b) - 1))
+        j = min(len(b), i + int(rng.integers(1, 64)))
+        del b[i:j]
+    else:  # insert garbage
+        i = int(rng.integers(0, len(b)))
+        b[i:i] = bytes(rng.integers(0, 256, int(rng.integers(1, 32)), dtype=np.uint8))
+    return bytes(b)
+
+
+def run_concat(data: bytes, **opts) -> None:
+    try:
+        out = concat_to_buffer({"inputs": [data], "layout": {"columns": 1}, **opts})
+        assert isinstance(out, bytes) and len(out) > 0
+    except StitchError:
+        pass  # clean rejection is equally acceptable
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_corrupt_png_never_crashes(seed):
+    rng = np.random.default_rng(1000 + seed)
+    run_concat(mutate(valid_png(), rng), backend="numpy")
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_corrupt_png_strict_mode_never_crashes(seed):
+    rng = np.random.default_rng(2000 + seed)
+    data = mutate(valid_png(), rng)
+    from image_stitch_tpu.codecs.png.decoder import PngDecoder
+
+    try:
+        dec = PngDecoder(data, verify_crc=True)
+        for _ in dec.bands(16):
+            pass
+    except StitchError:
+        pass
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_corrupt_jpeg_owned_decoder_never_crashes(seed):
+    rng = np.random.default_rng(3000 + seed)
+    run_concat(
+        mutate(valid_jpeg(), rng),
+        decoderOptions=DecoderOptions(force_owned=True),
+        outputFormat="jpeg",
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_garbage_rejected(seed):
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(1, 4096))
+    garbage = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    # Prefix with a valid magic sometimes to get past format detection.
+    prefix = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0"][seed % 3]
+    with pytest.raises(StitchError):
+        concat_to_buffer({"inputs": [prefix + garbage], "layout": {"columns": 1}})
