@@ -145,8 +145,19 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB (grayscale
-    images are replicated across channels)."""
+    """Decode a baseline or progressive JPEG to (H, W, 3) uint8 RGB
+    (grayscale images are replicated across channels)."""
+    try:
+        return _decode_jpeg_impl(bytes(data))
+    except StitchError:
+        raise
+    except (IndexError, ValueError, ZeroDivisionError) as exc:
+        # Hostile/truncated streams must never leak parser internals
+        # (fuzz-found: truncated DHT/SOS bodies raised IndexError).
+        raise StitchError("Invalid JPEG: malformed stream", exc) from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise StitchError("Invalid JPEG: missing SOI")
@@ -180,6 +191,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                need = 128 if pq else 64
+                if i + need > len(body):
+                    raise StitchError("Invalid JPEG: truncated DQT segment")
                 if pq:
                     vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int32)
                     i += 128
@@ -194,9 +208,13 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                if i + 16 > len(body):
+                    raise StitchError("Invalid JPEG: truncated DHT segment")
                 bits = list(body[i : i + 16])
                 i += 16
                 n = sum(bits)
+                if i + n > len(body):
+                    raise StitchError("Invalid JPEG: truncated DHT symbol table")
                 vals = body[i : i + n]
                 i += n
                 table = _HuffDecoder(bits, vals)
@@ -206,9 +224,13 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             precision = body[0]
             if precision != 8:
                 raise StitchError(f"Unsupported JPEG precision: {precision}")
+            if len(body) < 6:
+                raise StitchError("Invalid JPEG: truncated SOF segment")
             height = (body[1] << 8) | body[2]
             width = (body[3] << 8) | body[4]
             nc = body[5]
+            if len(body) < 6 + nc * 3:
+                raise StitchError("Invalid JPEG: truncated SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + c * 3], body[7 + c * 3], body[8 + c * 3]
@@ -226,9 +248,15 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 "PIL for lossless/arithmetic/hierarchical JPEGs"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise StitchError("Invalid JPEG: truncated DRI segment")
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise StitchError("Invalid JPEG: empty SOS segment")
             ns = body[0]
+            if len(body) < 1 + ns * 2 + 3:
+                raise StitchError("Invalid JPEG: truncated SOS segment")
             order: list[_Component] = []
             for c in range(ns):
                 cs, tdta = body[1 + c * 2], body[2 + c * 2]

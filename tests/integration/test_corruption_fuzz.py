@@ -97,3 +97,39 @@ def test_random_garbage_rejected(seed):
     prefix = [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0"][seed % 3]
     with pytest.raises(StitchError):
         concat_to_buffer({"inputs": [prefix + garbage], "layout": {"columns": 1}})
+
+def _jpeg_with_segment(seg: bytes) -> bytes:
+    """Minimal SOI + crafted segment + EOI, for targeted truncation tests."""
+    return b"\xff\xd8" + seg + b"\xff\xd9"
+
+
+def test_truncated_dht_raises_stitcherror():
+    """Fuzz-found: a DHT whose declared length cuts off the 16-byte bits
+    array raised IndexError in _HuffDecoder (owned_decoder.py)."""
+    from image_stitch_tpu.codecs.jpeg.owned_decoder import decode_baseline_jpeg
+
+    # DHT with seg_len=6 -> body is 4 bytes: class/id byte + 3 bits bytes.
+    seg = b"\xff\xc4\x00\x06" + b"\x00\x01\x02\x03"
+    with pytest.raises(StitchError):
+        decode_baseline_jpeg(_jpeg_with_segment(seg))
+
+
+def test_truncated_sos_raises_stitcherror():
+    """Fuzz-found: an SOS claiming 3 components with a 2-byte body raised
+    IndexError at the component-spec parse."""
+    from image_stitch_tpu.codecs.jpeg.owned_decoder import decode_baseline_jpeg
+
+    sof = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    sos = b"\xff\xda\x00\x04\x03\x01"  # ns=3 but only one spec byte follows
+    with pytest.raises(StitchError):
+        decode_baseline_jpeg(_jpeg_with_segment(sof + sos))
+
+
+def test_truncated_dht_symbol_table_raises_stitcherror():
+    """bits declare 255 symbols but the body ends after the bits array."""
+    from image_stitch_tpu.codecs.jpeg.owned_decoder import decode_baseline_jpeg
+
+    bits = bytes([0xFF] + [0] * 15)
+    seg = b"\xff\xc4\x00\x13" + b"\x00" + bits
+    with pytest.raises(StitchError):
+        decode_baseline_jpeg(_jpeg_with_segment(seg))
