@@ -213,7 +213,8 @@ static inline void put_bits(EntropyState* st, uint8_t** outp, uint32_t code,
             st->bits &= (st->count ? ((1ull << st->count) - 1ull) : 0ull);
         }
     }
-    st->bits = (st->bits << len) | (uint64_t)(code & ((1u << len) - 1u));
+    // 64-bit mask: fused code+magnitude emissions can reach len == 32.
+    st->bits = (st->bits << len) | ((uint64_t)code & ((1ull << len) - 1ull));
     st->count += len;
 }
 
@@ -254,10 +255,13 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
     int32_t diff = dc - st->prev_dc[comp];
     st->prev_dc[comp] = dc;
     int s = bit_size(diff);
-    put_bits(st, outp, t->dc_code[s], t->dc_len[s]);
     if (s) {
-        int32_t v = diff < 0 ? diff + (1 << s) - 1 : diff;
-        put_bits(st, outp, (uint32_t)v, s);
+        // Fused Huffman code + magnitude bits: one buffer append instead of
+        // two (magnitude v already lies in [0, 2^s), no extra mask needed).
+        uint32_t v = (uint32_t)(diff < 0 ? diff + (1 << s) - 1 : diff);
+        put_bits(st, outp, ((uint32_t)t->dc_code[s] << s) | v, t->dc_len[s] + s);
+    } else {
+        put_bits(st, outp, t->dc_code[s], t->dc_len[s]);
     }
 
     uint64_t m = nonzero_mask64(zz) & ~1ull;  // AC positions 1..63
@@ -274,9 +278,11 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
         int32_t v = zz[k];
         int size = bit_size(v);
         int sym = (run << 4) | size;
-        put_bits(st, outp, t->ac_code[sym], t->ac_len[sym]);
-        int32_t vb = v < 0 ? v + (1 << size) - 1 : v;
-        put_bits(st, outp, (uint32_t)vb, size);
+        uint32_t vb = (uint32_t)(v < 0 ? v + (1 << size) - 1 : v);
+        // Fused code+magnitude (max 16+16=32 bits; put_bits flushes to
+        // count<32 before appending, so the 64-bit buffer never overflows).
+        put_bits(st, outp, ((uint32_t)t->ac_code[sym] << size) | vb,
+                 t->ac_len[sym] + size);
         prev = k;
         last_nz = k;
     }
