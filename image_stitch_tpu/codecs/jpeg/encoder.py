@@ -374,6 +374,19 @@ class StreamingJpegEncoder:
 
     def _emit_blocks(self, yb, cbb, crb) -> Iterator[bytes]:
         """Entropy-code quantized blocks strip-by-strip so bytes stream."""
+        if not self._restart_rows and self._native_coder is not None:
+            # No restart boundaries to interleave: one native call for the
+            # whole band (the per-strip loop below exists only to place
+            # RSTn markers between MCU rows).
+            mcu_w = 16 if self.sampling == "420" else 8
+            mpr = (self.width + self._pad_w) // mcu_w
+            n_strips = cbb.shape[0] // mpr
+            data = self._entropy_code(yb, cbb, crb)
+            self._rows_consumed += self._mcu_h * n_strips
+            self._mcu_rows_done += n_strips
+            if data:
+                yield data
+            return
         if self.sampling == "420":
             mpr = (self.width + self._pad_w) // 16  # MCUs per strip row
             n_strips = cbb.shape[0] // mpr

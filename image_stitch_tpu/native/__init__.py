@@ -414,6 +414,9 @@ class NativeEntropyCoder:
         self._fn_name = (
             "jpeg_entropy_encode_444" if sampling == "444" else "jpeg_entropy_encode_420"
         )
+        # Persistent worst-case output scratch, grown geometrically: a fresh
+        # np.empty per call costs ~400KB of allocation churn per MCU row.
+        self._out: np.ndarray | None = None
 
     def encode(self, yb: np.ndarray, cbb: np.ndarray, crb: np.ndarray) -> bytes:
         lib = get_native_lib()
@@ -427,7 +430,10 @@ class NativeEntropyCoder:
         # returns -1 on exhaustion, so arbitrary int16 input cannot overflow.
         blocks_total = yb.shape[0] + 2 * n_mcus
         cap = int(blocks_total * 528 + 1024)
-        out = np.empty(cap, dtype=np.uint8)
+        if self._out is None or self._out.size < cap:
+            self._out = np.empty(max(cap, 1 << 20), dtype=np.uint8)
+        out = self._out
+        cap = out.size
         n = getattr(lib, self._fn_name)(
             yb.ctypes.data_as(ctypes.c_void_p),
             cbb.ctypes.data_as(ctypes.c_void_p),
