@@ -352,28 +352,6 @@ class StreamingJpegEncoder:
 
     def _encode_strip(self, strip: np.ndarray) -> bytes:
         """Encode one full MCU strip to entropy-coded bytes."""
-        if (
-            self._native_coder is not None
-            and self.sampling == "444"
-            and self._device is None
-            and not self._restart_rows
-        ):
-            # Fused native path: convert+DCT+quantize+entropy in one C++
-            # sweep, no materialized block arrays. Byte-identical to the
-            # split path below (same dct8_rows/quant1 per coefficient).
-            if self._pad_w:
-                strip = np.concatenate(
-                    [strip, np.repeat(strip[:, -1:, :], self._pad_w, axis=1)],
-                    axis=1,
-                )
-            data = self._native_coder.encode_rgba_band(
-                strip, self.luma_q, self.chroma_q
-            )
-            if data is not None:
-                n_strips = strip.shape[0] // MCU_HEIGHT
-                self._rows_consumed += MCU_HEIGHT * n_strips
-                self._mcu_rows_done += n_strips
-                return data
         yb, cbb, crb = self._quantize_band(strip)
         return b"".join(self._emit_blocks(yb, cbb, crb))
 

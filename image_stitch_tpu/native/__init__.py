@@ -131,13 +131,6 @@ def get_native_lib():
     lib.jpeg_entropy_flush.argtypes = [
         ctypes.POINTER(EntropyStateC), ctypes.c_void_p,
     ]
-    lib.jpeg_encode_band_444.restype = ctypes.c_int64
-    lib.jpeg_encode_band_444.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
-        ctypes.POINTER(EntropyStateC), ctypes.c_void_p, ctypes.c_int64,
-    ]
     for name in ("composite_rgba8", "composite_rgba16"):
         fn = getattr(lib, name)
         fn.restype = None
@@ -451,40 +444,6 @@ class NativeEntropyCoder:
             ctypes.byref(self._state),
             out.ctypes.data_as(ctypes.c_void_p),
             cap,
-        )
-        if n < 0:
-            from ..errors import StitchError
-
-            raise StitchError("JPEG entropy output buffer capacity exhausted")
-        return out[:n].tobytes()
-
-    def encode_rgba_band(self, band: np.ndarray, luma_q: np.ndarray,
-                         chroma_q: np.ndarray) -> bytes | None:
-        """Fused convert+DCT+quantize+entropy over an (h, w, 4) uint8 band
-        (h % 8 == 0, w % 8 == 0), 4:4:4 only. Byte-identical to the split
-        quantize-then-encode path. Returns None if the native tier is
-        unavailable (caller falls back)."""
-        lib = get_native_lib()
-        if lib is None:
-            return None
-        band = np.ascontiguousarray(band, dtype=np.uint8)
-        h, w = band.shape[0], band.shape[1]
-        lq = np.ascontiguousarray(luma_q, dtype=np.int32)
-        cq = np.ascontiguousarray(chroma_q, dtype=np.int32)
-        blocks_total = 3 * (h // 8) * (w // 8)
-        cap = int(blocks_total * 528 + 1024)
-        if self._out is None or self._out.size < cap:
-            self._out = np.empty(max(cap, 1 << 20), dtype=np.uint8)
-        out = self._out
-        n = lib.jpeg_encode_band_444(
-            band.ctypes.data_as(ctypes.c_void_p), h, w,
-            lq.ctypes.data_as(ctypes.c_void_p),
-            cq.ctypes.data_as(ctypes.c_void_p),
-            ctypes.byref(self._luma),
-            ctypes.byref(self._chroma),
-            ctypes.byref(self._state),
-            out.ctypes.data_as(ctypes.c_void_p),
-            out.size,
         )
         if n < 0:
             from ..errors import StitchError

@@ -243,11 +243,14 @@ static inline uint64_t nonzero_mask64(const int16_t* zz) {
 }
 #endif
 
-// Core coder over a block already in zigzag order: iterate only the set
-// bits of a nonzero bitmask (ctz walk) — skips zero runs entirely instead
-// of branching per coefficient.
-static void encode_block_zz(EntropyState* st, uint8_t** outp,
-                            const int16_t* zz, const HuffTable* t, int comp) {
+static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
+                         const HuffTable* t, int comp) {
+    // Zigzag gather into a dense local block, then iterate only the set
+    // bits of a nonzero bitmask (ctz walk) — skips zero runs entirely
+    // instead of branching per coefficient.
+    int16_t zz[64];
+    for (int k = 0; k < 64; ++k) zz[k] = blk[kZigzag[k]];
+
     int32_t dc = zz[0];
     int32_t diff = dc - st->prev_dc[comp];
     st->prev_dc[comp] = dc;
@@ -284,13 +287,6 @@ static void encode_block_zz(EntropyState* st, uint8_t** outp,
         last_nz = k;
     }
     if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
-}
-
-static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
-                         const HuffTable* t, int comp) {
-    int16_t zz[64];
-    for (int k = 0; k < 64; ++k) zz[k] = blk[kZigzag[k]];
-    encode_block_zz(st, outp, zz, t, comp);
 }
 
 // Structural worst case per encoded block: DC (16-bit code + 17 magnitude
@@ -559,73 +555,6 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         }
     }
     free(planes);
-}
-
-// Fused 4:4:4 band encoder: RGBA -> YCbCr planes -> DCT -> quantize ->
-// Huffman entropy, one strip sweep, no materialized (n, 64) block arrays.
-// Per-coefficient math is the exact code used by jpeg_quant_band_444
-// (dct8_rows + quant1), so the bitstream is byte-identical to the split
-// quantize-then-encode path; quantization happens in zigzag order directly
-// (the per-coefficient op is independent of iteration order).
-// Returns bytes written, or -1 if `capacity` cannot hold the worst case.
-int64_t jpeg_encode_band_444(const uint8_t* rgba, int64_t h, int64_t w,
-                             const int32_t* lq, const int32_t* cq,
-                             const HuffTable* luma, const HuffTable* chroma,
-                             EntropyState* state, uint8_t* out,
-                             int64_t capacity) {
-    float inv_lq[64], inv_cq[64];
-    for (int i = 0; i < 64; ++i) {
-        inv_lq[i] = 1.0f / (float)lq[i];
-        inv_cq[i] = 1.0f / (float)cq[i];
-    }
-    int64_t bx = w / 8;
-    float* planes = (float*)malloc((size_t)(3 * 8 * w) * sizeof(float));
-    if (!planes) return -1;
-    float* yp = planes;
-    float* cbp = planes + 8 * w;
-    float* crp = planes + 16 * w;
-    float blkbuf[64];
-    int16_t zz[64];
-    uint8_t* p = out;
-    const uint8_t* end = out + capacity;
-    for (int64_t sy = 0; sy < h / 8; ++sy) {
-        const uint8_t* src = rgba + sy * 8 * w * 4;
-        int64_t n = 8 * w;
-        for (int64_t i = 0; i < n; ++i) {
-            float r = (float)src[i * 4 + 0];
-            float g = (float)src[i * 4 + 1];
-            float b = (float)src[i * 4 + 2];
-            yp[i] = 0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
-            cbp[i] = -0.168735892f * r - 0.331264108f * g + 0.5f * b;
-            crp[i] = 0.5f * r - 0.418687589f * g - 0.081312411f * b;
-        }
-        for (int64_t sx = 0; sx < bx; ++sx) {
-            if (end - p < 3 * kMaxBlockBytes) {
-                free(planes);
-                return -1;
-            }
-            const struct { const float* plane; const float* invq;
-                           const HuffTable* tbl; int comp; }
-                jobs[3] = {{yp, inv_lq, luma, 0},
-                           {cbp, inv_cq, chroma, 1},
-                           {crp, inv_cq, chroma, 2}};
-            for (int j = 0; j < 3; ++j) {
-                const float* pl = jobs[j].plane + sx * 8;
-                for (int yy = 0; yy < 8; ++yy)
-                    for (int xx = 0; xx < 8; ++xx)
-                        blkbuf[yy * 8 + xx] = pl[yy * w + xx];
-                dct8_rows(blkbuf);
-                const float* iq = jobs[j].invq;
-                for (int k = 0; k < 64; ++k) {
-                    int nat = kZigzag[k];
-                    zz[k] = quant1(blkbuf[nat], iq[nat]);
-                }
-                encode_block_zz(state, &p, zz, jobs[j].tbl, jobs[j].comp);
-            }
-        }
-    }
-    free(planes);
-    return (int64_t)(p - out);
 }
 
 // Flush remaining buffered bits (up to 57 with deferred flushing), final
