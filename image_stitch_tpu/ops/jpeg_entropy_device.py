@@ -49,6 +49,64 @@ def _bit_size(v: jax.Array, max_bits: int) -> jax.Array:
     return size
 
 
+def _ac_lut_lookup(ac_packed: jax.Array, tsel: jax.Array,
+                   sym: jax.Array) -> jax.Array:
+    """``ac_packed[tsel*256 + sym]`` without a gather.
+
+    The 512-entry gather is ~2/3 of the symbols stage on TPU (measured:
+    92 of 146 ms per 4.2 MP band). Factor the 9-bit index into hi = 5 bits
+    (table select + run) and lo = 4 bits (size category); then
+    ``lut[idx] == (one_hot(hi) @ M)[lo]`` with M = lut.reshape(32, 16) —
+    an MXU contraction plus a 16-wide masked sum. Exact: every output is a
+    single product value * 1.0 (packed values < 2^21 < 2^24, f32-exact),
+    and HIGHEST precision keeps full f32 on the MXU. CPU keeps the gather.
+
+    tsel: (N,) int32 0/1; sym: (N, 63) int32 in [0, 256).
+    """
+    if jax.default_backend() != "tpu":
+        return ac_packed[tsel[:, None] * 256 + sym]
+    return _ac_lut_lookup_matmul(ac_packed, tsel, sym)
+
+
+def _ac_lut_lookup_matmul(ac_packed: jax.Array, tsel: jax.Array,
+                          sym: jax.Array) -> jax.Array:
+    hi = (tsel[:, None] << 4) | (sym >> 4)  # (N, 63) in [0, 32)
+    lo = sym & 0xF  # (N, 63) in [0, 16)
+    m = ac_packed.astype(jnp.float32).reshape(32, 16)
+    oh_hi = jax.nn.one_hot(hi, 32, dtype=jnp.float32)  # (N, 63, 32)
+    rows = jax.lax.dot_general(
+        oh_hi, m, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, 63, 16) = M[hi]
+    oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.float32)
+    vals = jnp.sum(rows * oh_lo, axis=-1)  # (N, 63) = M[hi, lo]
+    return vals.astype(jnp.uint32)
+
+
+def _zz_permute(seq: jax.Array) -> jax.Array:
+    """Zigzag-reorder (B, 64) int32 natural-order coefficients.
+
+    On TPU a 64-wide per-row gather lowers to lane shuffles; a 0/1
+    permutation matmul runs on the MXU instead. Exact: each output is a
+    single product coef * 1.0 (plus exact zeros), |coef| <= 2047 << 2^24,
+    and HIGHEST precision keeps f32 semantics on the MXU. CPU (the test
+    mesh) keeps the plain gather.
+    """
+    if jax.default_backend() != "tpu":
+        return seq[:, jnp.asarray(ZIGZAG)]
+    return _zz_permute_matmul(seq)
+
+
+def _zz_permute_matmul(seq: jax.Array) -> jax.Array:
+    p = np.zeros((64, 64), np.float32)
+    p[np.asarray(ZIGZAG), np.arange(64)] = 1.0
+    zz = jnp.dot(
+        seq.astype(jnp.float32), jnp.asarray(p),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return zz.astype(jnp.int32)
+
+
 def entropy_pack_trace(
     yb: jax.Array,  # (N, 64) int16/int32 natural-order quantized Y blocks
     cbb: jax.Array,
@@ -209,11 +267,10 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc, sampling: str = "444"):
     n = cbb.shape[0]  # MCU count
     per_mcu = (4, 1, 1) if sampling == "420" else (1, 1, 1)
     comps = (yb, cbb, crb)
-    zigzag = jnp.asarray(ZIGZAG)
     seq = jnp.concatenate(
         [c.reshape(n, k, 64) for c, k in zip(comps, per_mcu)], axis=1
     ).reshape(-1, 64).astype(jnp.int32)
-    zz = seq[:, zigzag]
+    zz = _zz_permute(seq)
     tsel_pattern = [0] * per_mcu[0] + [1] * per_mcu[1] + [1] * per_mcu[2]
     tsel = jnp.tile(jnp.asarray(tsel_pattern, dtype=jnp.int32), n)
 
@@ -251,7 +308,7 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc, sampling: str = "444"):
     asz = _bit_size(v, 11)
     aval = jnp.where(v < 0, v + (1 << asz) - 1, v) & ((1 << asz) - 1)
     sym = ((run % 16) << 4) | asz
-    apacked = luts["ac_packed"][tsel[:, None] * 256 + sym]
+    apacked = _ac_lut_lookup(luts["ac_packed"], tsel, sym)
     acode = apacked & jnp.uint32(0xFFFF)
     alen = (apacked >> 16).astype(jnp.int32)
     main_codes = ((acode << asz) | aval.astype(jnp.uint32)).astype(jnp.uint32)

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Device-side timing of the restart-groups entropy program: device-resident
+input, best-of-N wall time of the jitted call (compile excluded). Use to
+A/B kernel-level changes without the link noise that dominates e2e numbers.
+
+Usage: python scripts/time_device_groups.py [band_h] [canvas_w] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BAND_H = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+CANVAS_W = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+
+def main() -> None:
+    print("devices:", jax.devices(), flush=True)
+    import image_stitch_tpu.ops.device  # noqa: F401  (compile cache dir)
+    from image_stitch_tpu.codecs.jpeg.tables import (
+        STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS, STD_AC_LUMA_BITS,
+        STD_AC_LUMA_VALS, STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS,
+        STD_DC_LUMA_BITS, STD_DC_LUMA_VALS, build_huffman_codes,
+        quality_scaled_tables,
+    )
+    from image_stitch_tpu.ops.jpeg_entropy_device import (
+        build_entropy_luts, jpeg_encode_band_groups_trace,
+    )
+
+    lq, cq = quality_scaled_tables(85)
+    dc_l = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_l = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    dc_c = build_huffman_codes(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+    ac_c = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+    luts = build_entropy_luts(dc_l, ac_l, dc_c, ac_c)
+
+    rng = np.random.default_rng(0)
+    base = np.linspace(0, 255, CANVAS_W, dtype=np.float32)
+    band_np = np.empty((BAND_H, CANVAS_W, 4), np.uint8)
+    band_np[..., 0] = base[None, :].astype(np.uint8)
+    band_np[..., 1] = 128
+    band_np[..., 2] = base[None, ::-1].astype(np.uint8)
+    band_np[..., 3] = 255
+    band_np[:, :, :3] = np.clip(
+        band_np[:, :, :3].astype(np.int16)
+        + rng.integers(-10, 11, (BAND_H, CANVAS_W, 3)),
+        0, 255,
+    ).astype(np.uint8)
+
+    dev = jax.devices()[0]
+    band = jax.device_put(jnp.asarray(band_np), dev)
+    lqd = jax.device_put(jnp.asarray(lq, jnp.int32), dev)
+    cqd = jax.device_put(jnp.asarray(cq, jnp.int32), dev)
+    lutsd = {k: jax.device_put(v, dev) for k, v in luts.items()}
+
+    ri = 1
+    n_groups = (BAND_H // 8) // ri
+    cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
+    fn = jax.jit(
+        jpeg_encode_band_groups_trace,
+        static_argnames=("n_groups", "cap_words", "use_pallas"),
+    )
+    def run_once() -> None:
+        out = fn(band, lqd, cqd, lutsd, n_groups, cap_g)
+        # block_until_ready only waits for the dispatch ack on the tunneled
+        # backend; force completion with a dependent scalar fetch (costs one
+        # ~25 ms link round trip, constant across A/B runs).
+        float(jnp.sum(out[1]))
+
+    t0 = time.perf_counter()
+    run_once()
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    mp = BAND_H * CANVAS_W / 1e6
+    best = min(times)
+    print(f"all: {[f'{t*1000:.0f}ms' for t in times]}")
+    print(f"best: {best*1000:.0f} ms/band ({mp/best:.1f} MP/s device-side)")
+
+
+if __name__ == "__main__":
+    main()

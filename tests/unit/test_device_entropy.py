@@ -207,3 +207,40 @@ def test_groups_full_cap_falls_back_exactly():
         return out
 
     assert enc("jax") == enc("numpy")
+
+
+def test_zz_permute_matmul_exact():
+    """The TPU zigzag path (0/1 permutation matmul on the MXU) must equal
+    the plain gather for the full quantized-coefficient range: each output
+    is a single exact f32 product (|coef| <= 2047 << 2^24)."""
+    import numpy as np
+
+    from image_stitch_tpu.codecs.jpeg.tables import ZIGZAG
+    from image_stitch_tpu.ops.jpeg_entropy_device import _zz_permute_matmul
+
+    rng = np.random.default_rng(0)
+    seq = rng.integers(-2047, 2048, (257, 64)).astype(np.int32)
+    seq[0] = 2047
+    seq[1] = -2047
+    got = np.asarray(_zz_permute_matmul(jnp.asarray(seq)))
+    np.testing.assert_array_equal(got, seq[:, np.asarray(ZIGZAG)])
+
+
+def test_ac_lut_lookup_matmul_exact():
+    """The TPU AC-LUT path (factored one-hot matmul) must equal the plain
+    512-entry gather for every (table, symbol) pair: each output is one
+    exact f32 product (packed values < 2^21)."""
+    import numpy as np
+
+    from image_stitch_tpu.ops.jpeg_entropy_device import _ac_lut_lookup_matmul
+
+    rng = np.random.default_rng(1)
+    # worst-case packed values: len=16 in the high half, code=0xFFFF low
+    lut = rng.integers(0, 1 << 16, 512).astype(np.uint32) | np.uint32(16 << 16)
+    lut[0] = (16 << 16) | 0xFFFF
+    tsel = rng.integers(0, 2, 300).astype(np.int32)
+    sym = rng.integers(0, 256, (300, 63)).astype(np.int32)
+    got = np.asarray(
+        _ac_lut_lookup_matmul(jnp.asarray(lut), jnp.asarray(tsel), jnp.asarray(sym))
+    )
+    np.testing.assert_array_equal(got, lut[tsel[:, None] * 256 + sym])
