@@ -26,6 +26,8 @@ Output is verified byte-identical to the host (C++/numpy) entropy coders.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -443,7 +445,7 @@ def entropy_pack_trace_v2(
     j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
     max_overlap = jnp.max(j_hi - j_lo)
 
-    def gather_k(k, acc):
+    def gather_k(k):
         b = jnp.clip(j_lo + k, 0, nb - 1)
         # ends[b] > word_start holds by construction of j_lo (ends are
         # nondecreasing), so only the start-side bound needs a gather.
@@ -458,10 +460,13 @@ def entropy_pack_trace_v2(
             (li + 1 >= 0) & (li + 1 < local_words), local[liB, b], jnp.uint32(0)
         )
         ext = (wA << sh) | jnp.where(sh > 0, wB >> (jnp.uint32(32) - sh), 0)
-        return acc | jnp.where(valid, ext, jnp.uint32(0))
+        return jnp.where(valid, ext, jnp.uint32(0))
 
-    words = jax.lax.fori_loop(
-        0, K_OVERLAP, gather_k, jnp.zeros((cap_words,), jnp.uint32)
+    # Unrolled (not fori_loop): the K extractions are independent until the
+    # final OR, so XLA can overlap their gathers instead of serializing
+    # through a loop-carried accumulator.
+    words = functools.reduce(
+        jnp.bitwise_or, [gather_k(k) for k in range(K_OVERLAP)]
     )
     return words, total_bits, new_dc, max_block_bits, max_overlap
 
