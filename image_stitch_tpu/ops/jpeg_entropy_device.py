@@ -43,12 +43,18 @@ MAX_CAP_BITS_PER_PX = 12
 
 
 def _bit_size(v: jax.Array, max_bits: int) -> jax.Array:
-    """JPEG size category: number of magnitude bits (exact, no floats)."""
+    """JPEG size category: number of magnitude bits.
+
+    floor(log2(mag)) + 1 read straight from the f32 exponent field — exact
+    because every JPEG magnitude (|v| <= 2047 for DC diffs, <= 1023 for AC)
+    is exactly representable in f32, so the exponent is exactly
+    floor(log2). ~4 VPU ops instead of a ``max_bits``-long compare-add
+    chain (the chain was a visible slice of the symbols stage).
+    """
     mag = jnp.abs(v.astype(jnp.int32))
-    size = jnp.zeros_like(mag)
-    for k in range(max_bits):
-        size = size + (mag >= (1 << k)).astype(jnp.int32)
-    return size
+    fbits = jax.lax.bitcast_convert_type(mag.astype(jnp.float32), jnp.int32)
+    size = (fbits >> 23) - 126  # biased exponent -> floor(log2)+1 for mag>=1
+    return jnp.where(mag == 0, 0, size)
 
 
 def _ac_lut_lookup(ac_packed: jax.Array, tsel: jax.Array,
@@ -445,20 +451,50 @@ def entropy_pack_trace_v2(
     j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
     max_overlap = jnp.max(j_hi - j_lo)
 
+    # The K rounds read starts[j_lo + k] for k = 0..K-1 — consecutive
+    # indices, so one slice-K gather feeds every round (4 gathers -> 1).
+    starts_pad = jnp.concatenate(
+        [starts, jnp.full((K_OVERLAP,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+    )
+    starts_k = jax.lax.gather(
+        starts_pad,
+        jnp.clip(j_lo, 0, nb - 1)[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(K_OVERLAP,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (cap_words, K_OVERLAP)
+
+    # Transposed local + a zero pad column: the two words a block
+    # contributes to one output word are adjacent, so one slice-2 gather
+    # replaces the wA/wB pair (2 gathers -> 1). For li == -1 the slice
+    # starts clipped at column 0, so pair[0] is local[0] == the needed wB.
+    local_t = jnp.concatenate(
+        [local.T, jnp.zeros((nb, 1), jnp.uint32)], axis=1
+    )  # (nb, LW + 1)
+
     def gather_k(k):
         b = jnp.clip(j_lo + k, 0, nb - 1)
         # ends[b] > word_start holds by construction of j_lo (ends are
         # nondecreasing), so only the start-side bound needs a gather.
-        valid = (j_lo + k < nb) & (starts[b] < word_start + 32)
-        rel = word_start - starts[b]  # may be negative
+        s_b = starts_k[:, k]
+        valid = (j_lo + k < nb) & (s_b < word_start + 32)
+        rel = word_start - s_b  # may be negative; >= -31 wherever valid
         li = rel >> 5
         sh = (rel & 31).astype(jnp.uint32)
-        liA = jnp.clip(li, 0, local_words - 1)
-        liB = jnp.clip(li + 1, 0, local_words - 1)
-        wA = jnp.where(li >= 0, local[liA, b], jnp.uint32(0))
-        wB = jnp.where(
-            (li + 1 >= 0) & (li + 1 < local_words), local[liB, b], jnp.uint32(0)
-        )
+        pair = jax.lax.gather(
+            local_t,
+            jnp.stack([b, jnp.clip(li, 0, local_words - 1)], axis=-1),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(1, 2),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (cap_words, 2)
+        wA = jnp.where(li >= 0, pair[:, 0], jnp.uint32(0))
+        wB = jnp.where(li >= 0, pair[:, 1], pair[:, 0])
         ext = (wA << sh) | jnp.where(sh > 0, wB >> (jnp.uint32(32) - sh), 0)
         return jnp.where(valid, ext, jnp.uint32(0))
 

@@ -244,3 +244,16 @@ def test_ac_lut_lookup_matmul_exact():
         _ac_lut_lookup_matmul(jnp.asarray(lut), jnp.asarray(tsel), jnp.asarray(sym))
     )
     np.testing.assert_array_equal(got, lut[tsel[:, None] * 256 + sym])
+
+
+def test_bit_size_exponent_trick_exhaustive():
+    """_bit_size reads floor(log2)+1 from the f32 exponent; must equal the
+    definitional bit length for every JPEG-reachable magnitude and beyond."""
+    import numpy as np
+
+    from image_stitch_tpu.ops.jpeg_entropy_device import _bit_size
+
+    v = np.arange(-4096, 4097, dtype=np.int32)
+    got = np.asarray(_bit_size(jnp.asarray(v), 13))
+    exp = np.array([int(abs(int(x))).bit_length() for x in v], dtype=np.int32)
+    np.testing.assert_array_equal(got, exp)
