@@ -75,6 +75,13 @@ def parse_header_chunk(chunk_data: bytes) -> PngHeader:
     interlace = chunk_data[12]
     if width == 0 or height == 0:
         raise StitchError(f"Invalid PNG dimensions: {width}x{height}")
+    # PNG spec (11.2.2): width/height are 4-byte values capped at 2^31-1.
+    # Fuzz-found: corrupted IHDRs declaring ~2^32 widths drove multi-hundred
+    # GiB band allocations (MemoryError) instead of a clean rejection.
+    if width > 0x7FFFFFFF or height > 0x7FFFFFFF:
+        raise StitchError(
+            f"Invalid PNG dimensions: {width}x{height} exceeds 2^31-1"
+        )
     valid_depths = {
         0: {1, 2, 4, 8, 16},
         2: {8, 16},

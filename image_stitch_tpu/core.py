@@ -246,6 +246,20 @@ class CoreStreamingConcatenator:
 
     # ------------------------------------------------------------------ #
 
+    def _check_canvas_dims(self, width: int, height: int) -> None:
+        """Reject canvases beyond max_canvas_dim per axis (0 = unlimited).
+
+        Headers are untrusted input: a corrupt IHDR declaring a huge width
+        would otherwise drive a clean but machine-killing band allocation
+        (fuzz-found MemoryError at ~2^31-px widths) — fail with a clear
+        StitchError before any pixel memory is touched."""
+        limit = self.options.max_canvas_dim
+        if limit and (width > limit or height > limit):
+            raise StitchError(
+                f"Canvas {width}x{height} exceeds maxCanvasDim={limit}; "
+                "raise the maxCanvasDim option if this is intentional"
+            )
+
     def stream(self) -> Iterator[bytes]:
         """Two-pass streaming generator (reference: stream(),
         image-concat-core.ts:927-1003)."""
@@ -303,6 +317,9 @@ class CoreStreamingConcatenator:
             raise StitchError("Grid mode requires layout: columns, rows, width, or height")
 
         grid_layout = calculate_layout(headers, layout)
+        self._check_canvas_dims(
+            grid_layout.total_width, grid_layout.total_height
+        )
         out_format = opts.output_format
         final_depth = 8 if out_format == "jpeg" else target_depth
 
@@ -430,6 +447,7 @@ class CoreStreamingConcatenator:
             opts.layout.width,
             opts.layout.height,
         )
+        self._check_canvas_dims(canvas_w, canvas_h)
         clipped, placed = clip_images_to_canvas(positions, headers, canvas_w, canvas_h)
         clip_by_idx = {c.image_idx: c for c in clipped}
 

@@ -154,6 +154,12 @@ class ConcatOptions:
     # --- TPU-native extensions (not in the reference) ---
     # Rows per streamed band; the O(canvas_width * band_height) memory knob.
     band_height: int = 256
+    # Canvas dimension ceiling (each axis; 0 = unlimited). The memory
+    # contract is O(canvas_width): a corrupt or hostile header declaring a
+    # ~2^31-pixel width would otherwise drive a clean but enormous band
+    # allocation (fuzz-found MemoryError). 2^20 px/side = a 4 TB RGBA8
+    # canvas streamed at ~200 MB/band — raise explicitly if you mean it.
+    max_canvas_dim: int = 1 << 20
     # PNG deflate level (reference parity default: 6,
     # image-concat-core.ts:342). Lower = faster, larger output.
     png_compression_level: int = 6
@@ -181,6 +187,7 @@ class ConcatOptions:
         "enableAlphaBlending": "enable_alpha_blending",
         "onProgress": "on_progress",
         "bandHeight": "band_height",
+        "maxCanvasDim": "max_canvas_dim",
         "pngCompressionLevel": "png_compression_level",
         "pngCompressionStrategy": "png_compression_strategy",
     }

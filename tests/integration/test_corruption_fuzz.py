@@ -133,3 +133,31 @@ def test_truncated_dht_symbol_table_raises_stitcherror():
     seg = b"\xff\xc4\x00\x13" + b"\x00" + bits
     with pytest.raises(StitchError):
         decode_baseline_jpeg(_jpeg_with_segment(seg))
+
+
+def test_oversized_png_dimensions_rejected():
+    """Fuzz-found: a corrupted IHDR declaring a ~2^32 width drove a 765 GiB
+    band allocation (MemoryError). Spec-invalid dims (> 2^31-1) must raise
+    StitchError at parse; spec-valid-but-huge canvases are capped by the
+    maxCanvasDim option."""
+    import struct
+
+    good = valid_png()
+    # IHDR starts at offset 8 (len+type) + 8 = 16; width is bytes 16:20.
+    huge = bytearray(good)
+    huge[16:20] = struct.pack(">I", 0xFF00FF28)  # > 2^31-1: spec-invalid
+    with pytest.raises(StitchError, match="2\\^31|Invalid"):
+        concat_to_buffer({"inputs": [bytes(huge)], "layout": {"columns": 1}})
+
+    big = bytearray(good)
+    big[16:20] = struct.pack(">I", (1 << 20) + 1)  # spec-valid, over the cap
+    with pytest.raises(StitchError, match="maxCanvasDim"):
+        concat_to_buffer({"inputs": [bytes(big)], "layout": {"columns": 1}})
+
+
+def test_max_canvas_dim_raisable_and_unlimited():
+    arr = __import__("numpy").zeros((4, 4, 4), "uint8")
+    out = concat_to_buffer(
+        {"inputs": [arr], "layout": {"columns": 1}, "maxCanvasDim": 0}
+    )
+    assert out[:4] == b"\x89PNG"
