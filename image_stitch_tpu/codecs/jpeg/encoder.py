@@ -236,6 +236,17 @@ class StreamingJpegEncoder:
             # 4:2:0 (box-averaged chroma on device).
             from ...ops.jpeg_entropy_device import DeviceJpegEncoder
 
+            # Quality-scaled per-block bit budget: the phase-2 merge gathers
+            # from a (nb, local_words+1) array, so a tight budget shrinks
+            # its working set. Measured max block bits on uniform noise:
+            # 330 @ q85, 500 @ q95, 782 @ q100 — blocks over budget take
+            # the exact host fallback (rare by construction).
+            if quality <= 85:
+                local_words = 12  # 384-bit blocks
+            elif quality <= 95:
+                local_words = 16  # 512-bit blocks
+            else:
+                local_words = 24  # 768-bit (q100 noise falls back anyway)
             self._dev_encoder = DeviceJpegEncoder(
                 self.luma_q, self.chroma_q,
                 self._dc_luma, self._ac_luma, self._dc_chroma, self._ac_chroma,
@@ -243,6 +254,7 @@ class StreamingJpegEncoder:
                 mcus_per_row=self._mcus_per_row,
                 mesh=mesh,
                 sampling=sampling,
+                local_words=local_words,
             )
 
     # ----- headers ------------------------------------------------------ #

@@ -517,6 +517,7 @@ def jpeg_encode_band_trace(
     cap_words: int,
     use_pallas: bool = False,
     sampling: str = "444",
+    local_words: int = LOCAL_WORDS,
 ):
     """The fully fused band program: YCbCr + DCT + quantize + entropy pack
     (scatter-free v2 packer). 4:4:4 or 4:2:0 (box-averaged chroma).
@@ -535,7 +536,8 @@ def jpeg_encode_band_trace(
 
     yb, cbb, crb = _quantize(band, luma_q, chroma_q)
     words, total_bits, new_dc, max_block_bits, max_overlap = entropy_pack_trace_v2(
-        yb, cbb, crb, luts, prev_dc, bit_base, cap_words, sampling=sampling
+        yb, cbb, crb, luts, prev_dc, bit_base, cap_words,
+        local_words=local_words, sampling=sampling,
     )
     return words, total_bits, new_dc, max_block_bits, max_overlap, yb, cbb, crb
 
@@ -549,6 +551,7 @@ def jpeg_encode_band_groups_trace(
     cap_words: int,  # per group
     use_pallas: bool = False,
     sampling: str = "444",
+    local_words: int = LOCAL_WORDS,
 ):
     """Fused band program for restart-interval mode: quantize once, then pack
     each restart group independently (vmapped v2 packer, prev_dc = 0 and
@@ -575,7 +578,7 @@ def jpeg_encode_band_groups_trace(
     def pack_one(y, cb, cr):
         words, total_bits, _dc, max_bb, max_ov = entropy_pack_trace_v2(
             y, cb, cr, luts, jnp.zeros(3, jnp.int32), jnp.int32(0), cap_words,
-            sampling=sampling,
+            local_words=local_words, sampling=sampling,
         )
         return words, total_bits, max_bb, max_ov
 
@@ -617,7 +620,14 @@ class DeviceJpegEncoder:
     def __init__(self, luma_q, chroma_q, dc_luma, ac_luma, dc_chroma, ac_chroma,
                  cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX,
                  restart_interval_rows: int = 0, mcus_per_row: int | None = None,
-                 mesh=None, sampling: str = "444"):
+                 mesh=None, sampling: str = "444",
+                 local_words: int = LOCAL_WORDS):
+        # local_words bounds the per-block bit budget (local_words*32); the
+        # phase-2 merge gathers from a (nb, local_words+1) array, so a
+        # tighter budget shrinks its working set. Blocks that exceed it take
+        # the exact host fallback — callers pick by quality (q85 blocks max
+        # ~330 bits even on uniform noise; see BENCHMARKS.md).
+        self._local_words = int(local_words)
         self._lq = jnp.asarray(luma_q)
         self._cq = jnp.asarray(chroma_q)
         self._luts = build_entropy_luts(dc_luma, ac_luma, dc_chroma, ac_chroma)
@@ -631,7 +641,7 @@ class DeviceJpegEncoder:
         self._use_pallas = mesh is None and pallas_enabled()
         self._jit = jax.jit(
             jpeg_encode_band_trace,
-            static_argnames=("cap_words", "use_pallas", "sampling"),
+            static_argnames=("cap_words", "use_pallas", "sampling", "local_words"),
         )
         self._restart_rows = int(restart_interval_rows)
         self._mcus_per_row = mcus_per_row
@@ -642,7 +652,9 @@ class DeviceJpegEncoder:
         self._mcu_px = 16 if sampling == "420" else 8
         self._jit_groups_plain = jax.jit(
             jpeg_encode_band_groups_trace,
-            static_argnames=("n_groups", "cap_words", "use_pallas", "sampling"),
+            static_argnames=(
+                "n_groups", "cap_words", "use_pallas", "sampling", "local_words"
+            ),
         )
         if mesh is not None:
             # Restart groups are row slabs: sharding band rows over 'band'
@@ -655,7 +667,10 @@ class DeviceJpegEncoder:
             lut_shardings = {k: rep for k in self._luts}
             self._jit_groups = jax.jit(
                 jpeg_encode_band_groups_trace,
-                static_argnames=("n_groups", "cap_words", "use_pallas", "sampling"),
+                static_argnames=(
+                    "n_groups", "cap_words", "use_pallas", "sampling",
+                    "local_words",
+                ),
                 in_shardings=(band3d, rep, rep, lut_shardings),
             )
         else:
@@ -700,6 +715,7 @@ class DeviceJpegEncoder:
             cap_words=cap_words,
             use_pallas=self._use_pallas,
             sampling=self._sampling,
+            local_words=self._local_words,
         )
         # Thread the carry on-device; no host synchronization here.
         self._prev_dc = new_dc
@@ -731,7 +747,7 @@ class DeviceJpegEncoder:
             cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(main.shape)(
                 main, self._lq, self._cq, self._luts, n_groups, cap_words,
-                self._use_pallas, self._sampling,
+                self._use_pallas, self._sampling, self._local_words,
             )
             self._async_copy(out)
             handles.append((out, n_groups, cap_words))
@@ -741,7 +757,7 @@ class DeviceJpegEncoder:
             cap_words = max(64, (px * self._cap_bits_per_px + 31) // 32)
             out = self._groups_jit_for(tail.shape)(
                 tail, self._lq, self._cq, self._luts, 1, cap_words,
-                self._use_pallas, self._sampling,
+                self._use_pallas, self._sampling, self._local_words,
             )
             self._async_copy(out)
             handles.append((out, 1, cap_words))
@@ -775,7 +791,7 @@ class DeviceJpegEncoder:
             # A group whose words exactly fill cap_words would alias in the
             # dense repack's end-histogram (its end bin clips onto its own
             # last word), so treat >= cap as overflow too.
-            if int(max_bb) > LOCAL_WORDS * 32 or int(max_ov) > K_OVERLAP or bool(
+            if int(max_bb) > self._local_words * 32 or int(max_ov) > K_OVERLAP or bool(
                 ((bits_h + 31) // 32 >= cap_words).any()
             ):
                 if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
@@ -858,7 +874,7 @@ class DeviceJpegEncoder:
         words, total_bits, cap_words, max_bb, max_ov, blocks, prev_dc_in, _bb = handle
         total_bits = int(total_bits)
         if (
-            int(max_bb) > LOCAL_WORDS * 32
+            int(max_bb) > self._local_words * 32
             or total_bits > cap_words * 32
             or int(max_ov) > K_OVERLAP
         ):

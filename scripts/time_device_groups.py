@@ -65,9 +65,11 @@ def main() -> None:
     ri = 1
     n_groups = (BAND_H // 8) // ri
     cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
+    # Mirror the encoder's quality-scaled block budget (q85 -> 12 words).
+    local_words = int(os.environ.get("TIME_LOCAL_WORDS", "12"))
     fn = jax.jit(
-        jpeg_encode_band_groups_trace,
-        static_argnames=("n_groups", "cap_words", "use_pallas"),
+        lambda *a: jpeg_encode_band_groups_trace(*a, local_words=local_words),
+        static_argnums=(4, 5),
     )
     def run_once() -> None:
         out = fn(band, lqd, cqd, lutsd, n_groups, cap_g)
