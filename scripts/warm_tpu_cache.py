@@ -75,19 +75,26 @@ def main() -> None:
         .compile(),
     )
 
-    # 2. Restart-group variants (ri = 1 and 4 MCU rows)
+    # 2. Restart-group variants (ri = 1 and 4 MCU rows), at the encoder's
+    # quality-scaled block budgets (12 words for q<=85, 16 for q<=95).
     for ri in (1, 4):
-        n_groups = (BAND_H // 8) // ri
-        cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
-        timed(
-            f"groups band ri={ri} (n_groups={n_groups})",
-            lambda n_groups=n_groups, cap_g=cap_g: jax.jit(
-                jpeg_encode_band_groups_trace,
-                static_argnames=("n_groups", "cap_words", "use_pallas"),
+        for lw in (12, 16):
+            n_groups = (BAND_H // 8) // ri
+            cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
+            timed(
+                f"groups band ri={ri} lw={lw} (n_groups={n_groups})",
+                lambda n_groups=n_groups, cap_g=cap_g, lw=lw: jax.jit(
+                    jpeg_encode_band_groups_trace,
+                    static_argnames=(
+                        "n_groups", "cap_words", "use_pallas", "local_words"
+                    ),
+                )
+                .lower(
+                    band, qt, qt, lut_specs, n_groups, cap_g,
+                    local_words=lw,
+                )
+                .compile(),
             )
-            .lower(band, qt, qt, lut_specs, n_groups, cap_g)
-            .compile(),
-        )
 
     # 3. PNG filter-select (XLA trace) at the png_out width
     raw = S((BAND_H, CANVAS_W * 4), jnp.uint8)
