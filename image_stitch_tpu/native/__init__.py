@@ -334,13 +334,13 @@ def defilter_units_native(
     )
     out = np.empty((h, rowbytes), dtype=np.uint8)
     rc = lib.png_defilter_units(
-        units.ctypes.data_as(ctypes.c_void_p),
+        units.ctypes.data,
         units.shape[1],
         h,
         rowbytes,
         bpp,
-        prev.ctypes.data_as(ctypes.c_void_p) if prev is not None else None,
-        out.ctypes.data_as(ctypes.c_void_p),
+        prev.ctypes.data if prev is not None else None,
+        out.ctypes.data,
     )
     if rc != 0:
         from ..errors import StitchError
@@ -623,14 +623,17 @@ class NativeInflater:
         if self.finished or not len(out):
             return 0
         lib = self._lib
+        # argtypes declare c_void_p, so raw address ints work — cheaper
+        # than data_as (which constructs a ctypes pointer per call; this
+        # runs a few thousand times per second on many-small-image loads).
         if len(self._input):
             view = np.frombuffer(self._input, dtype=np.uint8)
-            in_ptr = view.ctypes.data_as(ctypes.c_void_p)
+            in_ptr = view.ctypes.data
         else:
             view, in_ptr = None, None
         n = lib.owned_inflate(
             in_ptr, len(self._input), self._stp,
-            out.ctypes.data_as(ctypes.c_void_p), len(out),
+            out.ctypes.data, len(out),
         )
         if n < 0:
             from ..errors import StitchError
