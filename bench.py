@@ -159,7 +159,7 @@ def main() -> None:
     )
     name, opts, warm, mp = build_config(backend)
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         run_streaming(warm)  # compile + open links outside the timed region
