@@ -97,11 +97,16 @@ def run_multichip_demo(n_devices: int, gy: int = 2, gx: int = 8, th: int = 16, t
     """Compile + execute the sharded dual step on tiny shapes.
 
     Used by __graft_entry__.dryrun_multichip with N virtual CPU devices to
-    prove the multi-chip sharding compiles and runs.
+    prove the multi-chip sharding compiles and runs. The demo tile grid is
+    scaled up so both mesh axes divide it, whatever (band, x) factoring
+    make_mesh picks for ``n_devices``.
     """
     from ..codecs.jpeg.tables import quality_scaled_tables
 
     mesh = make_mesh(n_devices)
+    band_n, x_n = mesh.shape["band"], mesh.shape["x"]
+    gy = -(-gy // band_n) * band_n  # round up to a band-axis multiple
+    gx = -(-gx // x_n) * x_n  # round up to an x-axis multiple
     step = shard_grid_dual_step(mesh)
     rng = np.random.default_rng(0)
     tiles = jnp.asarray(

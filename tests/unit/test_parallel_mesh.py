@@ -88,3 +88,15 @@ def test_sharded_on_subset_of_devices():
     sharded = shard_grid_png_step(mesh)(tiles, prev)
     local = jax.jit(fused_grid_png_step)(tiles, prev)
     np.testing.assert_array_equal(np.asarray(sharded[1]), np.asarray(local[1]))
+
+
+@pytest.mark.parametrize("n", [6, 8])
+def test_multichip_demo_scales_tile_grid_to_mesh(n):
+    """run_multichip_demo must divide its demo tile grid by whatever
+    (band, x) factoring make_mesh picks — n=6 factors as (2, 3), which the
+    old fixed gy=2/gx=8 demo could not shard (fuzz-found at n=16: gy=2 vs
+    band=4)."""
+    from image_stitch_tpu.parallel.mesh import run_multichip_demo
+
+    out = run_multichip_demo(n, gy=2, gx=8, th=16, tw=16)
+    assert out is not None
