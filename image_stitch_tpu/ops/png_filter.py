@@ -233,10 +233,28 @@ def filter_select_band(
     Selection metric matches the reference exactly: min sum of |signed byte|,
     first minimum wins (png-filter.ts:154-180).
     """
+    rows = np.asarray(rows, dtype=np.uint8)
+    h, row_bytes = rows.shape
+    # Chunk over rows: the scoring temp below is 5 candidates x int64 =
+    # 40x the raw chunk bytes (a 10 MB band would spike 400 MB — seen as a
+    # no-native-tier memory-budget failure at 10000^2). ~1 MB of raw rows
+    # per chunk caps the temp at ~45 MB. Exact: each chunk's first row only
+    # needs the previous RAW row, which chunking preserves.
+    chunk = max(1, (1 << 20) // max(1, row_bytes))
+    if h > chunk:
+        types_out = np.empty(h, dtype=np.uint8)
+        filt_out = np.empty_like(rows)
+        prev = previous_row
+        for i in range(0, h, chunk):
+            part = rows[i : i + chunk]
+            types_out[i : i + chunk], filt_out[i : i + chunk] = (
+                filter_select_band(part, prev, bytes_per_pixel)
+            )
+            prev = part[-1]
+        return types_out, filt_out
     cand = _band_candidates(rows, previous_row, bytes_per_pixel)
     sums = np.abs(cand.view(np.int8).astype(np.int64)).sum(axis=2)  # (5, H)
     choice = np.argmin(sums, axis=0)  # first occurrence of min == earlier filter
-    h = cand.shape[1]
     filtered = cand[choice, np.arange(h)]
     return choice.astype(np.uint8), filtered
 
