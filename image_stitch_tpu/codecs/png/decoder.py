@@ -260,9 +260,13 @@ class PngDecoder:
                         band = emit(final=False)
                         if band is None:
                             # Full scratch but nothing emittable: the image's
-                            # rows are complete and the stream has residual
-                            # data — stop decoding; the checks below raise.
-                            break
+                            # rows are complete and the stream still produces
+                            # decompressed data (reference residual check,
+                            # png-decoder.ts:218-228).
+                            raise StitchError(
+                                f"Unexpected residual decompressed bytes "
+                                f"after {rows_done} scanlines"
+                            )
                         yield band
                 inflator.verify_finished()
                 while True:

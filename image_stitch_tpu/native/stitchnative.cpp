@@ -744,12 +744,18 @@ extern "C" {
 #define INFL_D_CAP ((1 << INFL_D_ROOT) + 2048)
 
 // Table entry: bits 0-4 = code length (total, incl. root bits for subtable
-// entries); bits 5-7 = kind; bits 8-23 = payload.
+// entries); bits 5-7 = kind; bits 8-31 = payload. LIT/LIT2/LIT3 are kept
+// contiguous from 0 so "kind <= INFL_K_LIT3" tests literal-ness and
+// "kind + 1" is the literal count; LIT2/LIT3 pack 2-3 whole literal codes
+// that fit together inside the root index (common on filtered-PNG streams,
+// where mean code length is ~3 bits) — one table load emits up to 3 bytes.
 #define INFL_K_LIT 0u
-#define INFL_K_LEN 1u
-#define INFL_K_EOB 2u
-#define INFL_K_BAD 3u
-#define INFL_K_SUB 4u
+#define INFL_K_LIT2 1u
+#define INFL_K_LIT3 2u
+#define INFL_K_LEN 3u
+#define INFL_K_EOB 4u
+#define INFL_K_BAD 5u
+#define INFL_K_SUB 6u
 #define INFL_ENTRY(kind, nbits, payload) \
     ((uint32_t)(nbits) | ((kind) << 5) | ((uint32_t)(payload) << 8))
 #define INFL_NBITS(e) ((e) & 31u)
@@ -783,6 +789,8 @@ typedef struct InflState {
     int32_t window_len;
     int64_t total_out;
     int32_t error;        // sticky error code (negative)
+    int32_t pend_lit_count;  // literals decoded past a full output buffer
+    uint8_t pend_lit[4];
     uint32_t litlen[INFL_LL_CAP];
     uint32_t dist[INFL_D_CAP];
     uint8_t window[32768];
@@ -865,16 +873,22 @@ static int infl_build_table(const uint8_t* lens, int n, uint32_t* table,
         for (int b = 0; b < len; ++b)
             rev |= (uint32_t)((c >> b) & 1) << (len - 1 - b);
         uint32_t entry;
+        // LEN entries (both length and distance codes) pack base|extra<<16
+        // in the payload so the hot loop needs no kLenBase/kDistBase loads.
         if (!is_litlen) {
             if (sym >= 30) return -1;
-            entry = INFL_ENTRY(INFL_K_LEN, len, sym);
+            entry = INFL_ENTRY(INFL_K_LEN, len,
+                               (uint32_t)kDistBase[sym] |
+                                   ((uint32_t)kDistExtra[sym] << 16));
         } else if (sym < 256) {
             entry = INFL_ENTRY(INFL_K_LIT, len, sym);
         } else if (sym == 256) {
             entry = INFL_ENTRY(INFL_K_EOB, len, 0);
         } else {
             if (sym >= 286) return -1;
-            entry = INFL_ENTRY(INFL_K_LEN, len, sym - 257);
+            entry = INFL_ENTRY(INFL_K_LEN, len,
+                               (uint32_t)kLenBase[sym - 257] |
+                                   ((uint32_t)kLenExtra[sym - 257] << 16));
         }
         if (len <= rootbits) {
             for (uint32_t idx = rev; idx < (uint32_t)rootsize; idx += 1u << len)
@@ -890,6 +904,38 @@ static int infl_build_table(const uint8_t* lens, int n, uint32_t* table,
     return 0;
 }
 
+// Root-table post-pass: where 2-3 complete literal codes fit inside one
+// root index, replace the first literal's entry with a packed LIT2/LIT3
+// entry (payload = literals little-endian, nbits = combined length). The
+// prefix property makes this sound: an entry at index (idx >> consumed) is
+// trusted only when its code length fits the remaining root bits, so the
+// decode depends only on true stream bits. Reads from a snapshot — packing
+// in place would block extensions through already-packed shorter indices.
+static void infl_pack_multilits(uint32_t* table) {
+    const int rootsize = 1 << INFL_LL_ROOT;
+    uint32_t snap[1 << INFL_LL_ROOT];
+    memcpy(snap, table, sizeof snap);
+    for (int idx = 0; idx < rootsize; ++idx) {
+        uint32_t e = snap[idx];
+        if (INFL_KIND(e) != INFL_K_LIT) continue;
+        uint32_t total = INFL_NBITS(e);
+        uint32_t payload = INFL_PAYLOAD(e) & 0xFFu;
+        uint32_t cnt = 1;
+        while (cnt < 3) {
+            uint32_t e2 = snap[idx >> total];
+            if (INFL_KIND(e2) != INFL_K_LIT) break;
+            uint32_t nb2 = INFL_NBITS(e2);
+            if (total + nb2 > INFL_LL_ROOT) break;
+            payload |= (INFL_PAYLOAD(e2) & 0xFFu) << (8 * cnt);
+            total += nb2;
+            ++cnt;
+        }
+        if (cnt > 1)
+            table[idx] = INFL_ENTRY(cnt == 2 ? INFL_K_LIT2 : INFL_K_LIT3,
+                                    total, payload);
+    }
+}
+
 static void infl_build_fixed(InflState* st) {
     uint8_t lens[288];
     for (int i = 0; i < 144; ++i) lens[i] = 8;
@@ -897,6 +943,7 @@ static void infl_build_fixed(InflState* st) {
     for (int i = 256; i < 280; ++i) lens[i] = 7;
     for (int i = 280; i < 288; ++i) lens[i] = 8;
     infl_build_table(lens, 288, st->litlen, INFL_LL_CAP, INFL_LL_ROOT, 1);
+    infl_pack_multilits(st->litlen);
     uint8_t dlens[30];
     for (int i = 0; i < 30; ++i) dlens[i] = 5;
     infl_build_table(dlens, 30, st->dist, INFL_D_CAP, INFL_D_ROOT, 0);
@@ -943,11 +990,12 @@ static int infl_resolve_pending_dist(InflState* st, const uint8_t* in,
     uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
     if (INFL_KIND(de) == INFL_K_BAD && st->bitcount >= 15) { st->error = -8; return -8; }
     int32_t dextra =
-        INFL_KIND(de) == INFL_K_BAD ? 13 : kDistExtra[INFL_PAYLOAD(de)];
+        INFL_KIND(de) == INFL_K_BAD ? 13 : (int32_t)(INFL_PAYLOAD(de) >> 16);
     if (INFL_KIND(de) != INFL_K_BAD &&
         st->bitcount >= (int32_t)INFL_NBITS(de) + dextra) {
         infl_take(st, (int)INFL_NBITS(de));
-        int32_t dist = kDistBase[INFL_PAYLOAD(de)] + (int32_t)infl_take(st, dextra);
+        int32_t dist = (int32_t)(INFL_PAYLOAD(de) & 0xFFFFu) +
+                       (int32_t)infl_take(st, dextra);
         if ((uint64_t)dist > st->total_out + (uint64_t)(*opp - out)) {
             st->error = -9;
             return -9;
@@ -993,6 +1041,19 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
 
 #define FAIL(code) do { st->error = (code); return (code); } while (0)
 
+    // Drain literals decoded past the previous call's output boundary.
+    if (st->pend_lit_count > 0) {
+        int i = 0;
+        while (i < st->pend_lit_count && op < oend) *op++ = st->pend_lit[i++];
+        if (i < st->pend_lit_count) {
+            memmove(st->pend_lit, st->pend_lit + i,
+                    (size_t)(st->pend_lit_count - i));
+            st->pend_lit_count -= i;
+            goto suspend;  // output full again; window roll still applies
+        }
+        st->pend_lit_count = 0;
+    }
+
     if (st->pending_len < 0) {
         int rc = infl_resolve_pending_dist(st, in, in_len, out, &op, oend);
         if (rc < 0) return rc;
@@ -1014,6 +1075,10 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
         *op++ = byte;
         st->pending_len--;
     }
+    // Output full with the match still unfinished: decoding further symbols
+    // now would clobber pending_len/pending_dist and drop the remaining
+    // match bytes (corruption seen with sub-match-length output buffers).
+    if (st->pending_len > 0) goto suspend;
 
     for (;;) {
         if (st->state == 0) {  // zlib header
@@ -1118,6 +1183,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 if (lens[256] == 0) FAIL(-6);  // EOB must exist
                 if (infl_build_table(lens, (int)hlit, st->litlen,
                                      INFL_LL_CAP, INFL_LL_ROOT, 1)) FAIL(-6);
+                infl_pack_multilits(st->litlen);
                 if (infl_build_table(lens + hlit, (int)hdist, st->dist,
                                      INFL_D_CAP, INFL_D_ROOT, 0)) FAIL(-6);
                 st->state = 3;
@@ -1165,55 +1231,63 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 infl_refill(st, in, in_len);  // bitcount >= 56
                 uint32_t e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
                 uint32_t kind = INFL_KIND(e);
-                // Literal burst: typical codes are 8-9 bits, so one 56-bit
-                // refill covers ~6 literals; budget keeps the 300-byte
-                // output margin intact.
-                int lit_budget = 6;
+                // Literal burst: one lookup emits 1-3 bytes (packed
+                // multi-literal root entries); entries consume at most
+                // 10 root bits or a 15-bit long code, so 5 iterations fit
+                // a 56-bit refill in the common case. The unconditional
+                // 4-byte store is covered by the 300-byte output margin.
+                int lit_budget = 5;
                 int emitted = 0;
-                while (kind == INFL_K_LIT &&
+                while (kind <= INFL_K_LIT3 &&
                        st->bitcount >= (int32_t)INFL_NBITS(e) && lit_budget--) {
                     infl_take(st, (int)INFL_NBITS(e));
-                    *op++ = (uint8_t)INFL_PAYLOAD(e);
+                    uint32_t p = INFL_PAYLOAD(e);
+                    op[0] = (uint8_t)p;
+                    op[1] = (uint8_t)(p >> 8);
+                    op[2] = (uint8_t)(p >> 16);
+                    op += kind + 1;
                     ++emitted;
                     e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
                     kind = INFL_KIND(e);
                 }
-                if (kind == INFL_K_LIT) continue;  // budget/bits: refill
+                if (kind <= INFL_K_LIT3) continue;  // budget/bits: refill
                 if (kind != INFL_K_LEN) {
                     if (emitted) continue;  // re-enter with fresh bits first
                     break;  // EOB/BAD at full bits: general loop decides
                 }
-                if (st->bitcount <
-                    (int32_t)INFL_NBITS(e) + kLenExtra[INFL_PAYLOAD(e)])
-                    continue;  // refill, then retry (nothing consumed)
-                uint32_t lsym = INFL_PAYLOAD(e);
+                // A whole match needs at most 15+5+15+13 = 48 bits; with a
+                // full reservoir it decodes refill-free. After a literal
+                // burst the reservoir may be low: re-enter for a top refill
+                // (nothing consumed yet).
+                if (st->bitcount < 48) continue;
+                uint32_t lp = INFL_PAYLOAD(e);
                 infl_take(st, (int)INFL_NBITS(e));
-                int32_t length =
-                    kLenBase[lsym] + (int32_t)infl_take(st, kLenExtra[lsym]);
-                infl_refill(st, in, in_len);  // >= 28 bits for dist+extra
+                int32_t length = (int32_t)(lp & 0xFFFFu) +
+                                 (int32_t)infl_take(st, (int)(lp >> 16));
                 uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
-                if (INFL_KIND(de) == INFL_K_BAD) {
-                    if (st->bitcount >= 15) FAIL(-8);
-                    st->pending_len = -length;  // dist bits not here yet
-                    goto suspend;
-                }
-                uint32_t dsym = INFL_PAYLOAD(de);
-                if (st->bitcount < (int32_t)INFL_NBITS(de) + kDistExtra[dsym]) {
-                    st->pending_len = -length;
-                    goto suspend;
-                }
+                if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);  // >= 15 live bits
+                uint32_t dp = INFL_PAYLOAD(de);
                 infl_take(st, (int)INFL_NBITS(de));
-                int32_t dist =
-                    kDistBase[dsym] + (int32_t)infl_take(st, kDistExtra[dsym]);
+                int32_t dist = (int32_t)(dp & 0xFFFFu) +
+                               (int32_t)infl_take(st, (int)(dp >> 16));
                 int64_t produced = op - out;
                 if ((uint64_t)dist > st->total_out + (uint64_t)produced)
                     FAIL(-9);
                 if (dist <= produced) {
                     const uint8_t* sp = op - dist;
                     if (dist >= 8) {
-                        int32_t k = 0;
-                        for (; k + 8 <= length; k += 8) memcpy(op + k, sp + k, 8);
-                        for (; k < length; ++k) op[k] = sp[k];
+                        // Two unconditional 8-byte stores cover the typical
+                        // 3-16 byte match (the 300-byte margin absorbs the
+                        // overshoot); step-8 chunks stay safe for any
+                        // overlap with dist >= 8.
+                        memcpy(op, sp, 8);
+                        memcpy(op + 8, sp + 8, 8);
+                        if (length > 16) {
+                            int32_t k = 16;
+                            for (; k + 8 <= length; k += 8)
+                                memcpy(op + k, sp + k, 8);
+                            for (; k < length; ++k) op[k] = sp[k];
+                        }
                     } else {
                         for (int32_t k = 0; k < length; ++k) op[k] = sp[k];
                     }
@@ -1257,10 +1331,20 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                         (kind == INFL_K_BAD && st->bitcount < 15))
                         goto suspend;  // need more input
                 }
-                if (kind == INFL_K_LIT) {
+                if (kind <= INFL_K_LIT3) {
                     if (op >= oend) goto suspend;
                     infl_take(st, (int)nb);
-                    *op++ = (uint8_t)INFL_PAYLOAD(e);
+                    uint32_t p = INFL_PAYLOAD(e);
+                    int cnt = (int)kind + 1;
+                    for (int i = 0; i < cnt; ++i) {
+                        uint8_t b = (uint8_t)(p >> (8 * i));
+                        // A packed entry can carry more literals than the
+                        // output has room for; park the overflow (drained
+                        // first on the next call).
+                        if (op < oend) *op++ = b;
+                        else st->pend_lit[st->pend_lit_count++] = b;
+                    }
+                    if (st->pend_lit_count) goto suspend;
                     continue;
                 }
                 if (kind == INFL_K_EOB) {
@@ -1270,18 +1354,19 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 }
                 if (kind == INFL_K_BAD) FAIL(-7);
                 // Match.
-                uint32_t lsym = INFL_PAYLOAD(e);
-                int32_t lextra = kLenExtra[lsym];
+                int32_t lextra = (int32_t)(INFL_PAYLOAD(e) >> 16);
                 if (st->bitcount < (int32_t)nb + lextra + 28) {
                     infl_refill(st, in, in_len);
                     if (st->bitcount < (int32_t)nb + lextra + 1) goto suspend;
                 }
+                int32_t lbase = (int32_t)(INFL_PAYLOAD(e) & 0xFFFFu);
                 infl_take(st, (int)nb);
-                int32_t length = kLenBase[lsym] + (int32_t)infl_take(st, lextra);
+                int32_t length = lbase + (int32_t)infl_take(st, lextra);
                 uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
                 uint32_t dnb = INFL_NBITS(de);
-                int32_t dextra =
-                    INFL_KIND(de) == INFL_K_BAD ? 13 : kDistExtra[INFL_PAYLOAD(de)];
+                int32_t dextra = INFL_KIND(de) == INFL_K_BAD
+                                     ? 13
+                                     : (int32_t)(INFL_PAYLOAD(de) >> 16);
                 if (st->bitcount < (int32_t)dnb + dextra ||
                     (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
                     infl_refill(st, in, in_len);
@@ -1289,7 +1374,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                     dnb = INFL_NBITS(de);
                     dextra = INFL_KIND(de) == INFL_K_BAD
                                  ? 13
-                                 : kDistExtra[INFL_PAYLOAD(de)];
+                                 : (int32_t)(INFL_PAYLOAD(de) >> 16);
                     if (st->bitcount < (int32_t)dnb + dextra ||
                         (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
                         // The length code is consumed but the distance bits
@@ -1301,7 +1386,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 }
                 if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);
                 infl_take(st, (int)dnb);
-                int32_t dist = kDistBase[INFL_PAYLOAD(de)] +
+                int32_t dist = (int32_t)(INFL_PAYLOAD(de) & 0xFFFFu) +
                                (int32_t)infl_take(st, dextra);
                 if ((uint64_t)dist > st->total_out + (uint64_t)(op - out))
                     FAIL(-9);

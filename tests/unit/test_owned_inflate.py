@@ -147,3 +147,40 @@ def test_strict_mode_uses_zlib_tier_and_verifies_adler():
     lenient = StreamingInflator()
     out = lenient.push(bytes(comp)) + lenient.finish()
     assert out == b"adler check payload"
+
+
+def test_tiny_output_slices_bit_exact():
+    """Sub-match-length output buffers must not corrupt the stream.
+
+    Regression: when a resumed match copy filled the whole output buffer,
+    the decoder fell through into the symbol loop; a following match then
+    clobbered pending_len/pending_dist and dropped the unfinished match's
+    remaining bytes (first seen with 1-4 byte buffers on level-8 streams).
+    Also exercises the packed multi-literal entries' pending-literal parking.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for kind in range(3):
+        n = 4000
+        if kind == 0:
+            raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            # 4-value alphabet -> ~2-bit codes -> packed LIT2/LIT3 entries
+            raw = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+        else:
+            base = rng.integers(0, 256, 37, dtype=np.uint8).tobytes()
+            raw = (base * (n // 37 + 1))[:n]
+        comp = zlib.compress(raw, 8)
+        for size in (1, 2, 3, 5, 7):
+            inf = NativeInflater()
+            inf.feed(comp)
+            buf = np.empty(size, dtype=np.uint8)
+            acc = bytearray()
+            while True:
+                got = inf.drain_into(buf)
+                if got == 0:
+                    break
+                acc += buf[:got].tobytes()
+            inf.verify_finished()
+            assert bytes(acc) == raw, (kind, size)
