@@ -32,52 +32,228 @@ static inline uint8_t paeth(uint8_t a, uint8_t b, uint8_t c) {
     return c;
 }
 
+// ---------------------------------------------------------------------------
+// SIMD per-row defilter cores for the 4- and 8-byte-per-pixel layouts
+// (RGBA8 / RGBA16 — the framework's canvas formats). The recurrences are
+// serial across pixels but parallel across the bpp channel lanes: one SSE2
+// step per pixel (libpng uses the same shape for its intrinsics filters).
+// ---------------------------------------------------------------------------
+
+#ifdef __SSE2__
+#include <emmintrin.h>
+
+static inline __m128i load4(const uint8_t* p) {
+    int32_t w;
+    memcpy(&w, p, 4);
+    return _mm_cvtsi32_si128(w);
+}
+static inline void store4(uint8_t* p, __m128i v) {
+    int32_t w = _mm_cvtsi128_si32(v);
+    memcpy(p, &w, 4);
+}
+
+// Sub: cur[i] = in[i] + cur[i-bpp]; one paddb per pixel, bpp = 4 or 8.
+static inline void defilter_sub_simd(uint8_t* cur, const uint8_t* in,
+                                     int64_t rowbytes, int bpp) {
+    __m128i a = _mm_setzero_si128();
+    int64_t i = 0;
+    if (bpp == 4) {
+        for (; i + 4 <= rowbytes; i += 4) {
+            __m128i x = load4(in + i);
+            a = _mm_add_epi8(x, a);
+            store4(cur + i, a);
+        }
+    } else {  // bpp == 8
+        for (; i + 8 <= rowbytes; i += 8) {
+            __m128i x = _mm_loadl_epi64((const __m128i*)(in + i));
+            a = _mm_add_epi8(x, a);
+            _mm_storel_epi64((__m128i*)(cur + i), a);
+        }
+    }
+    for (; i < rowbytes; ++i)
+        cur[i] = (uint8_t)(in[i] + (i >= bpp ? cur[i - bpp] : 0));
+}
+
+// Average: cur[i] = in[i] + (cur[i-bpp] + prev[i]) >> 1 (floor).
+// _mm_avg_epu8 rounds up; subtract (a ^ b) & 1 to get the floor average.
+static inline void defilter_avg_simd(uint8_t* cur, const uint8_t* in,
+                                     const uint8_t* prev, int64_t rowbytes,
+                                     int bpp) {
+    const __m128i one = _mm_set1_epi8(1);
+    __m128i a = _mm_setzero_si128();
+    int64_t i = 0;
+    if (bpp == 4) {
+        for (; i + 4 <= rowbytes; i += 4) {
+            __m128i x = load4(in + i);
+            __m128i b = load4(prev + i);
+            __m128i av = _mm_sub_epi8(
+                _mm_avg_epu8(a, b),
+                _mm_and_si128(_mm_xor_si128(a, b), one));
+            a = _mm_add_epi8(x, av);
+            store4(cur + i, a);
+        }
+    } else {
+        for (; i + 8 <= rowbytes; i += 8) {
+            __m128i x = _mm_loadl_epi64((const __m128i*)(in + i));
+            __m128i b = _mm_loadl_epi64((const __m128i*)(prev + i));
+            __m128i av = _mm_sub_epi8(
+                _mm_avg_epu8(a, b),
+                _mm_and_si128(_mm_xor_si128(a, b), one));
+            a = _mm_add_epi8(x, av);
+            _mm_storel_epi64((__m128i*)(cur + i), a);
+        }
+    }
+    for (; i < rowbytes; ++i) {
+        uint8_t ap = i >= bpp ? cur[i - bpp] : 0;
+        cur[i] = (uint8_t)(in[i] + (uint8_t)(((int)ap + (int)prev[i]) >> 1));
+    }
+}
+
+// Paeth in 16-bit lanes: pa=|b-c|, pb=|a-c|, pc=|pa+pb| with the standard
+// nearest-of-three select, then cur = in + predictor.
+static inline void defilter_paeth_simd(uint8_t* cur, const uint8_t* in,
+                                       const uint8_t* prev, int64_t rowbytes,
+                                       int bpp) {
+    const __m128i zero = _mm_setzero_si128();
+    __m128i a16 = zero;  // left pixel, 16-bit lanes
+    __m128i c16 = zero;  // up-left pixel
+    int64_t i = 0;
+    for (; i + bpp <= rowbytes; i += bpp) {
+        __m128i x, b;
+        if (bpp == 4) {
+            x = load4(in + i);
+            b = load4(prev + i);
+        } else {
+            x = _mm_loadl_epi64((const __m128i*)(in + i));
+            b = _mm_loadl_epi64((const __m128i*)(prev + i));
+        }
+        __m128i b16 = _mm_unpacklo_epi8(b, zero);
+        __m128i pa = _mm_sub_epi16(b16, c16);               // p - a
+        __m128i pb = _mm_sub_epi16(a16, c16);               // p - b
+        __m128i pc = _mm_add_epi16(pa, pb);                 // p - c
+        pa = _mm_max_epi16(pa, _mm_sub_epi16(zero, pa));    // |..|
+        pb = _mm_max_epi16(pb, _mm_sub_epi16(zero, pb));
+        pc = _mm_max_epi16(pc, _mm_sub_epi16(zero, pc));
+        __m128i use_b = _mm_andnot_si128(
+            _mm_cmpgt_epi16(pb, pc), _mm_cmpgt_epi16(pa, pb));
+        __m128i use_c = _mm_and_si128(
+            _mm_cmpgt_epi16(pa, pc), _mm_cmpgt_epi16(pb, pc));
+        __m128i pred = _mm_or_si128(
+            _mm_and_si128(use_c, c16),
+            _mm_andnot_si128(
+                use_c, _mm_or_si128(_mm_and_si128(use_b, b16),
+                                    _mm_andnot_si128(use_b, a16))));
+        __m128i x16 = _mm_unpacklo_epi8(x, zero);
+        a16 = _mm_and_si128(_mm_add_epi16(x16, pred), _mm_set1_epi16(0xFF));
+        c16 = b16;
+        __m128i packed = _mm_packus_epi16(a16, a16);
+        if (bpp == 4)
+            store4(cur + i, packed);
+        else
+            _mm_storel_epi64((__m128i*)(cur + i), packed);
+    }
+    for (; i < rowbytes; ++i) {
+        uint8_t ap = i >= bpp ? cur[i - bpp] : 0;
+        uint8_t cp = i >= bpp ? prev[i - bpp] : 0;
+        cur[i] = (uint8_t)(in[i] + paeth(ap, prev[i], cp));
+    }
+}
+
+#define STITCH_HAVE_SIMD_DEFILTER 1
+#else
+#define STITCH_HAVE_SIMD_DEFILTER 0
+#endif
+
+// Defilter one scanline from `in` (filtered) into `cur` (raw). `prev` is
+// the previous raw row or null. cur != in required for the SIMD paths
+// (callers pass distinct buffers); the scalar tails handle cur == in + k
+// aliasing only in the in-place band variant below, which keeps its own
+// loops for Sub/Up where in == cur.
+static int defilter_row_into(uint8_t* cur, const uint8_t* in,
+                             const uint8_t* prev, int64_t rowbytes, int bpp,
+                             uint8_t ft) {
+    switch (ft) {
+        case 0:
+            if (cur != in) memcpy(cur, in, (size_t)rowbytes);
+            return 0;
+        case 1:
+#if STITCH_HAVE_SIMD_DEFILTER
+            if (bpp == 4 || bpp == 8) {
+                defilter_sub_simd(cur, in, rowbytes, bpp);
+                return 0;
+            }
+#endif
+            for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+            for (int64_t i = bpp; i < rowbytes; ++i)
+                cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
+            return 0;
+        case 2:
+            if (prev)
+                for (int64_t i = 0; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + prev[i]);
+            else
+                memcpy(cur, in, (size_t)rowbytes);
+            return 0;
+        case 3:
+            if (prev) {
+#if STITCH_HAVE_SIMD_DEFILTER
+                if (bpp == 4 || bpp == 8) {
+                    defilter_avg_simd(cur, in, prev, rowbytes, bpp);
+                    return 0;
+                }
+#endif
+                for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + (prev[i] >> 1));
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] +
+                                       (((int)cur[i - bpp] + (int)prev[i]) >> 1));
+            } else {
+                for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + (cur[i - bpp] >> 1));
+            }
+            return 0;
+        case 4:
+            if (prev) {
+#if STITCH_HAVE_SIMD_DEFILTER
+                if (bpp == 4 || bpp == 8) {
+                    defilter_paeth_simd(cur, in, prev, rowbytes, bpp);
+                    return 0;
+                }
+#endif
+                for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + prev[i]);
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + paeth(cur[i - bpp], prev[i],
+                                                     prev[i - bpp]));
+            } else {
+#if STITCH_HAVE_SIMD_DEFILTER
+                if (bpp == 4 || bpp == 8) {  // paeth degenerates to sub
+                    defilter_sub_simd(cur, in, rowbytes, bpp);
+                    return 0;
+                }
+#endif
+                for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
+                for (int64_t i = bpp; i < rowbytes; ++i)
+                    cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
+            }
+            return 0;
+        default:
+            return -1;
+    }
+}
+
 // In-place variant: rows holds filtered bytes, becomes raw bytes.
+// defilter_row_into is in-place-safe: every path reads in[i] before
+// writing cur[i] and carries the left pixel in a register.
 int png_defilter_band(uint8_t* rows, const uint8_t* filter_types,
                       int64_t h, int64_t rowbytes, int bpp,
                       const uint8_t* prev_row) {
     const uint8_t* prev = prev_row;  // may be null for first band
     for (int64_t y = 0; y < h; ++y) {
         uint8_t* cur = rows + y * rowbytes;
-        switch (filter_types[y]) {
-            case 0:  // None
-                break;
-            case 1:  // Sub
-                for (int64_t i = bpp; i < rowbytes; ++i)
-                    cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);
-                break;
-            case 2:  // Up
-                if (prev)
-                    for (int64_t i = 0; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(cur[i] + prev[i]);
-                break;
-            case 3:  // Average
-                if (prev) {
-                    for (int64_t i = 0; i < bpp; ++i)
-                        cur[i] = (uint8_t)(cur[i] + (prev[i] >> 1));
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(cur[i] +
-                                           (((int)cur[i - bpp] + (int)prev[i]) >> 1));
-                } else {
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(cur[i] + (cur[i - bpp] >> 1));
-                }
-                break;
-            case 4:  // Paeth
-                if (prev) {
-                    for (int64_t i = 0; i < bpp; ++i)
-                        cur[i] = (uint8_t)(cur[i] + prev[i]);  // left=c=0 -> up
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(cur[i] + paeth(cur[i - bpp], prev[i],
-                                                          prev[i - bpp]));
-                } else {
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(cur[i] + cur[i - bpp]);  // paeth->left
-                }
-                break;
-            default:
-                return -1;
-        }
+        if (defilter_row_into(cur, cur, prev, rowbytes, bpp, filter_types[y]))
+            return -1;
         prev = cur;
     }
     return 0;
@@ -92,54 +268,9 @@ int png_defilter_units(const uint8_t* units, int64_t unit_stride,
     const uint8_t* prev = prev_row;
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* src = units + y * unit_stride;
-        uint8_t ft = src[0];
-        const uint8_t* in = src + 1;
         uint8_t* cur = out + y * rowbytes;
-        switch (ft) {
-            case 0:
-                memcpy(cur, in, (size_t)rowbytes);
-                break;
-            case 1:
-                for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
-                for (int64_t i = bpp; i < rowbytes; ++i)
-                    cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
-                break;
-            case 2:
-                if (prev)
-                    for (int64_t i = 0; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + prev[i]);
-                else
-                    memcpy(cur, in, (size_t)rowbytes);
-                break;
-            case 3:
-                if (prev) {
-                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + (prev[i] >> 1));
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] +
-                                           (((int)cur[i - bpp] + (int)prev[i]) >> 1));
-                } else {
-                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + (cur[i - bpp] >> 1));
-                }
-                break;
-            case 4:
-                if (prev) {
-                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + prev[i]);
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + paeth(cur[i - bpp], prev[i],
-                                                         prev[i - bpp]));
-                } else {
-                    for (int64_t i = 0; i < bpp && i < rowbytes; ++i) cur[i] = in[i];
-                    for (int64_t i = bpp; i < rowbytes; ++i)
-                        cur[i] = (uint8_t)(in[i] + cur[i - bpp]);
-                }
-                break;
-            default:
-                return -1;
-        }
+        if (defilter_row_into(cur, src + 1, prev, rowbytes, bpp, src[0]))
+            return -1;
         prev = cur;
     }
     return 0;
