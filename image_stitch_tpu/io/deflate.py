@@ -17,7 +17,15 @@ DEFAULT_MAX_BATCH = 1 * 1024 * 1024  # reference: image-concat-core.ts:336
 
 
 class StreamingDeflator:
-    """Push raw bytes, receive compressed chunks through ``on_data``."""
+    """Push raw bytes, receive compressed chunks through ``on_data``.
+
+    Two tiers: the owned C++ deflate (stitchnative.cpp owned_deflate_batch —
+    hash-chain lazy matcher, per-block dynamic Huffman, ~1.8x CPython zlib
+    at a slightly better ratio on filtered-PNG data) handles the default
+    strategy at levels 1-9; zlib remains the tier for explicit strategies
+    (filtered/rle/huffman), level 0, and STITCH_TPU_NO_NATIVE fallback.
+    Output framing is identical either way: zlib header, Z_SYNC_FLUSH
+    batches, final block + Adler-32."""
 
     def __init__(
         self,
@@ -34,9 +42,19 @@ class StreamingDeflator:
         }
         if strategy not in strategies:
             raise ValueError(f"Unknown deflate strategy: {strategy}")
-        self._obj = zlib.compressobj(
-            level, zlib.DEFLATED, zlib.MAX_WBITS, 8, strategies[strategy]
-        )
+        self._obj = None
+        self._native = None
+        if strategy == "default" and 1 <= level <= 9:
+            from ..native import native_deflater_available
+
+            if native_deflater_available():
+                from ..native import NativeDeflator
+
+                self._native = NativeDeflator(level)
+        if self._native is None:
+            self._obj = zlib.compressobj(
+                level, zlib.DEFLATED, zlib.MAX_WBITS, 8, strategies[strategy]
+            )
         self._on_data = on_data or (lambda _b: None)
         self._max_batch = max_batch_size
         self._pending = 0
@@ -50,9 +68,12 @@ class StreamingDeflator:
     def push(self, data: bytes | memoryview) -> None:
         if self._finished:
             raise RuntimeError("Deflator already finished")
-        out = self._obj.compress(bytes(data))
-        if out:
-            self._on_data(out)
+        if self._native is not None:
+            self._native.compress(data)
+        else:
+            out = self._obj.compress(bytes(data))
+            if out:
+                self._on_data(out)
         self._pending += len(data)
         if self._pending >= self._max_batch:
             self.flush()
@@ -62,7 +83,10 @@ class StreamingDeflator:
         state (reference: flushInternal, streaming-deflate.ts:223-238)."""
         if self._finished:
             return
-        out = self._obj.flush(zlib.Z_SYNC_FLUSH)
+        if self._native is not None:
+            out = self._native.flush_sync()
+        else:
+            out = self._obj.flush(zlib.Z_SYNC_FLUSH)
         if out:
             self._on_data(out)
         self._pending = 0
@@ -70,7 +94,10 @@ class StreamingDeflator:
     def finish(self) -> None:
         if self._finished:
             return
-        out = self._obj.flush(zlib.Z_FINISH)
+        if self._native is not None:
+            out = self._native.finish()
+        else:
+            out = self._obj.flush(zlib.Z_FINISH)
         self._finished = True
         if out:
             self._on_data(out)

@@ -168,6 +168,14 @@ def get_native_lib():
     lib.owned_inflate_in_pos.argtypes = [ctypes.c_void_p]
     lib.owned_inflate_rebase.restype = None
     lib.owned_inflate_rebase.argtypes = [ctypes.c_void_p]
+    lib.owned_deflate_batch.restype = ctypes.c_int64
+    lib.owned_deflate_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.owned_deflate_scratch_size.restype = ctypes.c_int64
+    lib.owned_deflate_scratch_size.argtypes = []
     lib.jpeg_decode_scan.restype = ctypes.c_int
     lib.jpeg_decode_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -669,4 +677,102 @@ class NativeInflater:
 
 
 def native_inflater_available() -> bool:
+    return get_native_lib() is not None
+
+
+# ------------------------------------------------------------------------- #
+# Owned streaming deflate binding
+# ------------------------------------------------------------------------- #
+
+
+class NativeDeflator:
+    """Streaming zlib-stream compressor over the owned C++ encoder
+    (stitchnative.cpp owned_deflate_batch): push raw bytes, batches are
+    compressed at sync-flush/finish boundaries with the previous 32KB
+    window passed contiguously, so matches reach across batches exactly
+    like a stateful zlib stream.
+
+    Same wire contract as zlib: 2-byte header, deflate blocks with
+    Z_SYNC_FLUSH empty stored blocks between batches, final block +
+    big-endian Adler-32 trailer (computed via zlib.adler32 on the Python
+    side at C speed)."""
+
+    def __init__(self, level: int = 6):
+        lib = get_native_lib()
+        assert lib is not None
+        self._lib = lib
+        self._level = level
+        self._batch = bytearray()
+        self._window = b""
+        self._adler = 1
+        self._header_sent = False
+        self._finished = False
+        self._scratch = buffer_pool.get(int(lib.owned_deflate_scratch_size()))
+
+    def __del__(self):
+        try:
+            sc, self._scratch = self._scratch, None
+            buffer_pool.put(sc)
+        except Exception:
+            pass
+
+    def compress(self, data) -> bytes:
+        """Accrete input; output is produced at flush boundaries (the PNG
+        writer always batches, so mid-batch emission is unnecessary)."""
+        if self._finished:
+            raise RuntimeError("Deflator already finished")
+        self._batch += bytes(data)
+        return b""
+
+    def _emit(self, is_final: bool) -> bytes:
+        import zlib as _z
+
+        data = bytes(self._batch)
+        self._batch.clear()
+        self._adler = _z.adler32(data, self._adler)
+        hist = self._window
+        # Contract: 8 readable bytes beyond total_len (hash loads peek).
+        buf = np.frombuffer(hist + data + b"\0" * 8, dtype=np.uint8)
+        total = len(hist) + len(data)
+        # Worst case is the stored fallback: 5 bytes per 64KB part + the
+        # sync/final framing; dynamic blocks are only chosen when smaller.
+        cap = len(data) + len(data) // 32 + 4096
+        out = buffer_pool.get(cap)
+        n = self._lib.owned_deflate_batch(
+            buf.ctypes.data, len(hist), total,
+            1 if is_final else 0, self._level,
+            out.ctypes.data, cap,
+            self._scratch.ctypes.data,
+        )
+        if n < 0:
+            from ..errors import StitchError
+
+            raise StitchError("owned deflate output capacity exhausted")
+        self._window = (hist + data)[-32768:]
+        parts = []
+        if not self._header_sent:
+            # CMF/FLG: 32K window deflate, check bits for no preset dict.
+            parts.append(b"\x78\x9c")
+            self._header_sent = True
+        parts.append(out[: int(n)].tobytes())
+        buffer_pool.put(out)
+        if is_final:
+            parts.append(self._adler.to_bytes(4, "big"))
+            self._finished = True
+        return b"".join(parts)
+
+    def flush_sync(self) -> bytes:
+        """Z_SYNC_FLUSH analog: compress the pending batch, emit everything,
+        byte-aligned, keeping the stream open."""
+        if self._finished:
+            return b""
+        return self._emit(is_final=False)
+
+    def finish(self) -> bytes:
+        if self._finished:
+            return b""
+        return self._emit(is_final=True)
+
+
+def native_deflater_available() -> bool:
     return get_native_lib() is not None

@@ -1609,3 +1609,701 @@ void owned_inflate_rebase(InflState* st) {
 }
 
 }  // extern "C" (inflate)
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Owned streaming deflate (RFC 1950/1951) — replaces runtime zlib on the
+// encode hot path (SURVEY §2 native items: runtime zlib / pako). The PNG
+// writer's Z_SYNC_FLUSH batching (reference streaming-deflate.ts:41-242)
+// maps to one stateless call per batch: the caller passes the previous
+// 32KB window contiguously before the new data, each batch emits complete
+// deflate blocks plus a sync marker (or the final block), and the zlib
+// header/Adler-32 trailer live in the Python wrapper.
+//
+// Design: hash4 chain matcher with a hash3 head for length-3 matches
+// (zlib parity: len-3 only within 4096), one-step lazy evaluation,
+// 8-byte XOR/ctz match extension, symbols buffered per <=256KB block,
+// then exact-cost selection between dynamic, static and stored encodings.
+// ---------------------------------------------------------------------------
+
+#define DEFL_H4_BITS 15
+#define DEFL_H3_BITS 14
+#define DEFL_WIN 32768
+#define DEFL_BLOCK_RAW (256 * 1024)
+
+typedef struct DeflScratch {
+    int32_t head4[1 << DEFL_H4_BITS];
+    int32_t head3[1 << DEFL_H3_BITS];
+    int32_t prev[DEFL_WIN];
+    uint32_t syms[DEFL_BLOCK_RAW + 1];  // lit: v<256; match: 1<<31|len3<<16|dist
+} DeflScratch;
+
+int64_t owned_deflate_scratch_size(void) { return (int64_t)sizeof(DeflScratch); }
+
+// --- length/distance symbol tables (built once) ---------------------------
+
+static uint8_t defl_len_sym[256];    // (len-3) -> litlen sym - 257
+static uint8_t defl_len_extra[256];  // extra bit count
+static uint16_t defl_len_base[29];
+static uint8_t defl_dist_sym_small[512];  // dist-1 (<512) -> dist sym
+static uint8_t defl_dist_sym_big[256];    // (dist-1)>>7 -> dist sym (dist>512)
+static int defl_tables_init = 0;
+
+static void defl_init_tables(void) {
+    if (defl_tables_init) return;
+    for (int s = 0; s < 29; ++s) defl_len_base[s] = kLenBase[s];
+    for (int l = 0; l < 256; ++l) {  // l = len - 3, len in 3..258
+        int len = l + 3;
+        int s = 28;
+        while (s > 0 && kLenBase[s] > len) --s;
+        if (s < 28 && kLenBase[s + 1] <= len) ++s;
+        // length 258 must use sym 28 (extra 0), not 227+31
+        if (len == 258) s = 28;
+        defl_len_sym[l] = (uint8_t)s;
+        defl_len_extra[l] = kLenExtra[s];
+    }
+    for (int d = 1; d <= 512; ++d) {
+        int s = 29;
+        while (s > 0 && kDistBase[s] > d) --s;
+        if (d <= 512 && d >= 1) defl_dist_sym_small[d - 1] = (uint8_t)s;
+    }
+    for (int i = 0; i < 256; ++i) {
+        int d = (i << 7) + 1;  // representative dist with (dist-1)>>7 == i
+        if (d < 513) d = 513;
+        int s = 29;
+        while (s > 0 && kDistBase[s] > d) --s;
+        defl_dist_sym_big[i] = (uint8_t)s;
+    }
+    defl_tables_init = 1;
+}
+
+static inline int defl_dist_code(int dist) {
+    return dist <= 512 ? defl_dist_sym_small[dist - 1]
+                       : defl_dist_sym_big[(dist - 1) >> 7];
+}
+
+static inline uint32_t defl_load32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+static inline uint64_t defl_load64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return v;
+}
+static inline uint32_t defl_h4(const uint8_t* p) {
+    return (defl_load32(p) * 0x9E3779B1u) >> (32 - DEFL_H4_BITS);
+}
+static inline uint32_t defl_h3(const uint8_t* p) {
+    return ((defl_load32(p) & 0xFFFFFFu) * 0x9E3779B1u) >> (32 - DEFL_H3_BITS);
+}
+
+// --- bit writer (LSB-first per RFC 1951) ----------------------------------
+
+typedef struct {
+    uint64_t bits;
+    int32_t count;
+    uint8_t* out;
+} DeflBits;
+
+static inline void defl_putbits(DeflBits* b, uint32_t v, int n) {
+    b->bits |= (uint64_t)v << b->count;
+    b->count += n;
+    if (b->count >= 48) {
+        memcpy(b->out, &b->bits, 8);  // little-endian host
+        b->out += b->count >> 3;
+        b->bits >>= (b->count & ~7);
+        b->count &= 7;
+    }
+}
+
+static inline void defl_align(DeflBits* b) {
+    while (b->count > 0) {
+        *b->out++ = (uint8_t)b->bits;
+        b->bits >>= 8;
+        b->count -= 8;
+    }
+    b->count = 0;
+    b->bits = 0;
+}
+
+static inline uint32_t defl_revcode(uint32_t c, int len) {
+    uint32_t r = 0;
+    for (int i = 0; i < len; ++i) r |= ((c >> i) & 1u) << (len - 1 - i);
+    return r;
+}
+
+// --- limited-length Huffman construction ----------------------------------
+
+// freqs[n] -> lens[n] with max length `limit`; returns 0. Zero-freq symbols
+// get length 0. Classic build + zlib-style overflow adjustment, lengths
+// reassigned to symbols in frequency order.
+static void defl_build_lengths(const uint32_t* freq, int n, int limit,
+                               uint8_t* lens) {
+    int order[320];
+    int cnt = 0;
+    for (int i = 0; i < n; ++i) {
+        lens[i] = 0;
+        if (freq[i]) order[cnt++] = i;
+    }
+    if (cnt == 0) return;
+    if (cnt == 1) { lens[order[0]] = 1; return; }
+    // insertion sort by freq ascending (n <= 286, blocks are large: fine)
+    for (int i = 1; i < cnt; ++i) {
+        int o = order[i];
+        int j = i - 1;
+        while (j >= 0 && freq[order[j]] > freq[o]) {
+            order[j + 1] = order[j];
+            --j;
+        }
+        order[j + 1] = o;
+    }
+    // Moffat-Katajainen in-place: A holds freqs, becomes parent links, then
+    // depths.
+    uint64_t A[320];
+    for (int i = 0; i < cnt; ++i) A[i] = freq[order[i]];
+    int leaf = 0, root = 0;
+    for (int next = 0; next < cnt - 1; ++next) {
+        // first child
+        if (leaf >= cnt || (root < next && A[root] < A[leaf])) {
+            A[next] = A[root];
+            A[root++] = (uint64_t)next;
+        } else {
+            A[next] = A[leaf++];
+        }
+        // second child
+        if (leaf >= cnt || (root < next && A[root] < A[leaf])) {
+            A[next] += A[root];
+            A[root++] = (uint64_t)next;
+        } else {
+            A[next] += A[leaf++];
+        }
+    }
+    // depths
+    A[cnt - 2] = 0;
+    for (int i = cnt - 3; i >= 0; --i) A[i] = A[(int)A[i]] + 1;
+    int avail = 1, used = 0, dep = 0, next = cnt - 2, nleaves = 0;
+    int bl_count[64];
+    memset(bl_count, 0, sizeof bl_count);
+    while (avail > 0) {
+        while (next >= 0 && (int)A[next] == dep) {
+            ++used;
+            --next;
+        }
+        int leaves_here = avail - used;
+        if (dep > 63) break;
+        bl_count[dep] = leaves_here;
+        nleaves += leaves_here;
+        avail = 2 * used;
+        used = 0;
+        ++dep;
+    }
+    // overflow adjustment onto `limit`
+    int overflow = 0;
+    for (int d = limit + 1; d < 64; ++d) {
+        overflow += bl_count[d];
+        bl_count[d] = 0;
+    }
+    bl_count[limit] += overflow;
+    while (overflow > 0) {
+        int bits = limit - 1;
+        while (bits > 0 && bl_count[bits] == 0) --bits;
+        if (bits == 0) break;
+        bl_count[bits]--;
+        bl_count[bits + 1] += 2;
+        bl_count[limit]--;
+        overflow -= 2;
+    }
+    // reassign: most frequent symbols get the shortest lengths
+    int idx = cnt - 1;  // order[] ascending freq -> walk from the top
+    for (int d = 1; d <= limit; ++d) {
+        for (int k = 0; k < bl_count[d]; ++k) {
+            lens[order[idx--]] = (uint8_t)d;
+        }
+    }
+}
+
+// canonical codes (already bit-reversed for LSB-first emission)
+static void defl_build_codes(const uint8_t* lens, int n, uint16_t* codes) {
+    int bl_count[16];
+    memset(bl_count, 0, sizeof bl_count);
+    for (int i = 0; i < n; ++i) bl_count[lens[i]]++;
+    bl_count[0] = 0;
+    uint32_t next_code[16];
+    uint32_t code = 0;
+    for (int b = 1; b <= 15; ++b) {
+        code = (code + bl_count[b - 1]) << 1;
+        next_code[b] = code;
+    }
+    for (int i = 0; i < n; ++i) {
+        codes[i] = lens[i]
+                       ? (uint16_t)defl_revcode(next_code[lens[i]]++, lens[i])
+                       : 0;
+    }
+}
+
+// --- dynamic header: code-lengths-code RLE --------------------------------
+
+static const uint8_t kClOrderEnc[19] = {
+    16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+typedef struct {
+    uint8_t sym;
+    uint8_t extra_bits;
+    uint8_t extra_val;
+} ClItem;
+
+// RLE-encode the hlit+hdist length sequence into cl items; fills cl_freq.
+static int defl_cl_rle(const uint8_t* lens, int n, ClItem* items,
+                       uint32_t* cl_freq) {
+    int m = 0;
+    int i = 0;
+    while (i < n) {
+        uint8_t v = lens[i];
+        int run = 1;
+        while (i + run < n && lens[i + run] == v) ++run;
+        if (v == 0) {
+            while (run >= 3) {
+                int take = run > 138 ? 138 : run;
+                if (take < 11) {
+                    if (take > 10) take = 10;
+                    items[m].sym = 17;
+                    items[m].extra_bits = 3;
+                    items[m].extra_val = (uint8_t)(take - 3);
+                } else {
+                    items[m].sym = 18;
+                    items[m].extra_bits = 7;
+                    items[m].extra_val = (uint8_t)(take - 11);
+                }
+                cl_freq[items[m].sym]++;
+                ++m;
+                run -= take;
+            }
+            while (run-- > 0) {
+                items[m].sym = 0;
+                items[m].extra_bits = 0;
+                items[m].extra_val = 0;
+                cl_freq[0]++;
+                ++m;
+            }
+        } else {
+            items[m].sym = v;
+            items[m].extra_bits = 0;
+            items[m].extra_val = 0;
+            cl_freq[v]++;
+            ++m;
+            --run;
+            while (run >= 3) {
+                int take = run > 6 ? 6 : run;
+                items[m].sym = 16;
+                items[m].extra_bits = 2;
+                items[m].extra_val = (uint8_t)(take - 3);
+                cl_freq[16]++;
+                ++m;
+                run -= take;
+            }
+            while (run-- > 0) {
+                items[m].sym = v;
+                items[m].extra_bits = 0;
+                items[m].extra_val = 0;
+                cl_freq[v]++;
+                ++m;
+            }
+        }
+        i += 0;
+        // advance i over the run we consumed
+        {
+            // recompute: we consumed the whole run of equal values
+            int run2 = 1;
+            while (i + run2 < n && lens[i + run2] == v) ++run2;
+            i += run2;
+        }
+    }
+    return m;
+}
+
+// --- static (fixed) code tables -------------------------------------------
+
+static uint8_t defl_static_ll_lens[288];
+static uint16_t defl_static_ll_codes[288];
+static uint8_t defl_static_d_lens[30];
+static uint16_t defl_static_d_codes[30];
+static int defl_static_init = 0;
+
+static void defl_init_static(void) {
+    if (defl_static_init) return;
+    for (int i = 0; i < 144; ++i) defl_static_ll_lens[i] = 8;
+    for (int i = 144; i < 256; ++i) defl_static_ll_lens[i] = 9;
+    for (int i = 256; i < 280; ++i) defl_static_ll_lens[i] = 7;
+    for (int i = 280; i < 288; ++i) defl_static_ll_lens[i] = 8;
+    defl_build_codes(defl_static_ll_lens, 288, defl_static_ll_codes);
+    for (int i = 0; i < 30; ++i) defl_static_d_lens[i] = 5;
+    defl_build_codes(defl_static_d_lens, 30, defl_static_d_codes);
+    defl_static_init = 1;
+}
+
+// --- match finding --------------------------------------------------------
+
+typedef struct {
+    int max_chain;
+    int lazy;
+    int good;  // halve chain budget when current match >= good
+    int nice;  // stop searching at this length
+} DeflProfile;
+
+static DeflProfile defl_profile(int level) {
+    DeflProfile p;
+    if (level <= 3) { p.max_chain = 8;   p.lazy = 0; p.good = 8;  p.nice = 32; }
+    else if (level <= 6) { p.max_chain = 48;  p.lazy = 1; p.good = 16; p.nice = 160; }
+    else { p.max_chain = 256; p.lazy = 1; p.good = 32; p.nice = 258; }
+    return p;
+}
+
+static inline int defl_extend(const uint8_t* a, const uint8_t* b, int max_len) {
+    int n = 0;
+    while (n + 8 <= max_len) {
+        uint64_t x = defl_load64(a + n) ^ defl_load64(b + n);
+        if (x) return n + (__builtin_ctzll(x) >> 3);
+        n += 8;
+    }
+    while (n < max_len && a[n] == b[n]) ++n;
+    return n;
+}
+
+// Best match at pos i (absolute index into buf); buf[i..end) is available.
+// Returns length (0 if none acceptable), sets *dist.
+static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
+                           int64_t i, int64_t end, const DeflProfile* pf,
+                           int prev_len, int* dist_out) {
+    int max_len = (int)(end - i);
+    if (max_len > 258) max_len = 258;
+    if (max_len < 3) return 0;
+    int best_len = prev_len >= 2 ? prev_len : 2;  // must beat this
+    int best_dist = 0;
+    int64_t min_pos = i - DEFL_WIN;
+    // length-3 candidate from the hash3 head (zlib: len-3 only if close)
+    if (best_len < 3) {
+        int32_t c3 = s->head3[defl_h3(buf + i)];
+        if (c3 >= 0 && (int64_t)c3 > min_pos && i - c3 <= 4096) {
+            if (buf[c3] == buf[i] && buf[c3 + 1] == buf[i + 1] &&
+                buf[c3 + 2] == buf[i + 2]) {
+                int l = defl_extend(buf + c3, buf + i, max_len);
+                if (l >= 3) {
+                    best_len = l;
+                    best_dist = (int)(i - c3);
+                }
+            }
+        }
+    }
+    int chain = pf->max_chain;
+    if (prev_len >= pf->good) chain >>= 2;
+    if (max_len >= 4 && best_len < pf->nice) {
+        int32_t cand = s->head4[defl_h4(buf + i)];
+        while (cand >= 0 && (int64_t)cand > min_pos && chain-- > 0) {
+            // quick reject on the would-be-deciding byte
+            if (best_len < max_len &&
+                buf[cand + best_len] == buf[i + best_len] &&
+                defl_load32(buf + cand) == defl_load32(buf + i)) {
+                int l = defl_extend(buf + cand, buf + i, max_len);
+                if (l > best_len) {
+                    best_len = l;
+                    best_dist = (int)(i - cand);
+                    if (l >= pf->nice || l >= max_len) break;
+                }
+            }
+            cand = s->prev[cand & (DEFL_WIN - 1)];
+        }
+    }
+    if (best_dist == 0) return 0;
+    *dist_out = best_dist;
+    return best_len;
+}
+
+static inline void defl_insert(DeflScratch* s, const uint8_t* buf, int64_t i) {
+    uint32_t h4 = defl_h4(buf + i);
+    s->prev[i & (DEFL_WIN - 1)] = s->head4[h4];
+    s->head4[h4] = (int32_t)i;
+    s->head3[defl_h3(buf + i)] = (int32_t)i;
+}
+
+// --- block emission -------------------------------------------------------
+
+// Emit one complete deflate block for syms[0..n_syms) covering raw bytes
+// buf[raw_start..raw_end). Chooses dynamic/static/stored by exact bit cost.
+static int defl_emit_block(DeflBits* bw, const uint8_t* buf, int64_t raw_start,
+                           int64_t raw_end, const uint32_t* syms, int n_syms,
+                           const uint32_t* freq_ll, const uint32_t* freq_d,
+                           int64_t extra_bits_total, int is_final,
+                           const uint8_t* out_cap_end) {
+    defl_init_static();
+    uint8_t ll_lens[288], d_lens[30];
+    uint16_t ll_codes[288], d_codes[30];
+    defl_build_lengths(freq_ll, 286, 15, ll_lens);
+    memset(ll_lens + 286, 0, 2);
+    defl_build_lengths(freq_d, 30, 15, d_lens);
+    defl_build_codes(ll_lens, 288, ll_codes);
+    defl_build_codes(d_lens, 30, d_codes);
+
+    int hlit = 286;
+    while (hlit > 257 && ll_lens[hlit - 1] == 0) --hlit;
+    int hdist = 30;
+    while (hdist > 1 && d_lens[hdist - 1] == 0) --hdist;
+
+    uint8_t all_lens[286 + 30];
+    memcpy(all_lens, ll_lens, (size_t)hlit);
+    memcpy(all_lens + hlit, d_lens, (size_t)hdist);
+    ClItem items[286 + 30];
+    uint32_t cl_freq[19];
+    memset(cl_freq, 0, sizeof cl_freq);
+    int n_items = defl_cl_rle(all_lens, hlit + hdist, items, cl_freq);
+    uint8_t cl_lens[19];
+    uint16_t cl_codes[19];
+    defl_build_lengths(cl_freq, 19, 7, cl_lens);
+    defl_build_codes(cl_lens, 19, cl_codes);
+    int hclen = 19;
+    while (hclen > 4 && cl_lens[kClOrderEnc[hclen - 1]] == 0) --hclen;
+
+    // exact bit costs
+    int64_t sym_bits_dyn = 0, sym_bits_static = 0;
+    for (int v = 0; v < 286; ++v) {
+        if (!freq_ll[v]) continue;
+        sym_bits_dyn += (int64_t)freq_ll[v] * ll_lens[v];
+        sym_bits_static += (int64_t)freq_ll[v] * defl_static_ll_lens[v];
+    }
+    for (int v = 0; v < 30; ++v) {
+        if (!freq_d[v]) continue;
+        sym_bits_dyn += (int64_t)freq_d[v] * d_lens[v];
+        sym_bits_static += (int64_t)freq_d[v] * defl_static_d_lens[v];
+    }
+    int64_t hdr_bits = 5 + 5 + 4 + 3 * hclen;
+    for (int k = 0; k < n_items; ++k)
+        hdr_bits += cl_lens[items[k].sym] + items[k].extra_bits;
+    int64_t dyn_bits = 3 + hdr_bits + sym_bits_dyn + extra_bits_total;
+    int64_t static_bits = 3 + sym_bits_static + extra_bits_total;
+    int64_t raw_len = raw_end - raw_start;
+    // stored: 3-bit header + align + per-64KB-part 32-bit LEN/NLEN + bytes
+    int64_t n_parts = raw_len == 0 ? 1 : (raw_len + 65534) / 65535;
+    int64_t stored_bits = 3 + 7 + n_parts * 32 + 8 * raw_len +
+                          (n_parts - 1) * (3 + 7);
+
+    int64_t best = dyn_bits < static_bits ? dyn_bits : static_bits;
+    if (stored_bits < best) best = stored_bits;
+    // capacity check (best/8 + slack)
+    if (bw->out + best / 8 + 64 > out_cap_end) return -1;
+
+    if (best == stored_bits) {
+        int64_t off = raw_start;
+        int64_t left = raw_len;
+        do {
+            int64_t part = left > 65535 ? 65535 : left;
+            int final_part = is_final && part == left;
+            defl_putbits(bw, final_part ? 1u : 0u, 1);
+            defl_putbits(bw, 0u, 2);
+            defl_align(bw);
+            bw->out[0] = (uint8_t)part;
+            bw->out[1] = (uint8_t)(part >> 8);
+            bw->out[2] = (uint8_t)(~part & 0xFF);
+            bw->out[3] = (uint8_t)((~part >> 8) & 0xFF);
+            bw->out += 4;
+            memcpy(bw->out, buf + off, (size_t)part);
+            bw->out += part;
+            off += part;
+            left -= part;
+        } while (left > 0);
+        return 0;
+    }
+
+    const uint8_t* use_ll_lens = ll_lens;
+    const uint16_t* use_ll_codes = ll_codes;
+    const uint8_t* use_d_lens = d_lens;
+    const uint16_t* use_d_codes = d_codes;
+    defl_putbits(bw, is_final ? 1u : 0u, 1);
+    if (best == static_bits) {
+        defl_putbits(bw, 1u, 2);
+        use_ll_lens = defl_static_ll_lens;
+        use_ll_codes = defl_static_ll_codes;
+        use_d_lens = defl_static_d_lens;
+        use_d_codes = defl_static_d_codes;
+    } else {
+        defl_putbits(bw, 2u, 2);
+        defl_putbits(bw, (uint32_t)(hlit - 257), 5);
+        defl_putbits(bw, (uint32_t)(hdist - 1), 5);
+        defl_putbits(bw, (uint32_t)(hclen - 4), 4);
+        for (int k = 0; k < hclen; ++k)
+            defl_putbits(bw, cl_lens[kClOrderEnc[k]], 3);
+        for (int k = 0; k < n_items; ++k) {
+            const ClItem* it = &items[k];
+            defl_putbits(bw, cl_codes[it->sym], cl_lens[it->sym]);
+            if (it->extra_bits)
+                defl_putbits(bw, it->extra_val, it->extra_bits);
+        }
+    }
+    for (int k = 0; k < n_syms; ++k) {
+        uint32_t sy = syms[k];
+        if (!(sy & 0x80000000u)) {
+            defl_putbits(bw, use_ll_codes[sy], use_ll_lens[sy]);
+        } else {
+            int len3 = (int)((sy >> 16) & 0xFFu);
+            int dist = (int)(sy & 0xFFFFu);
+            int lsym = 257 + defl_len_sym[len3];
+            defl_putbits(bw, use_ll_codes[lsym], use_ll_lens[lsym]);
+            int lx = defl_len_extra[len3];
+            if (lx)
+                defl_putbits(bw, (uint32_t)(len3 + 3 - defl_len_base[defl_len_sym[len3]]), lx);
+            int dsym = defl_dist_code(dist);
+            defl_putbits(bw, use_d_codes[dsym], use_d_lens[dsym]);
+            int dx = kDistExtra[dsym];
+            if (dx)
+                defl_putbits(bw, (uint32_t)(dist - kDistBase[dsym]), dx);
+        }
+    }
+    defl_putbits(bw, use_ll_codes[256], use_ll_lens[256]);  // EOB
+    return 0;
+}
+
+// --- batch entry ----------------------------------------------------------
+
+// buf[0..hist_len): window history (not emitted); buf[hist_len..total_len):
+// new data to compress. Emits complete deflate blocks; if is_final, the
+// last block has BFINAL set, otherwise a Z_SYNC_FLUSH empty stored block
+// follows. Returns bytes written to out, or -1 if out_cap is insufficient.
+int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
+                            int64_t total_len, int is_final, int level,
+                            uint8_t* out, int64_t out_cap, DeflScratch* s) {
+    defl_init_tables();
+    DeflProfile pf = defl_profile(level);
+    memset(s->head4, -1, sizeof s->head4);
+    memset(s->head3, -1, sizeof s->head3);
+    // prev entries are guarded by the min_pos window check; stale values
+    // never dereference out of range because chain walks stop at i-32768.
+    memset(s->prev, -1, sizeof s->prev);
+    for (int64_t i = 0; i + 3 < hist_len; ++i) defl_insert(s, buf, i);
+
+    DeflBits bw = {0, 0, out};
+    const uint8_t* cap_end = out + out_cap;
+    int64_t pos = hist_len;
+    int rc = 0;
+    if (total_len == hist_len) {
+        // empty batch: final needs an empty terminating block
+        if (is_final) {
+            uint32_t f_ll[286];
+            memset(f_ll, 0, sizeof f_ll);
+            uint32_t f_d[30];
+            memset(f_d, 0, sizeof f_d);
+            f_ll[256] = 1;
+            rc = defl_emit_block(&bw, buf, pos, pos, s->syms, 0, f_ll, f_d, 0,
+                                 1, cap_end);
+            if (rc < 0) return -1;
+        }
+    }
+    while (pos < total_len) {
+        int64_t chunk_end = pos + DEFL_BLOCK_RAW;
+        if (chunk_end > total_len) chunk_end = total_len;
+        int final_block = is_final && chunk_end == total_len;
+        uint32_t freq_ll[286];
+        memset(freq_ll, 0, sizeof freq_ll);
+        uint32_t freq_d[30];
+        memset(freq_d, 0, sizeof freq_d);
+        freq_ll[256] = 1;  // EOB
+        int64_t extra_bits = 0;
+        int n_syms = 0;
+        int64_t raw_start = pos;
+        int64_t i = pos;
+        // one-step lazy parse
+        int have_prev = 0;
+        int prev_match_len = 0, prev_match_dist = 0;
+        while (i < chunk_end) {
+            int dist = 0;
+            int len = 0;
+            if (chunk_end - i >= 3)
+                len = defl_find_match(s, buf, i, chunk_end, &pf,
+                                      have_prev ? prev_match_len : 0, &dist);
+            if (have_prev && len <= prev_match_len) {
+                // previous match wins: emit it (i is one past its start)
+                int l3 = prev_match_len - 3;
+                s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
+                                    (uint32_t)prev_match_dist;
+                freq_ll[257 + defl_len_sym[l3]]++;
+                freq_d[defl_dist_code(prev_match_dist)]++;
+                extra_bits += defl_len_extra[l3] +
+                              kDistExtra[defl_dist_code(prev_match_dist)];
+                // insert remaining positions of the match
+                int64_t match_end = (i - 1) + prev_match_len;
+                for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
+                    defl_insert(s, buf, j);
+                i = match_end;
+                have_prev = 0;
+                continue;
+            }
+            if (have_prev) {
+                // current match longer: previous start byte is a literal
+                uint8_t lit = buf[i - 1];
+                s->syms[n_syms++] = lit;
+                freq_ll[lit]++;
+            }
+            if (len >= 3 && (len > 3 || dist <= 4096)) {
+                if (pf.lazy && len < pf.nice && i + 1 < chunk_end) {
+                    // defer: compare against the match at i+1
+                    if (i + 4 <= total_len) defl_insert(s, buf, i);
+                    prev_match_len = len;
+                    prev_match_dist = dist;
+                    have_prev = 1;
+                    ++i;
+                    continue;
+                }
+                int l3 = len - 3;
+                s->syms[n_syms++] =
+                    0x80000000u | ((uint32_t)l3 << 16) | (uint32_t)dist;
+                freq_ll[257 + defl_len_sym[l3]]++;
+                freq_d[defl_dist_code(dist)]++;
+                extra_bits += defl_len_extra[l3] +
+                              kDistExtra[defl_dist_code(dist)];
+                int64_t match_end = i + len;
+                for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
+                    defl_insert(s, buf, j);
+                i = match_end;
+                have_prev = 0;
+            } else {
+                uint8_t lit = buf[i];
+                s->syms[n_syms++] = lit;
+                freq_ll[lit]++;
+                if (i + 4 <= total_len) defl_insert(s, buf, i);
+                ++i;
+                have_prev = 0;
+            }
+        }
+        if (have_prev) {  // deferred match pending at chunk end: emit it
+            int l3 = prev_match_len - 3;
+            s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
+                                (uint32_t)prev_match_dist;
+            freq_ll[257 + defl_len_sym[l3]]++;
+            freq_d[defl_dist_code(prev_match_dist)]++;
+            extra_bits += defl_len_extra[l3] +
+                          kDistExtra[defl_dist_code(prev_match_dist)];
+        }
+        rc = defl_emit_block(&bw, buf, raw_start, chunk_end, s->syms, n_syms,
+                             freq_ll, freq_d, extra_bits, final_block,
+                             cap_end);
+        if (rc < 0) return -1;
+        pos = chunk_end;
+    }
+    if (!is_final) {
+        // Z_SYNC_FLUSH: empty stored block, byte-aligns the stream
+        if (bw.out + 8 > cap_end) return -1;
+        defl_putbits(&bw, 0u, 1);
+        defl_putbits(&bw, 0u, 2);
+        defl_align(&bw);
+        bw.out[0] = 0x00;
+        bw.out[1] = 0x00;
+        bw.out[2] = 0xFF;
+        bw.out[3] = 0xFF;
+        bw.out += 4;
+    } else {
+        defl_align(&bw);
+    }
+    return (int64_t)(bw.out - out);
+}
+
+}  // extern "C" (deflate)
