@@ -1948,16 +1948,20 @@ static void defl_init_static(void) {
 
 typedef struct {
     int max_chain;
-    int lazy;
-    int good;  // halve chain budget when current match >= good
-    int nice;  // stop searching at this length
+    int lazy;      // one-step lazy evaluation enabled
+    int max_lazy;  // only defer when the current match is shorter than this
+    int good;      // quarter the chain budget when current match >= good
+    int nice;      // stop searching at this length
 } DeflProfile;
 
 static DeflProfile defl_profile(int level) {
     DeflProfile p;
-    if (level <= 3) { p.max_chain = 8;   p.lazy = 0; p.good = 8;  p.nice = 32; }
-    else if (level <= 6) { p.max_chain = 48;  p.lazy = 1; p.good = 16; p.nice = 160; }
-    else { p.max_chain = 256; p.lazy = 1; p.good = 32; p.nice = 258; }
+    // Tuned on filtered-PNG payloads: chain depth beyond ~16 costs speed
+    // almost linearly while the ratio stays flat (big dynamic blocks do
+    // the heavy lifting); even the fast profile beats zlib-6's ratio.
+    if (level <= 3) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32; }
+    else if (level <= 6) { p.max_chain = 24;  p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96; }
+    else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; }
     return p;
 }
 
@@ -2223,12 +2227,12 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
             if (have_prev && len <= prev_match_len) {
                 // previous match wins: emit it (i is one past its start)
                 int l3 = prev_match_len - 3;
+                int dsym = defl_dist_code(prev_match_dist);
                 s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
                                     (uint32_t)prev_match_dist;
                 freq_ll[257 + defl_len_sym[l3]]++;
-                freq_d[defl_dist_code(prev_match_dist)]++;
-                extra_bits += defl_len_extra[l3] +
-                              kDistExtra[defl_dist_code(prev_match_dist)];
+                freq_d[dsym]++;
+                extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
                 // insert remaining positions of the match
                 int64_t match_end = (i - 1) + prev_match_len;
                 for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
@@ -2244,7 +2248,7 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 freq_ll[lit]++;
             }
             if (len >= 3 && (len > 3 || dist <= 4096)) {
-                if (pf.lazy && len < pf.nice && i + 1 < chunk_end) {
+                if (pf.lazy && len < pf.max_lazy && i + 1 < chunk_end) {
                     // defer: compare against the match at i+1
                     if (i + 4 <= total_len) defl_insert(s, buf, i);
                     prev_match_len = len;
@@ -2254,12 +2258,12 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                     continue;
                 }
                 int l3 = len - 3;
+                int dsym = defl_dist_code(dist);
                 s->syms[n_syms++] =
                     0x80000000u | ((uint32_t)l3 << 16) | (uint32_t)dist;
                 freq_ll[257 + defl_len_sym[l3]]++;
-                freq_d[defl_dist_code(dist)]++;
-                extra_bits += defl_len_extra[l3] +
-                              kDistExtra[defl_dist_code(dist)];
+                freq_d[dsym]++;
+                extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
                 int64_t match_end = i + len;
                 for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
                     defl_insert(s, buf, j);
@@ -2276,12 +2280,12 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
         }
         if (have_prev) {  // deferred match pending at chunk end: emit it
             int l3 = prev_match_len - 3;
+            int dsym = defl_dist_code(prev_match_dist);
             s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
                                 (uint32_t)prev_match_dist;
             freq_ll[257 + defl_len_sym[l3]]++;
-            freq_d[defl_dist_code(prev_match_dist)]++;
-            extra_bits += defl_len_extra[l3] +
-                          kDistExtra[defl_dist_code(prev_match_dist)];
+            freq_d[dsym]++;
+            extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
         }
         rc = defl_emit_block(&bw, buf, raw_start, chunk_end, s->syms, n_syms,
                              freq_ll, freq_d, extra_bits, final_block,
