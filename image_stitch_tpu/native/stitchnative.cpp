@@ -635,6 +635,59 @@ static inline int16_t quant1(float v, float inv_q) {
     return (int16_t)(s >= 0.f ? (int)(s + 0.5f) : -(int)(-s + 0.5f));
 }
 
+#ifdef __AVX2__
+// Fused 8x8 DCT + quantize, one block: both separable passes vectorized
+// across 8 lanes with the per-output accumulation kept x-/y-sequential via
+// FMA (the same contraction the compiler applies to the scalar loops), so
+// the tier's numerics stay deterministic. Reads the 8x8 block directly
+// from the planar strip (no gather copy); writes 64 int16.
+static void dct8_quant_avx2(const float* p, int64_t stride, const float* invq,
+                            int16_t* out) {
+    static float Crow[8][8];   // C[u][x]
+    static float Ccol[8][8];   // C[u][x] transposed: Ccol[x][u]
+    static int init = 0;
+    if (!init) {
+        for (int u = 0; u < 8; ++u)
+            for (int x = 0; x < 8; ++x) {
+                double s = u == 0 ? 0.3535533905932738 : 0.5;
+                float v = (float)(s * __builtin_cos(
+                                          (2 * x + 1) * u *
+                                          3.14159265358979323846 / 16.0));
+                Crow[u][x] = v;
+                Ccol[x][u] = v;
+            }
+        init = 1;
+    }
+    __m256 tmp[8];
+    for (int y = 0; y < 8; ++y) {
+        __m256 acc = _mm256_setzero_ps();
+        const float* row = p + y * stride;
+        for (int x = 0; x < 8; ++x)
+            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(row + x),
+                                  _mm256_loadu_ps(Ccol[x]), acc);
+        tmp[y] = acc;  // lanes: frequency u
+    }
+    const __m256 half = _mm256_set1_ps(0.5f);
+    const __m256 signmask = _mm256_set1_ps(-0.0f);
+    for (int u = 0; u < 8; ++u) {
+        __m256 acc = _mm256_setzero_ps();
+        for (int y = 0; y < 8; ++y)
+            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(&Crow[u][y]), tmp[y],
+                                  acc);
+        __m256 s = _mm256_mul_ps(acc, _mm256_loadu_ps(invq + u * 8));
+        __m256 sign = _mm256_and_ps(s, signmask);
+        __m256 mag = _mm256_andnot_ps(signmask, s);
+        __m256i ti = _mm256_cvttps_epi32(_mm256_add_ps(mag, half));
+        // restore sign: (x ^ m) - m with m = all-ones where negative
+        __m256i m = _mm256_srai_epi32(_mm256_castps_si256(sign), 31);
+        ti = _mm256_sub_epi32(_mm256_xor_si256(ti, m), m);
+        __m128i lo = _mm256_castsi256_si128(ti);
+        __m128i hi = _mm256_extracti128_si256(ti, 1);
+        _mm_storeu_si128((__m128i*)(out + u * 8), _mm_packs_epi32(lo, hi));
+    }
+}
+#endif
+
 // Note: the C++ tier's f32 DCT may differ from the numpy/XLA tiers by +-1
 // in rare round-half-tie coefficients (FMA contraction / summation order);
 // each tier is deterministic and all are valid JPEG (see ops/device.py
@@ -675,6 +728,9 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                            {crp, inv_cq, crout + blk * 64}};
             for (int j = 0; j < 3; ++j) {
                 const float* p = jobs[j].plane + sx * 8;
+#ifdef __AVX2__
+                dct8_quant_avx2(p, w, jobs[j].invq, jobs[j].out);
+#else
                 for (int yy = 0; yy < 8; ++yy)
                     for (int xx = 0; xx < 8; ++xx)
                         blkbuf[yy * 8 + xx] = p[yy * w + xx];
@@ -682,6 +738,7 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                 int16_t* o = jobs[j].out;
                 const float* iq = jobs[j].invq;
                 for (int i = 0; i < 64; ++i) o[i] = quant1(blkbuf[i], iq[i]);
+#endif
             }
         }
     }
