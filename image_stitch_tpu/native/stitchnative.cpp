@@ -374,15 +374,29 @@ static inline uint64_t nonzero_mask64(const int16_t* zz) {
 }
 #endif
 
+// natural position -> zigzag index (inverse of kZigzag), built on first use
+static uint8_t kNatToZig[64];
+static int kNatToZigInit = 0;
+
 static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
                          const HuffTable* t, int comp) {
-    // Zigzag gather into a dense local block, then iterate only the set
-    // bits of a nonzero bitmask (ctz walk) — skips zero runs entirely
-    // instead of branching per coefficient.
-    int16_t zz[64];
-    for (int k = 0; k < 64; ++k) zz[k] = blk[kZigzag[k]];
+    // Nonzero bitmask in NATURAL order (one AVX2 sweep), permuted bitwise
+    // into zigzag order — only the ~dozen set bits pay the permutation and
+    // only their coefficients are ever loaded. The old dense zigzag gather
+    // moved all 64 int16 per block regardless of sparsity.
+    if (!kNatToZigInit) {
+        for (int k = 0; k < 64; ++k) kNatToZig[kZigzag[k]] = (uint8_t)k;
+        kNatToZigInit = 1;
+    }
+    uint64_t m_nat = nonzero_mask64(blk) & ~1ull;
+    uint64_t m = 0;  // zigzag-order AC mask
+    while (m_nat) {
+        int k = __builtin_ctzll(m_nat);
+        m_nat &= m_nat - 1;
+        m |= 1ull << kNatToZig[k];
+    }
 
-    int32_t dc = zz[0];
+    int32_t dc = blk[0];
     int32_t diff = dc - st->prev_dc[comp];
     st->prev_dc[comp] = dc;
     int s = bit_size(diff);
@@ -395,7 +409,6 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
         put_bits(st, outp, t->dc_code[s], t->dc_len[s]);
     }
 
-    uint64_t m = nonzero_mask64(zz) & ~1ull;  // AC positions 1..63
     int prev = 0;
     int last_nz = 0;
     while (m) {
@@ -406,7 +419,7 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
             put_bits(st, outp, t->ac_code[0xF0], t->ac_len[0xF0]);
             run -= 16;
         }
-        int32_t v = zz[k];
+        int32_t v = blk[kZigzag[k]];
         int size = bit_size(v);
         int sym = (run << 4) | size;
         uint32_t vb = (uint32_t)(v < 0 ? v + (1 << size) - 1 : v);
