@@ -936,10 +936,10 @@ extern "C" {
 // checks still work.
 // ---------------------------------------------------------------------------
 
-// Two-level decode tables: an L1-resident root (10 bits lit/len, 8 bits
+// Two-level decode tables: an L1-resident root (11 bits lit/len, 8 bits
 // distance) plus per-pattern subtables for the rare codes longer than the
 // root (libdeflate-style). One load for short codes, two for long ones.
-#define INFL_LL_ROOT 10
+#define INFL_LL_ROOT 11
 #define INFL_D_ROOT 8
 #define INFL_LL_CAP ((1 << INFL_LL_ROOT) + 2048)
 #define INFL_D_CAP ((1 << INFL_D_ROOT) + 2048)
