@@ -1427,10 +1427,15 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
             // one branchless refill guarantees a full worst-case symbol
             // sequence (2 literals, or a whole match incl. a second refill
             // for the distance), so no suspension checks are needed.
+            uint32_t e_pre = 0;
+            int have_pre = 0;
             for (;;) {
                 if (in_len - st->in_pos < 8 || oend - op < 300) break;
                 infl_refill(st, in, in_len);  // bitcount >= 56
-                uint32_t e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                uint32_t e = have_pre ? e_pre
+                                      : infl_lookup(st->litlen, st->bitbuf,
+                                                    INFL_LL_ROOT);
+                have_pre = 0;
                 uint32_t kind = INFL_KIND(e);
                 // Literal burst: one lookup emits 1-3 bytes (packed
                 // multi-literal root entries); entries consume at most
@@ -1471,6 +1476,13 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 infl_take(st, (int)INFL_NBITS(de));
                 int32_t dist = (int32_t)(dp & 0xFFFFu) +
                                (int32_t)infl_take(st, (int)(dp >> 16));
+                // Preload the next symbol's entry while the copy runs: the
+                // post-match bit state is already final, and a later refill
+                // only adds high bits, so a root-resolved entry whose code
+                // length fits the live bits stays valid.
+                e_pre = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                have_pre = (int32_t)INFL_NBITS(e_pre) <= st->bitcount &&
+                           INFL_KIND(e_pre) != INFL_K_BAD;
                 int64_t produced = op - out;
                 if ((uint64_t)dist > st->total_out + (uint64_t)produced)
                     FAIL(-9);
