@@ -1427,14 +1427,50 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
             // one branchless refill guarantees a full worst-case symbol
             // sequence (2 literals, or a whole match incl. a second refill
             // for the distance), so no suspension checks are needed.
+            //
+            // The bit-reader state is cached in locals for the duration of
+            // the loop: output stores go through uint8_t* (which aliases
+            // everything), so keeping bitbuf/bitcount in st-> would force
+            // the compiler to reload them around every *op++ store.
+            // FAIL exits sync nothing (error is sticky and terminal); every
+            // other exit syncs through INFL_FAST_SYNC.
             uint32_t e_pre = 0;
             int have_pre = 0;
+            {
+                uint64_t bb = st->bitbuf;
+                int32_t bc = st->bitcount;
+                const uint8_t* ip = in + st->in_pos;
+                // Integer form on purpose: `in + in_len - 8` underflows when
+                // the caller passes in == NULL with in_len == 0 (empty
+                // accreted buffer right after compaction).
+                int64_t in_left = in_len - st->in_pos;
+                const uint32_t* const lltab = st->litlen;
+                const uint32_t* const dtab = st->dist;
+                const uint64_t prior_out = (uint64_t)st->total_out;
+#define INFL_FAST_SYNC()                 \
+    do {                                 \
+        st->bitbuf = bb;                 \
+        st->bitcount = bc;               \
+        st->in_pos = (int64_t)(ip - in); \
+    } while (0)
             for (;;) {
-                if (in_len - st->in_pos < 8 || oend - op < 300) break;
-                infl_refill(st, in, in_len);  // bitcount >= 56
-                uint32_t e = have_pre ? e_pre
-                                      : infl_lookup(st->litlen, st->bitbuf,
-                                                    INFL_LL_ROOT);
+                if (in_left < 8 || oend - op < 300) break;
+                {   // branchless refill: bc >= 56 after
+                    uint64_t w;
+                    memcpy(&w, ip, 8);  // little-endian host
+                    bb |= w << bc;
+                    int64_t adv = (63 - bc) >> 3;
+                    ip += adv;
+                    in_left -= adv;
+                    bc |= 56;
+                }
+                uint32_t e = have_pre
+                                 ? e_pre
+                                 : lltab[bb & ((1u << INFL_LL_ROOT) - 1u)];
+                if (!have_pre && INFL_KIND(e) == INFL_K_SUB)
+                    e = lltab[INFL_PAYLOAD(e) +
+                              ((bb >> INFL_LL_ROOT) &
+                               ((1u << INFL_NBITS(e)) - 1u))];
                 have_pre = 0;
                 uint32_t kind = INFL_KIND(e);
                 // Literal burst: one lookup emits 1-3 bytes (packed
@@ -1444,16 +1480,20 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 // 4-byte store is covered by the 300-byte output margin.
                 int lit_budget = 5;
                 int emitted = 0;
-                while (kind <= INFL_K_LIT3 &&
-                       st->bitcount >= (int32_t)INFL_NBITS(e) && lit_budget--) {
-                    infl_take(st, (int)INFL_NBITS(e));
+                while (kind <= INFL_K_LIT3 && bc >= (int32_t)INFL_NBITS(e) &&
+                       lit_budget--) {
+                    uint32_t nb = INFL_NBITS(e);
+                    bb >>= nb;
+                    bc -= (int32_t)nb;
                     uint32_t p = INFL_PAYLOAD(e);
-                    op[0] = (uint8_t)p;
-                    op[1] = (uint8_t)(p >> 8);
-                    op[2] = (uint8_t)(p >> 16);
+                    memcpy(op, &p, 4);  // one 32-bit store, margin-covered
                     op += kind + 1;
                     ++emitted;
-                    e = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
+                    e = lltab[bb & ((1u << INFL_LL_ROOT) - 1u)];
+                    if (INFL_KIND(e) == INFL_K_SUB)
+                        e = lltab[INFL_PAYLOAD(e) +
+                                  ((bb >> INFL_LL_ROOT) &
+                                   ((1u << INFL_NBITS(e)) - 1u))];
                     kind = INFL_KIND(e);
                 }
                 if (kind <= INFL_K_LIT3) continue;  // budget/bits: refill
@@ -1465,59 +1505,83 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 // full reservoir it decodes refill-free. After a literal
                 // burst the reservoir may be low: re-enter for a top refill
                 // (nothing consumed yet).
-                if (st->bitcount < 48) continue;
-                uint32_t lp = INFL_PAYLOAD(e);
-                infl_take(st, (int)INFL_NBITS(e));
-                int32_t length = (int32_t)(lp & 0xFFFFu) +
-                                 (int32_t)infl_take(st, (int)(lp >> 16));
-                uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
-                if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);  // >= 15 live bits
-                uint32_t dp = INFL_PAYLOAD(de);
-                infl_take(st, (int)INFL_NBITS(de));
-                int32_t dist = (int32_t)(dp & 0xFFFFu) +
-                               (int32_t)infl_take(st, (int)(dp >> 16));
-                // Preload the next symbol's entry while the copy runs: the
-                // post-match bit state is already final, and a later refill
-                // only adds high bits, so a root-resolved entry whose code
-                // length fits the live bits stays valid.
-                e_pre = infl_lookup(st->litlen, st->bitbuf, INFL_LL_ROOT);
-                have_pre = (int32_t)INFL_NBITS(e_pre) <= st->bitcount &&
-                           INFL_KIND(e_pre) != INFL_K_BAD;
-                int64_t produced = op - out;
-                if ((uint64_t)dist > st->total_out + (uint64_t)produced)
-                    FAIL(-9);
-                if (dist <= produced) {
-                    const uint8_t* sp = op - dist;
-                    if (dist >= 8) {
-                        // Two unconditional 8-byte stores cover the typical
-                        // 3-16 byte match (the 300-byte margin absorbs the
-                        // overshoot); step-8 chunks stay safe for any
-                        // overlap with dist >= 8.
-                        memcpy(op, sp, 8);
-                        memcpy(op + 8, sp + 8, 8);
-                        if (length > 16) {
-                            int32_t k = 16;
-                            for (; k + 8 <= length; k += 8)
-                                memcpy(op + k, sp + k, 8);
-                            for (; k < length; ++k) op[k] = sp[k];
-                        }
-                    } else {
-                        for (int32_t k = 0; k < length; ++k) op[k] = sp[k];
-                    }
-                    op += length;
-                } else {
-                    for (int32_t k = 0; k < length; ++k) {
-                        int64_t pk = produced + k;
-                        if (dist <= pk) {
-                            op[k] = *(op + k - dist);
+                if (bc < 48) continue;
+                {
+                    uint32_t lp = INFL_PAYLOAD(e);
+                    uint32_t nb = INFL_NBITS(e);
+                    uint32_t lextra = lp >> 16;
+                    bb >>= nb;
+                    int32_t length =
+                        (int32_t)(lp & 0xFFFFu) +
+                        (int32_t)(bb & ((1ull << lextra) - 1ull));
+                    bb >>= lextra;
+                    bc -= (int32_t)(nb + lextra);
+                    uint32_t de = dtab[bb & ((1u << INFL_D_ROOT) - 1u)];
+                    if (INFL_KIND(de) == INFL_K_SUB)
+                        de = dtab[INFL_PAYLOAD(de) +
+                                  ((bb >> INFL_D_ROOT) &
+                                   ((1u << INFL_NBITS(de)) - 1u))];
+                    if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);  // 15 live bits
+                    uint32_t dp = INFL_PAYLOAD(de);
+                    uint32_t dnb = INFL_NBITS(de);
+                    uint32_t dextra = dp >> 16;
+                    bb >>= dnb;
+                    int32_t dist =
+                        (int32_t)(dp & 0xFFFFu) +
+                        (int32_t)(bb & ((1ull << dextra) - 1ull));
+                    bb >>= dextra;
+                    bc -= (int32_t)(dnb + dextra);
+                    // Preload the next symbol's entry while the copy runs:
+                    // the post-match bit state is already final, and a later
+                    // refill only adds high bits, so a root-resolved entry
+                    // whose code length fits the live bits stays valid.
+                    e_pre = lltab[bb & ((1u << INFL_LL_ROOT) - 1u)];
+                    if (INFL_KIND(e_pre) == INFL_K_SUB)
+                        e_pre = lltab[INFL_PAYLOAD(e_pre) +
+                                      ((bb >> INFL_LL_ROOT) &
+                                       ((1u << INFL_NBITS(e_pre)) - 1u))];
+                    have_pre = (int32_t)INFL_NBITS(e_pre) <= bc &&
+                               INFL_KIND(e_pre) != INFL_K_BAD;
+                    int64_t produced = op - out;
+                    if ((uint64_t)dist > prior_out + (uint64_t)produced)
+                        FAIL(-9);
+                    if (dist <= produced) {
+                        const uint8_t* sp = op - dist;
+                        if (dist >= 8) {
+                            // Two unconditional 8-byte stores cover the
+                            // typical 3-16 byte match (the 300-byte margin
+                            // absorbs the overshoot); step-8 chunks stay
+                            // safe for any overlap with dist >= 8.
+                            memcpy(op, sp, 8);
+                            memcpy(op + 8, sp + 8, 8);
+                            if (length > 16) {
+                                int32_t k = 16;
+                                for (; k + 8 <= length; k += 8)
+                                    memcpy(op + k, sp + k, 8);
+                                for (; k < length; ++k) op[k] = sp[k];
+                            }
                         } else {
-                            int32_t widx = st->window_len - (int32_t)(dist - pk);
-                            if (widx < 0) FAIL(-10);
-                            op[k] = st->window[widx];
+                            for (int32_t k = 0; k < length; ++k) op[k] = sp[k];
                         }
+                        op += length;
+                    } else {
+                        for (int32_t k = 0; k < length; ++k) {
+                            int64_t pk = produced + k;
+                            if (dist <= pk) {
+                                op[k] = *(op + k - dist);
+                            } else {
+                                int32_t widx =
+                                    st->window_len - (int32_t)(dist - pk);
+                                if (widx < 0) FAIL(-10);
+                                op[k] = st->window[widx];
+                            }
+                        }
+                        op += length;
                     }
-                    op += length;
                 }
+            }
+                INFL_FAST_SYNC();
+#undef INFL_FAST_SYNC
             }
             for (;;) {
                 // Worst case per iteration: 15+5+15+13 = 48 bits.

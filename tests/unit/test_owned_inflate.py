@@ -184,3 +184,38 @@ def test_tiny_output_slices_bit_exact():
                 acc += buf[:got].tobytes()
             inf.verify_finished()
             assert bytes(acc) == raw, (kind, size)
+
+
+def test_empty_input_after_compaction_mid_stream():
+    """Regression: when the accreted input compacts down to ZERO bytes
+    mid-stream (in_pos == len(input) at a compaction point), the next
+    drain_into passes in=NULL/in_len=0 to the C decoder. The pointer-form
+    fast-loop guard `in + in_len - 8` underflowed from NULL and the refill
+    dereferenced it (segfault). The guard must be integer-form."""
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 64, 6 << 20, dtype=np.uint8).tobytes()
+    comp = zlib.compress(raw, 6)
+    inf = NativeInflater()
+    inf._COMPACT_AT = 1 << 12  # force frequent, often-exact compactions
+    out = np.empty(1 << 14, dtype=np.uint8)
+    got = bytearray()
+    pos = 0
+    saw_empty = False
+    while len(got) < len(raw):
+        n = inf.drain_into(out)
+        if n == 0:
+            if not len(inf._input):
+                saw_empty = True
+            if pos < len(comp):
+                inf.feed(comp[pos : pos + 65536])
+                pos += 65536
+            elif inf.finished:
+                break
+            else:
+                raise AssertionError("stalled")
+        else:
+            got += out[:n].tobytes()
+    assert bytes(got) == raw
+    # The scenario under test must actually occur: drain calls with a fully
+    # consumed (empty) input buffer.
+    assert saw_empty
