@@ -6,7 +6,8 @@ an N x N grid of PNG tiles -> JPEG q85 through the full pipeline
 (streaming PNG decode -> band compositing -> DCT/quantize -> entropy ->
 bytes). Other configs: png_out, jpeg_tiles, positioned, pngsuite.
 
-Env knobs: BENCH_CONFIG, BENCH_GRID, BENCH_TILE, BENCH_BACKEND, BENCH_BAND.
+Env knobs: BENCH_CONFIG, BENCH_GRID, BENCH_TILE, BENCH_BACKEND, BENCH_BAND,
+BENCH_THREADS (host decode worker threads; >1 pays off on multi-core hosts).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the fraction of the 1 GP/s/chip north-star target.
 
@@ -89,6 +90,9 @@ def build_config(backend: str):
     restart = int(os.environ.get("BENCH_RESTART", "0"))
     if restart:
         base["jpeg_restart_interval_rows"] = restart
+    threads = int(os.environ.get("BENCH_THREADS", "0"))
+    if threads:
+        base["host_threads"] = threads  # parallel per-tile decode pulls
     if CONFIG == "grid_jpeg":
         tiles = [make_tile_png(s, TILE) for s in range(min(GRID * GRID, 8))]
         inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]

@@ -41,6 +41,8 @@ class _CacheEntry:
     """Holds the producing decoder and the bands decoded so far."""
 
     def __init__(self, source, make_decoder):
+        import threading
+
         self.source = source  # strong ref: keeps id() stable while cached
         self._make_decoder = make_decoder
         self._decoder = None
@@ -48,25 +50,30 @@ class _CacheEntry:
         self.header = None
         self.bands: list[np.ndarray] = []
         self.done = False
+        # host_threads workers can consume the same entry from different
+        # RowSources; the produce-on-demand iterator is single-writer.
+        self._lock = threading.Lock()
 
     def ensure_header(self):
-        if self.header is None:
-            self._decoder = self._make_decoder()
-            self.header = self._decoder.get_header()
-        return self.header
+        with self._lock:
+            if self.header is None:
+                self._decoder = self._make_decoder()
+                self.header = self._decoder.get_header()
+            return self.header
 
     def ensure_band(self, index: int) -> bool:
         """Make band ``index`` available; False if the stream ended first."""
         self.ensure_header()
-        if self._iter is None:
-            self._iter = self._decoder.bands(None)
-        while len(self.bands) <= index and not self.done:
-            try:
-                self.bands.append(next(self._iter))
-            except StopIteration:
-                self.done = True
-                self._decoder.close()
-        return index < len(self.bands)
+        with self._lock:
+            if self._iter is None:
+                self._iter = self._decoder.bands(None)
+            while len(self.bands) <= index and not self.done:
+                try:
+                    self.bands.append(next(self._iter))
+                except StopIteration:
+                    self.done = True
+                    self._decoder.close()
+            return index < len(self.bands)
 
 
 class CachedDecoder:

@@ -64,10 +64,15 @@ class ProgressTracker:
     (reference: createProgressTracker, image-concat-core.ts:1401-1428)."""
 
     def __init__(self, headers: Sequence[PngHeader], callback: Callable[[int, int], None]):
+        import threading
+
         self.remaining = [h.height for h in headers]
         self.total = len(headers)
         self.completed = 0
         self.callback = callback
+        # host_threads decode workers call consumed() concurrently; the
+        # read-modify-write on remaining/completed needs the lock.
+        self._lock = threading.Lock()
         # Zero-height inputs complete immediately (reference :1417-1425).
         for i, h in enumerate(headers):
             if h.height == 0:
@@ -76,12 +81,16 @@ class ProgressTracker:
             self.callback(self.completed, self.total)
 
     def consumed(self, image_idx: int, n_rows: int) -> None:
-        if self.remaining[image_idx] > 0:
-            self.remaining[image_idx] -= n_rows
+        with self._lock:
             if self.remaining[image_idx] <= 0:
-                self.remaining[image_idx] = 0
-                self.completed += 1
-                self.callback(self.completed, self.total)
+                return
+            self.remaining[image_idx] -= n_rows
+            if self.remaining[image_idx] > 0:
+                return
+            self.remaining[image_idx] = 0
+            self.completed += 1
+            completed = self.completed
+        self.callback(completed, self.total)
 
 
 class RowSource:
@@ -233,6 +242,25 @@ class CoreStreamingConcatenator:
         # absent in the reference.
         self.stats = PipelineStats()
         self._mesh_backend = None
+        self._pool = None  # host_threads decode workers (lazy)
+
+    def _host_pool(self):
+        """ThreadPoolExecutor for parallel per-input band pulls, or None for
+        serial (host_threads <= 1). The hot per-tile work — native inflate,
+        SIMD defilter, convert — releases the GIL inside ctypes/numpy calls,
+        so separate inputs decode on separate cores. TPU-native extension:
+        the reference is single-threaded Node (SURVEY §2; a worker-pool
+        decode tier has no analog there)."""
+        n = self.options.resolved_host_threads()
+        if n <= 1:
+            return None
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="stitch-host"
+            )
+        return self._pool
 
     def _resolved_mesh(self):
         """Normalize options.mesh (Mesh | int | None) to a Mesh | None."""
@@ -296,6 +324,9 @@ class CoreStreamingConcatenator:
                 self.stats.record_output(len(chunk))
                 yield chunk
         finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
             for d in decoders:
                 try:
                     d.close()
@@ -405,15 +436,31 @@ class CoreStreamingConcatenator:
             canvas = np.empty((h, width, 4), dtype=dtype)
             if not covered_rows[band_y0 : band_y0 + h].all():
                 canvas[:] = bg
+            active = []  # (image_idx, x0, img_w, seg_y0, seg_y1)
             for image_idx, y0, x0, _r, _c in placements:
                 img_h = sources[image_idx].header.height
                 img_w = sources[image_idx].header.width
                 seg_y0 = max(band_y0, y0)
                 seg_y1 = min(band_y0 + h, y0 + img_h)
-                if seg_y1 <= seg_y0:
-                    continue
-                rows = sources[image_idx].take(seg_y1 - seg_y0)
-                canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+                if seg_y1 > seg_y0:
+                    active.append((image_idx, x0, img_w, seg_y0, seg_y1))
+            pool = self._host_pool()
+            if pool is not None and len(active) > 1:
+                # One pull per input (each input owns one grid cell, so the
+                # takes touch disjoint sources); results are placed in
+                # placement order, so the canvas bytes — and the first error
+                # raised — match the serial path exactly.
+                futs = [
+                    pool.submit(sources[image_idx].take, seg_y1 - seg_y0)
+                    for image_idx, _x0, _w, seg_y0, seg_y1 in active
+                ]
+                for fut, (image_idx, x0, img_w, seg_y0, seg_y1) in zip(futs, active):
+                    rows = fut.result()
+                    canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+            else:
+                for image_idx, x0, img_w, seg_y0, seg_y1 in active:
+                    rows = sources[image_idx].take(seg_y1 - seg_y0)
+                    canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
             yield canvas
 
     # -------------------------- positioned mode ------------------------ #
@@ -530,8 +577,8 @@ class CoreStreamingConcatenator:
             h = min(band_h, out_header.height - band_y0)
             canvas = np.empty((h, out_header.width, 4), dtype=dtype)
             canvas[:] = bg
-            seg_rows: list[tuple[np.ndarray, int, int]] = []
-            for seg in segs:
+
+            def pull_seg(seg) -> tuple[np.ndarray, int, int]:
                 src = sources[seg.image_idx]
                 clip = clip_by_idx.get(seg.image_idx)
                 src_off_x = clip.source_offset_x if clip else 0
@@ -544,7 +591,35 @@ class CoreStreamingConcatenator:
                 rows = src.take(want_hi - max(want_lo, src.rows_served))
                 seg_w = seg.end_x - seg.start_x
                 rows = rows[:, src_off_x : src_off_x + seg_w]
-                seg_rows.append((rows, seg.band_y0, seg.start_x))
+                return (rows, seg.band_y0, seg.start_x)
+
+            seg_rows: list[tuple[np.ndarray, int, int]] = []
+            pool = self._host_pool()
+            if pool is not None and len(segs) > 1:
+                # Pulls parallelize ACROSS images; a given source's pulls
+                # must stay ordered (skip/take mutate its row cursor), so
+                # each worker owns every segment of one image, in band
+                # order. seg_rows is reassembled in the original z-sorted
+                # segment order, so composited bytes match serial exactly.
+                by_image: dict[int, list[int]] = {}
+                for i, seg in enumerate(segs):
+                    by_image.setdefault(seg.image_idx, []).append(i)
+
+                def pull_image(indices: list[int]):
+                    return [(i, pull_seg(segs[i])) for i in indices]
+
+                futs = [
+                    pool.submit(pull_image, indices)
+                    for indices in by_image.values()
+                ]
+                gathered: dict[int, tuple[np.ndarray, int, int]] = {}
+                for fut in futs:
+                    for i, res in fut.result():
+                        gathered[i] = res
+                seg_rows = [gathered[i] for i in range(len(segs))]
+            else:
+                for seg in segs:
+                    seg_rows.append(pull_seg(seg))
             if compositor is not None and seg_rows:
                 blended = compositor.composite_band(canvas, seg_rows)
                 if blended is not None:

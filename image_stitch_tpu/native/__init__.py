@@ -490,21 +490,29 @@ class BufferPool:
     pool keeps the allocations stable."""
 
     def __init__(self, per_size: int = 8):
+        import threading
+
         self._per_size = per_size
         self._free: dict[int, list[np.ndarray]] = {}
+        # host_threads decode workers share this pool; the check-then-pop
+        # sequence needs the lock (uncontended acquire is ~100ns, noise
+        # against a band decode).
+        self._lock = threading.Lock()
 
     def get(self, size: int) -> np.ndarray:
-        lst = self._free.get(size)
-        if lst:
-            return lst.pop()
+        with self._lock:
+            lst = self._free.get(size)
+            if lst:
+                return lst.pop()
         return np.empty(size, dtype=np.uint8)
 
     def put(self, buf) -> None:
         if buf is None:
             return
-        lst = self._free.setdefault(buf.size, [])
-        if len(lst) < self._per_size:
-            lst.append(buf)
+        with self._lock:
+            lst = self._free.setdefault(buf.size, [])
+            if len(lst) < self._per_size:
+                lst.append(buf)
 
 
 buffer_pool = BufferPool()

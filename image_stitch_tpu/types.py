@@ -176,6 +176,13 @@ class ConcatOptions:
     # the device backend for band programs; output bytes are identical to
     # single-chip (sharding is annotation-only).
     mesh: Any = None
+    # Host decode parallelism: worker threads pulling per-input band rows
+    # (the native inflate/defilter calls release the GIL, so separate tiles
+    # decode on separate cores). 1 = serial (reference parity; the reference
+    # is single-threaded Node, src/image-concat-core.ts). 0 = auto
+    # (STITCH_TPU_HOST_THREADS env, else serial). Output bytes are identical
+    # at any setting: assembly order is deterministic.
+    host_threads: int = 0
 
     _CAMEL = {
         "decoderOptions": "decoder_options",
@@ -190,6 +197,7 @@ class ConcatOptions:
         "maxCanvasDim": "max_canvas_dim",
         "pngCompressionLevel": "png_compression_level",
         "pngCompressionStrategy": "png_compression_strategy",
+        "hostThreads": "host_threads",
     }
 
     @classmethod
@@ -239,6 +247,18 @@ class ConcatOptions:
             raise StitchError("band_height must be >= 1")
         if int(self.jpeg_restart_interval_rows) < 0:
             raise StitchError("jpeg_restart_interval_rows must be >= 0")
+        if int(self.host_threads) < 0:
+            raise StitchError("host_threads must be >= 0")
+
+    def resolved_host_threads(self) -> int:
+        """Effective worker count: explicit option, else the
+        STITCH_TPU_HOST_THREADS env var, else 1 (serial)."""
+        n = int(self.host_threads)
+        if n == 0:
+            import os
+
+            n = int(os.environ.get("STITCH_TPU_HOST_THREADS", "1") or 1)
+        return max(1, n)
 
 
 def image_header_to_png_header(header: ImageHeader) -> PngHeader:

@@ -1,0 +1,126 @@
+"""host_threads worker-pool decode tier: output bytes must be identical to
+the serial path at any thread count (assembly order is deterministic), errors
+must propagate with input context, and progress totals must hold under
+concurrent consumption. TPU-native extension — the single-threaded Node
+reference has no analog (SURVEY §2)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from utils.fixtures import gradient_png, png_from_array, random_rgba, solid_png
+
+from image_stitch_tpu import PositionedImage, concat_to_buffer
+from image_stitch_tpu.errors import StitchError
+
+
+def _tiles(n: int, size: int = 96):
+    tiles = []
+    for i in range(n):
+        arr = random_rgba(size, size, seed=i)
+        tiles.append(png_from_array(arr))
+    return tiles
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpeg"])
+def test_grid_threads_bit_identical(fmt):
+    tiles = _tiles(9)
+    opts = {"inputs": tiles, "layout": {"columns": 3}, "outputFormat": fmt}
+    serial = concat_to_buffer({**opts, "hostThreads": 1})
+    threaded = concat_to_buffer({**opts, "hostThreads": 4})
+    assert serial == threaded
+
+
+def test_grid_threads_mixed_sizes_bit_identical():
+    inputs = [
+        gradient_png(120, 40),
+        solid_png(60, 90, (0, 128, 255, 200)),
+        png_from_array(random_rgba(80, 80, seed=3)),
+        gradient_png(33, 77),
+    ]
+    opts = {"inputs": inputs, "layout": {"columns": 2}}
+    assert concat_to_buffer({**opts, "hostThreads": 1}) == concat_to_buffer(
+        {**opts, "hostThreads": 8}
+    )
+
+
+def test_positioned_threads_bit_identical():
+    bg = solid_png(200, 150, (10, 20, 30, 255))
+    sprites = [
+        PositionedImage(
+            x=17 * i,
+            y=11 * i,
+            z_index=i % 3,
+            source=png_from_array(random_rgba(50, 50, seed=10 + i) // 2 + 64),
+        )
+        for i in range(6)
+    ]
+    inputs = [PositionedImage(x=0, y=0, source=bg)] + sprites
+    opts = {"inputs": inputs}
+    assert concat_to_buffer({**opts, "hostThreads": 1}) == concat_to_buffer(
+        {**opts, "hostThreads": 4}
+    )
+
+
+def test_threads_error_propagates_with_input_context():
+    tiles = _tiles(4)
+    # Truncate input #3 mid-IDAT: its decoder ends early and the row server
+    # must raise a dimension mismatch naming the input.
+    tiles[2] = tiles[2][: len(tiles[2]) // 2]
+    with pytest.raises(StitchError) as exc_info:
+        concat_to_buffer(
+            {"inputs": tiles, "layout": {"columns": 2}, "hostThreads": 4}
+        )
+    assert "#3" in str(exc_info.value)
+
+
+def test_threads_progress_counts_every_input_once():
+    tiles = _tiles(6, size=64)
+    events = []
+    out = concat_to_buffer(
+        {
+            "inputs": tiles,
+            "layout": {"columns": 3},
+            "hostThreads": 4,
+            "onProgress": lambda done, total: events.append((done, total)),
+        }
+    )
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    assert events[-1] == (6, 6)
+    completed = [done for done, _ in events]
+    assert completed == sorted(completed)  # monotone
+    assert len(events) == 6  # one completion event per input
+
+
+def test_threads_with_shared_input_cache():
+    from image_stitch_tpu import disable_input_cache, enable_input_cache
+
+    tile = png_from_array(random_rgba(64, 64, seed=42))
+    try:
+        enable_input_cache()
+        opts = {"inputs": [tile] * 9, "layout": {"columns": 3}}
+        threaded = concat_to_buffer({**opts, "hostThreads": 4})
+    finally:
+        disable_input_cache()
+    serial = concat_to_buffer({**opts, "hostThreads": 1})
+    assert serial == threaded
+
+
+def test_env_var_enables_threads(monkeypatch):
+    monkeypatch.setenv("STITCH_TPU_HOST_THREADS", "3")
+    tiles = _tiles(4, size=48)
+    opts = {"inputs": tiles, "layout": {"columns": 2}}
+    via_env = concat_to_buffer(opts)  # host_threads=0 -> env
+    monkeypatch.delenv("STITCH_TPU_HOST_THREADS")
+    assert via_env == concat_to_buffer(opts)
+
+
+def test_negative_host_threads_rejected():
+    with pytest.raises(StitchError):
+        concat_to_buffer(
+            {"inputs": [solid_png(8, 8)], "layout": {"columns": 1}, "hostThreads": -1}
+        )
