@@ -429,13 +429,8 @@ class CoreStreamingConcatenator:
         from .utils import trim_malloc  # noqa: F401 (used below)
 
         total_h = out_header.height
-        for band_idx, band_y0 in enumerate(range(0, total_h, band_h)):
-            if band_idx and band_idx % 16 == 0:
-                trim_malloc()  # keep RSS at the live set, not the high-water
-            h = min(band_h, total_h - band_y0)
-            canvas = np.empty((h, width, 4), dtype=dtype)
-            if not covered_rows[band_y0 : band_y0 + h].all():
-                canvas[:] = bg
+
+        def band_active(band_y0: int, h: int):
             active = []  # (image_idx, x0, img_w, seg_y0, seg_y1)
             for image_idx, y0, x0, _r, _c in placements:
                 img_h = sources[image_idx].header.height
@@ -444,21 +439,50 @@ class CoreStreamingConcatenator:
                 seg_y1 = min(band_y0 + h, y0 + img_h)
                 if seg_y1 > seg_y0:
                     active.append((image_idx, x0, img_w, seg_y0, seg_y1))
-            pool = self._host_pool()
-            if pool is not None and len(active) > 1:
-                # One pull per input (each input owns one grid cell, so the
-                # takes touch disjoint sources); results are placed in
-                # placement order, so the canvas bytes — and the first error
-                # raised — match the serial path exactly.
-                futs = [
-                    pool.submit(sources[image_idx].take, seg_y1 - seg_y0)
-                    for image_idx, _x0, _w, seg_y0, seg_y1 in active
-                ]
+            return active
+
+        band_specs = [
+            (band_y0, min(band_h, total_h - band_y0))
+            for band_y0 in range(0, total_h, band_h)
+        ]
+        pool = self._host_pool()
+
+        def submit_band(band_y0: int, h: int):
+            """Fan the band's pulls out to the pool. One pull per input
+            (each input owns one grid cell, so takes touch disjoint
+            sources); results are placed in placement order, so the canvas
+            bytes — and the first error raised — match the serial path
+            exactly."""
+            active = band_active(band_y0, h)
+            futs = [
+                pool.submit(sources[image_idx].take, seg_y1 - seg_y0)
+                for image_idx, _x0, _w, seg_y0, seg_y1 in active
+            ]
+            return active, futs
+
+        pending = None  # lookahead: band N+1 decodes while N encodes
+        for band_idx, (band_y0, h) in enumerate(band_specs):
+            if band_idx and band_idx % 16 == 0:
+                trim_malloc()  # keep RSS at the live set, not the high-water
+            canvas = np.empty((h, width, 4), dtype=dtype)
+            if not covered_rows[band_y0 : band_y0 + h].all():
+                canvas[:] = bg
+            if pool is not None:
+                active, futs = pending if pending is not None else submit_band(
+                    band_y0, h
+                )
                 for fut, (image_idx, x0, img_w, seg_y0, seg_y1) in zip(futs, active):
                     rows = fut.result()
                     canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+                # Submit the NEXT band's pulls before yielding: the consumer
+                # encodes this band (native entropy/deflate release the GIL)
+                # while the workers decode ahead. Bounded lookahead: one
+                # band of rows per source.
+                pending = None
+                if band_idx + 1 < len(band_specs):
+                    pending = submit_band(*band_specs[band_idx + 1])
             else:
-                for image_idx, x0, img_w, seg_y0, seg_y1 in active:
+                for image_idx, x0, img_w, seg_y0, seg_y1 in band_active(band_y0, h):
                     rows = sources[image_idx].take(seg_y1 - seg_y0)
                     canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
             yield canvas

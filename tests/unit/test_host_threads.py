@@ -124,3 +124,21 @@ def test_negative_host_threads_rejected():
         concat_to_buffer(
             {"inputs": [solid_png(8, 8)], "layout": {"columns": 1}, "hostThreads": -1}
         )
+
+
+def test_threads_lookahead_many_bands_bit_identical():
+    """Small band_height forces many bands through the one-band lookahead
+    prefetch; bytes must still match serial, and a truncated input must
+    surface its error even when discovered in a prefetched band."""
+    tiles = _tiles(4, size=80)
+    opts = {"inputs": tiles, "layout": {"columns": 2}, "bandHeight": 16}
+    assert concat_to_buffer({**opts, "hostThreads": 1}) == concat_to_buffer(
+        {**opts, "hostThreads": 4}
+    )
+    tiles[1] = tiles[1][: len(tiles[1]) * 2 // 3]
+    with pytest.raises(StitchError) as exc_info:
+        concat_to_buffer(
+            {"inputs": tiles, "layout": {"columns": 2}, "bandHeight": 16,
+             "hostThreads": 4}
+        )
+    assert "#2" in str(exc_info.value)
