@@ -2126,7 +2126,8 @@ static inline int defl_extend(const uint8_t* a, const uint8_t* b, int max_len) {
 // Returns length (0 if none acceptable), sets *dist.
 static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
                            int64_t i, int64_t end, const DeflProfile* pf,
-                           int prev_len, int* dist_out) {
+                           int prev_len, int* dist_out,
+                           uint32_t h4, uint32_t h3) {
     int max_len = (int)(end - i);
     if (max_len > 258) max_len = 258;
     if (max_len < 3) return 0;
@@ -2135,7 +2136,7 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
     int64_t min_pos = i - DEFL_WIN;
     // length-3 candidate from the hash3 head (zlib: len-3 only if close)
     if (best_len < 3) {
-        int32_t c3 = s->head3[defl_h3(buf + i)];
+        int32_t c3 = s->head3[h3];
         if (c3 >= 0 && (int64_t)c3 > min_pos && i - c3 <= 4096) {
             if (buf[c3] == buf[i] && buf[c3 + 1] == buf[i + 1] &&
                 buf[c3 + 2] == buf[i + 2]) {
@@ -2150,7 +2151,7 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
     int chain = pf->max_chain;
     if (prev_len >= pf->good) chain >>= 2;
     if (max_len >= 4 && best_len < pf->nice) {
-        int32_t cand = s->head4[defl_h4(buf + i)];
+        int32_t cand = s->head4[h4];
         while (cand >= 0 && (int64_t)cand > min_pos && chain-- > 0) {
             // quick reject on the would-be-deciding byte
             if (best_len < max_len &&
@@ -2171,11 +2172,15 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
     return best_len;
 }
 
-static inline void defl_insert(DeflScratch* s, const uint8_t* buf, int64_t i) {
-    uint32_t h4 = defl_h4(buf + i);
+static inline void defl_insert_h(DeflScratch* s, int64_t i, uint32_t h4,
+                                 uint32_t h3) {
     s->prev[i & (DEFL_WIN - 1)] = s->head4[h4];
     s->head4[h4] = (int32_t)i;
-    s->head3[defl_h3(buf + i)] = (int32_t)i;
+    s->head3[h3] = (int32_t)i;
+}
+
+static inline void defl_insert(DeflScratch* s, const uint8_t* buf, int64_t i) {
+    defl_insert_h(s, i, defl_h4(buf + i), defl_h3(buf + i));
 }
 
 // --- block emission -------------------------------------------------------
@@ -2364,14 +2369,23 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
         // one-step lazy parse
         int have_prev = 0;
         int prev_match_len = 0, prev_match_dist = 0;
+        int miss_run = 0;  // consecutive literal emissions (no match found)
         while (i < chunk_end) {
             int dist = 0;
             int len = 0;
+            // One hash computation per position, shared by find+insert (the
+            // head-table loads are the dominant random accesses on
+            // low-match content). Loads past total_len are safe: the caller
+            // guarantees 8 readable slack bytes.
+            uint32_t h4 = defl_h4(buf + i);
+            uint32_t h3 = defl_h3(buf + i);
             if (chunk_end - i >= 3)
                 len = defl_find_match(s, buf, i, chunk_end, &pf,
-                                      have_prev ? prev_match_len : 0, &dist);
+                                      have_prev ? prev_match_len : 0, &dist,
+                                      h4, h3);
             if (have_prev && len <= prev_match_len) {
                 // previous match wins: emit it (i is one past its start)
+                miss_run = 0;
                 int l3 = prev_match_len - 3;
                 int dsym = defl_dist_code(prev_match_dist);
                 s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
@@ -2394,9 +2408,10 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 freq_ll[lit]++;
             }
             if (len >= 3 && (len > 3 || dist <= 4096)) {
+                miss_run = 0;
                 if (pf.lazy && len < pf.max_lazy && i + 1 < chunk_end) {
                     // defer: compare against the match at i+1
-                    if (i + 4 <= total_len) defl_insert(s, buf, i);
+                    if (i + 4 <= total_len) defl_insert_h(s, i, h4, h3);
                     prev_match_len = len;
                     prev_match_dist = dist;
                     have_prev = 1;
@@ -2419,9 +2434,27 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 uint8_t lit = buf[i];
                 s->syms[n_syms++] = lit;
                 freq_ll[lit]++;
-                if (i + 4 <= total_len) defl_insert(s, buf, i);
+                if (i + 4 <= total_len) defl_insert_h(s, i, h4, h3);
                 ++i;
                 have_prev = 0;
+                // Adaptive literal-run skip (libdeflate-style): after 32
+                // consecutive match misses the content is behaving like
+                // noise, so stride over up to 4 positions emitting literals
+                // without probing or updating the hash tables — the random
+                // head4/head3 cache lines are what make incompressible
+                // regions slow. Any match resets the run, so structured
+                // regions resume full-resolution search within a few bytes.
+                if (++miss_run >= 32) {
+                    int step = miss_run >> 5;
+                    if (step > 4) step = 4;
+                    int64_t skip_end = i + step;
+                    if (skip_end > chunk_end) skip_end = chunk_end;
+                    for (; i < skip_end; ++i) {
+                        uint8_t l2 = buf[i];
+                        s->syms[n_syms++] = l2;
+                        freq_ll[l2]++;
+                    }
+                }
             }
         }
         if (have_prev) {  // deferred match pending at chunk end: emit it
