@@ -1946,13 +1946,23 @@ static void defl_build_lengths(const uint32_t* freq, int n, int limit,
         used = 0;
         ++dep;
     }
-    // overflow adjustment onto `limit`
-    int overflow = 0;
+    // Overflow adjustment onto `limit` (zlib trees.c gen_bitlen). The
+    // iteration count must equal the Kraft deficit, and zlib gets that by
+    // counting EVERY clamped node — internal nodes too, not just leaves
+    // (each zlib pass moves one leaf bits->bits+1 and re-homes one
+    // limit-depth leaf beside it, recovering exactly one 2^-limit Kraft
+    // unit; #nodes-beyond-limit == 2 * deficit). Counting only the leaf
+    // histogram under-iterates on deep trees and emits an over-subscribed
+    // — i.e. undecodable — code (hit in production by noise-tile PNGs).
+    int leaf_over = 0;
     for (int d = limit + 1; d < 64; ++d) {
-        overflow += bl_count[d];
+        leaf_over += bl_count[d];
         bl_count[d] = 0;
     }
-    bl_count[limit] += overflow;
+    int overflow = leaf_over;
+    for (int i = 0; i <= cnt - 2; ++i)
+        if ((int)A[i] > limit) ++overflow;  // internal nodes beyond limit
+    bl_count[limit] += leaf_over;
     while (overflow > 0) {
         int bits = limit - 1;
         while (bits > 0 && bl_count[bits] == 0) --bits;
@@ -1961,6 +1971,23 @@ static void defl_build_lengths(const uint32_t* freq, int n, int limit,
         bl_count[bits + 1] += 2;
         bl_count[limit]--;
         overflow -= 2;
+    }
+    // Exact-Kraft verification: an invalid code corrupts the stream
+    // silently, so verify and fall back to a flat complete code (k most
+    // frequent symbols at l-1, the rest at l, with k = 2^l - cnt) rather
+    // than ever emitting an over- or under-subscribed table.
+    {
+        long long left = 1LL << limit;
+        for (int d = 1; d <= limit; ++d)
+            left -= (long long)bl_count[d] << (limit - d);
+        if (left != 0) {
+            int l = 1;
+            while ((1 << l) < cnt) ++l;
+            int k = (1 << l) - cnt;
+            memset(bl_count, 0, sizeof bl_count);
+            bl_count[l - 1] = k;
+            bl_count[l] = cnt - k;
+        }
     }
     // reassign: most frequent symbols get the shortest lengths
     int idx = cnt - 1;  // order[] ascending freq -> walk from the top

@@ -164,3 +164,41 @@ def test_png_output_decodes_with_pil():
 
     top_left = np.asarray(_I.open(io.BytesIO(tiles[0])))
     assert (arr[:40, :40] == top_left).all()
+
+
+def test_deep_tree_length_limit_valid():
+    """Regression: frequency distributions whose natural Huffman tree is
+    deeper than 15 bits over-subscribed the emitted code (zlib's overflow
+    adjustment must count INTERNAL nodes beyond the limit too, not just
+    leaves) — zlib rejected the stream with 'invalid literal/lengths set'.
+    Exponentially skewed symbol frequencies force the deep-tree path."""
+    rng = np.random.default_rng(9)
+    # ~exponential frequency decay across many symbols -> tree depth >> 15
+    from image_stitch_tpu.native import NativeDeflator
+
+    counts = np.maximum(1, (2.0 ** (np.arange(80) / 3.0))).astype(np.int64)[::-1]
+    syms = np.repeat(np.arange(80, dtype=np.uint8) * 3 + 7, counts)
+    rng.shuffle(syms)
+    raw = syms.tobytes()
+    for level in (1, 6, 9):
+        d = NativeDeflator(level)
+        d.compress(raw)
+        out = d.finish()
+        assert zlib.decompress(out) == raw
+
+
+def test_noise_tile_band_stream_valid():
+    """Regression: the exact content class that hit the over-subscription in
+    production — filtered bands of banded 6-bit noise — through the
+    multi-batch sync-flush cadence."""
+    from image_stitch_tpu.native import NativeDeflator
+
+    rng = np.random.default_rng(9)
+    raw = (rng.integers(0, 64, 4 << 20) + 96).astype(np.uint8).tobytes()
+    d = NativeDeflator(6)
+    out = bytearray()
+    for i in range(0, len(raw), 1 << 20):
+        d.compress(raw[i : i + (1 << 20)])
+        out += d.flush_sync()
+    out += d.finish()
+    assert zlib.decompress(bytes(out)) == raw
