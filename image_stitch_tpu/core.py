@@ -687,6 +687,7 @@ class CoreStreamingConcatenator:
             level=self.options.png_compression_level,
             on_data=chunks.append,
             strategy=self.options.png_compression_strategy,
+            pool=self._host_pool(),
         )
 
         def emit(pending) -> Iterator[bytes]:

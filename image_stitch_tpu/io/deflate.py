@@ -33,6 +33,7 @@ class StreamingDeflator:
         max_batch_size: int = DEFAULT_MAX_BATCH,
         on_data: Callable[[bytes], None] | None = None,
         strategy: str = "default",
+        pool=None,
     ) -> None:
         strategies = {
             "default": zlib.Z_DEFAULT_STRATEGY,
@@ -50,7 +51,10 @@ class StreamingDeflator:
             if native_deflater_available():
                 from ..native import NativeDeflator
 
-                self._native = NativeDeflator(level)
+                # pool (host_threads): sync-flush batches compress
+                # concurrently, byte-identical output (pigz-style — each
+                # batch's dictionary is the previous batch's raw tail).
+                self._native = NativeDeflator(level, pool=pool)
         if self._native is None:
             self._obj = zlib.compressobj(
                 level, zlib.DEFLATED, zlib.MAX_WBITS, 8, strategies[strategy]
@@ -84,23 +88,32 @@ class StreamingDeflator:
         if self._finished:
             return
         if self._native is not None:
-            out = self._native.flush_sync()
+            # One on_data call per compressed batch: under the parallel tier
+            # a flush can return several late batches at once, and per-batch
+            # framing keeps the emitted chunk boundaries — hence the output
+            # bytes — identical to the serial path.
+            for out in self._native.flush_sync_parts():
+                if out:
+                    self._on_data(out)
         else:
             out = self._obj.flush(zlib.Z_SYNC_FLUSH)
-        if out:
-            self._on_data(out)
+            if out:
+                self._on_data(out)
         self._pending = 0
 
     def finish(self) -> None:
         if self._finished:
             return
         if self._native is not None:
-            out = self._native.finish()
+            self._finished = True
+            for out in self._native.finish_parts():
+                if out:
+                    self._on_data(out)
         else:
             out = self._obj.flush(zlib.Z_FINISH)
-        self._finished = True
-        if out:
-            self._on_data(out)
+            self._finished = True
+            if out:
+                self._on_data(out)
 
 
 def compress_streaming(

@@ -176,6 +176,8 @@ def get_native_lib():
     ]
     lib.owned_deflate_scratch_size.restype = ctypes.c_int64
     lib.owned_deflate_scratch_size.argtypes = []
+    lib.owned_deflate_warmup.restype = None
+    lib.owned_deflate_warmup.argtypes = []
     lib.jpeg_decode_scan.restype = ctypes.c_int
     lib.jpeg_decode_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -705,7 +707,7 @@ class NativeDeflator:
     big-endian Adler-32 trailer (computed via zlib.adler32 on the Python
     side at C speed)."""
 
-    def __init__(self, level: int = 6):
+    def __init__(self, level: int = 6, pool=None):
         lib = get_native_lib()
         assert lib is not None
         self._lib = lib
@@ -715,14 +717,51 @@ class NativeDeflator:
         self._adler = 1
         self._header_sent = False
         self._finished = False
-        self._scratch = buffer_pool.get(int(lib.owned_deflate_scratch_size()))
+        # Parallel tier (host_threads): batches are INDEPENDENT compressions
+        # — batch k's matcher history is the raw 32KB tail of batch k-1,
+        # known at submit time — so a worker pool compresses them
+        # concurrently (pigz-style) and the framed outputs concatenate in
+        # submit order, byte-identical to the serial stream.
+        self._pool = pool
+        self._jobs: list = []  # ordered (future | bytes) per batch
+        self._max_inflight = 0
+        if pool is not None:
+            lib.owned_deflate_warmup()  # build lazy tables single-threaded
+            self._max_inflight = getattr(pool, "_max_workers", 2) + 2
 
-    def __del__(self):
+    @staticmethod
+    def _compress_batch(lib, level: int, data: bytes, hist: bytes,
+                        is_final: bool, first: bool, adler: int) -> bytes:
+        scratch = buffer_pool.get(int(lib.owned_deflate_scratch_size()))
         try:
-            sc, self._scratch = self._scratch, None
-            buffer_pool.put(sc)
-        except Exception:
-            pass
+            # Contract: 8 readable bytes beyond total_len (hash loads peek).
+            buf = np.frombuffer(hist + data + b"\0" * 8, dtype=np.uint8)
+            total = len(hist) + len(data)
+            # Worst case is the stored fallback: 5 bytes per 64KB part + the
+            # sync/final framing; dynamic blocks are only chosen when smaller.
+            cap = len(data) + len(data) // 32 + 4096
+            out = buffer_pool.get(cap)
+            n = lib.owned_deflate_batch(
+                buf.ctypes.data, len(hist), total,
+                1 if is_final else 0, level,
+                out.ctypes.data, cap,
+                scratch.ctypes.data,
+            )
+            if n < 0:
+                from ..errors import StitchError
+
+                raise StitchError("owned deflate output capacity exhausted")
+            parts = []
+            if first:
+                # CMF/FLG: 32K window deflate, check bits for no preset dict.
+                parts.append(b"\x78\x9c")
+            parts.append(out[: int(n)].tobytes())
+            buffer_pool.put(out)
+            if is_final:
+                parts.append(adler.to_bytes(4, "big"))
+            return b"".join(parts)
+        finally:
+            buffer_pool.put(scratch)
 
     def compress(self, data) -> bytes:
         """Accrete input; output is produced at flush boundaries (the PNG
@@ -732,54 +771,65 @@ class NativeDeflator:
         self._batch += bytes(data)
         return b""
 
-    def _emit(self, is_final: bool) -> bytes:
+    def _submit(self, is_final: bool) -> None:
         import zlib as _z
 
         data = bytes(self._batch)
         self._batch.clear()
         self._adler = _z.adler32(data, self._adler)
         hist = self._window
-        # Contract: 8 readable bytes beyond total_len (hash loads peek).
-        buf = np.frombuffer(hist + data + b"\0" * 8, dtype=np.uint8)
-        total = len(hist) + len(data)
-        # Worst case is the stored fallback: 5 bytes per 64KB part + the
-        # sync/final framing; dynamic blocks are only chosen when smaller.
-        cap = len(data) + len(data) // 32 + 4096
-        out = buffer_pool.get(cap)
-        n = self._lib.owned_deflate_batch(
-            buf.ctypes.data, len(hist), total,
-            1 if is_final else 0, self._level,
-            out.ctypes.data, cap,
-            self._scratch.ctypes.data,
-        )
-        if n < 0:
-            from ..errors import StitchError
-
-            raise StitchError("owned deflate output capacity exhausted")
         self._window = (hist + data)[-32768:]
-        parts = []
-        if not self._header_sent:
-            # CMF/FLG: 32K window deflate, check bits for no preset dict.
-            parts.append(b"\x78\x9c")
-            self._header_sent = True
-        parts.append(out[: int(n)].tobytes())
-        buffer_pool.put(out)
+        first = not self._header_sent
+        self._header_sent = True
         if is_final:
-            parts.append(self._adler.to_bytes(4, "big"))
             self._finished = True
-        return b"".join(parts)
+        args = (self._lib, self._level, data, hist, is_final, first, self._adler)
+        if self._pool is None:
+            self._jobs.append(self._compress_batch(*args))
+        else:
+            if len(self._jobs) >= self._max_inflight:
+                # Backpressure: bound in-flight batches (raw + output bytes)
+                # by waiting on the oldest before queueing more.
+                oldest = self._jobs[0]
+                if hasattr(oldest, "result"):
+                    oldest.result()
+            self._jobs.append(self._pool.submit(self._compress_batch, *args))
+
+    def _drain(self, block: bool) -> list[bytes]:
+        parts = []
+        while self._jobs:
+            job = self._jobs[0]
+            if hasattr(job, "result"):
+                if not block and not job.done():
+                    break
+                job = job.result()
+            parts.append(job)
+            self._jobs.pop(0)
+        return parts
+
+    def flush_sync_parts(self) -> list[bytes]:
+        """Z_SYNC_FLUSH analog: compress the pending batch and return every
+        COMPLETED batch in order (one list element per batch — the caller
+        frames each as its own chunk so parallel output is byte-identical
+        to serial), byte-aligned, keeping the stream open. With a pool,
+        late batches may still be compressing — they are returned by a
+        later flush/finish (order always preserved)."""
+        if self._finished:
+            return []
+        self._submit(is_final=False)
+        return self._drain(block=self._pool is None)
+
+    def finish_parts(self) -> list[bytes]:
+        if self._finished:
+            return self._drain(block=True)
+        self._submit(is_final=True)
+        return self._drain(block=True)
 
     def flush_sync(self) -> bytes:
-        """Z_SYNC_FLUSH analog: compress the pending batch, emit everything,
-        byte-aligned, keeping the stream open."""
-        if self._finished:
-            return b""
-        return self._emit(is_final=False)
+        return b"".join(self.flush_sync_parts())
 
     def finish(self) -> bytes:
-        if self._finished:
-            return b""
-        return self._emit(is_final=True)
+        return b"".join(self.finish_parts())
 
 
 def native_deflater_available() -> bool:

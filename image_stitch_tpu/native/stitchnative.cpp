@@ -2351,6 +2351,14 @@ static int defl_emit_block(DeflBits* bw, const uint8_t* buf, int64_t raw_start,
 // new data to compress. Emits complete deflate blocks; if is_final, the
 // last block has BFINAL set, otherwise a Z_SYNC_FLUSH empty stored block
 // follows. Returns bytes written to out, or -1 if out_cap is insufficient.
+// Build the lazily-initialized symbol/code tables from a single thread.
+// Parallel deflate (host_threads) runs owned_deflate_batch concurrently;
+// the idempotent lazy init would be a (benign but formal) data race.
+void owned_deflate_warmup(void) {
+    defl_init_tables();
+    defl_init_static();
+}
+
 int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                             int64_t total_len, int is_final, int level,
                             uint8_t* out, int64_t out_cap, DeflScratch* s) {
