@@ -1,0 +1,141 @@
+"""Output-side property fuzz: VALID inputs through the public API must
+produce outputs an independent codec (PIL) decodes back to exactly the
+expected composition.
+
+The input-corruption fuzz (test_corruption_fuzz.py) covers hostile inputs;
+this suite covers the dual failure class — a clean run emitting a subtly
+invalid or wrong stream. The deflate length-limiter bug (over-subscribed
+Huffman codes on exponentially skewed literal frequencies; fixed in
+stitchnative.cpp defl_build_lengths) shipped a whole round without being
+caught precisely because only corrupt INPUTS were fuzzed: banded-noise
+content produced PNG outputs zlib rejected with 'invalid literal/lengths
+set'.
+
+Content classes are chosen to stress the encoders: k-bit banded noise
+(skews literal frequencies), full noise (incompressible; stored blocks +
+literal-run skip), gradients (match-heavy), solids (RLE-extreme), and
+mixes. STITCH_TPU_BIG_FUZZ=1 widens the sweep (~500 cases).
+"""
+
+import io
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from utils.fixtures import png_from_array
+
+from image_stitch_tpu import concat_to_buffer
+
+N_SEEDS = 500 if os.environ.get("STITCH_TPU_BIG_FUZZ") else 24
+
+
+def _content(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    kind = rng.integers(0, 6)
+    if kind == 0:  # k-bit banded noise (the Kraft-bug content class)
+        k = int(rng.integers(1, 8))
+        base = int(rng.integers(0, 256 - (1 << k)))
+        return (rng.integers(0, 1 << k, (h, w, 4)) + base).astype(np.uint8)
+    if kind == 1:  # full-range noise (incompressible)
+        return rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    if kind == 2:  # smooth gradient (match-heavy after filtering)
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        out = np.empty((h, w, 4), np.uint8)
+        out[:, :, 0] = x.astype(np.uint8)
+        out[:, :, 1] = y.astype(np.uint8)
+        out[:, :, 2] = ((x + y) / 2).astype(np.uint8)
+        out[:, :, 3] = 255
+        return out
+    if kind == 3:  # solid
+        return np.full((h, w, 4), rng.integers(0, 256, 4, dtype=np.uint8)[None, None])
+    if kind == 4:  # exponentially skewed symbol histogram (deep Huffman tree)
+        vals = (rng.exponential(8.0, (h, w, 4)) % 256).astype(np.uint8)
+        return vals
+    # mixed: gradient + sparse noise speckles
+    out = _content_grad(h, w)
+    mask = rng.random((h, w)) < 0.05
+    out[mask] = rng.integers(0, 256, (int(mask.sum()), 4), dtype=np.uint8)
+    return out
+
+
+def _content_grad(h: int, w: int) -> np.ndarray:
+    x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    out = np.empty((h, w, 4), np.uint8)
+    out[:, :, 0] = x.astype(np.uint8)
+    out[:, :, 1] = 128
+    out[:, :, 2] = (255 - x).astype(np.uint8)
+    out[:, :, 3] = 255
+    return out
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_png_roundtrip_exact(seed):
+    from PIL import Image
+
+    rng = np.random.default_rng(1000 + seed)
+    cols = int(rng.integers(1, 5))
+    rows = int(rng.integers(1, 4))
+    tw = int(rng.integers(8, 200))
+    th = int(rng.integers(8, 200))
+    tiles_arr = [_content(rng, th, tw) for _ in range(cols * rows)]
+    tiles = [png_from_array(a) for a in tiles_arr]
+    opts = {
+        "inputs": tiles,
+        "layout": {"columns": cols},
+        "bandHeight": int(rng.integers(4, 300)),
+        "pngCompressionLevel": int(rng.choice([1, 6, 9])),
+        "hostThreads": int(rng.choice([1, 4])),
+    }
+    if rng.random() < 0.2:
+        opts["pngCompressionStrategy"] = "rle"
+    out = concat_to_buffer(opts)
+    arr = np.asarray(Image.open(io.BytesIO(out)))
+    assert arr.shape == (rows * th, cols * tw, 4)
+    for i, tile in enumerate(tiles_arr):
+        r, c = divmod(i, cols)
+        np.testing.assert_array_equal(
+            arr[r * th : (r + 1) * th, c * tw : (c + 1) * tw], tile,
+            err_msg=f"seed {seed} tile {i}",
+        )
+
+
+@pytest.mark.parametrize("seed", range(0, N_SEEDS, 3))
+def test_jpeg_roundtrip_close(seed):
+    from PIL import Image
+
+    rng = np.random.default_rng(5000 + seed)
+    cols = int(rng.integers(1, 4))
+    tw = int(rng.integers(16, 160))
+    th = int(rng.integers(16, 160))
+    # JPEG closeness only holds for smooth content; use gradients + solids
+    tiles_arr = []
+    for _ in range(cols * 2):
+        if rng.random() < 0.5:
+            tiles_arr.append(_content_grad(th, tw))
+        else:
+            tiles_arr.append(
+                np.full((th, tw, 4), rng.integers(30, 220, 4, dtype=np.uint8)[None, None])
+            )
+    tiles = [png_from_array(a) for a in tiles_arr]
+    opts = {
+        "inputs": tiles,
+        "layout": {"columns": cols},
+        "outputFormat": "jpeg",
+        "jpegQuality": int(rng.choice([70, 85, 95])),
+        "bandHeight": int(rng.integers(8, 200)),
+        "jpegRestartIntervalRows": int(rng.choice([0, 1, 3])),
+    }
+    out = concat_to_buffer(opts)
+    arr = np.asarray(Image.open(io.BytesIO(out)).convert("RGB")).astype(np.int16)
+    exp = np.concatenate(
+        [np.concatenate(tiles_arr[r * cols : (r + 1) * cols], axis=1) for r in range(2)],
+        axis=0,
+    )[:, :, :3].astype(np.int16)
+    assert arr.shape == exp.shape
+    err = np.abs(arr - exp)
+    assert float(np.mean(err)) < 4.0, f"seed {seed}: mean err {float(np.mean(err)):.2f}"
