@@ -151,3 +151,11 @@ def test_sharded_png_exact_on_full_range_noise():
     for mesh in (8, 3):
         shard = concat_to_buffer({"inputs": arrs, "layout": {"columns": 2}, "mesh": mesh})
         assert shard == host
+
+
+def test_mesh_with_host_threads_bytes_match(tiles):
+    """Mesh sharding (device band programs) composes with the host_threads
+    decode/deflate pool: bytes must match the serial host run exactly."""
+    host = _run(tiles, backend="numpy")
+    sharded_threaded = _run(tiles, mesh=8, hostThreads=4)
+    assert host == sharded_threaded
