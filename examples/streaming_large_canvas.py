@@ -9,10 +9,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import zlib
+
 import numpy as np
 
-from image_stitch_tpu import CoreStreamingConcatenator, ImageSource
-from image_stitch_tpu.api import _array_to_png
+from image_stitch_tpu import (
+    CoreStreamingConcatenator,
+    ImageSource,
+    PngHeader,
+    build_png,
+)
 
 
 def make_tile(i: int):
@@ -20,7 +26,13 @@ def make_tile(i: int):
         rng = np.random.default_rng(i)
         arr = rng.integers(0, 256, (512, 512, 4), dtype=np.uint8)
         arr[:, :, 3] = 255
-        return _array_to_png(arr)
+        raw = np.concatenate(
+            [np.zeros((512, 1), np.uint8), arr.reshape(512, 512 * 4)], axis=1
+        )  # filter-type-0 scanlines
+        return build_png(
+            PngHeader(width=512, height=512, bit_depth=8, color_type=6),
+            zlib.compress(raw.tobytes(), 1),
+        )
 
     return ImageSource(width=512, height=512, factory=factory, format="png")
 

@@ -121,7 +121,37 @@ def _link_profile_cache_path() -> str:
     )
 
 
-def probe_link_profile() -> LinkProfile | None:
+def _save_link_profile(profile: LinkProfile) -> None:
+    import json
+    import os
+
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform == "cpu":
+        return
+    path = _link_profile_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "v": 2,
+                    "platform": platform,
+                    "h2d_mbps": profile.h2d_mbps,
+                    "latency_ms": profile.latency_ms,
+                    "d2h_mbps": profile.d2h_mbps,
+                },
+                f,
+            )
+    except OSError:
+        pass
+
+
+def _probe_link_blocking() -> LinkProfile | None:
     """Measure h2d/d2h bandwidth and latency with two-point transfer fits.
 
     Uploads are completed by fetching a tiny slice back: device_put +
@@ -166,6 +196,59 @@ def probe_link_profile() -> LinkProfile | None:
         return None
 
 
+def probe_link_profile() -> LinkProfile | None:
+    """Run the blocking probe under a hard wall-clock budget.
+
+    The budget (STITCH_TPU_PROBE_BUDGET_S, default 20 s) matters because a
+    degraded link makes the probe itself arbitrarily slow — observed ~500 s
+    through a bad tunnel window, all charged to the user's first stream. A
+    blown budget IS the measurement: if moving a few MB takes that long, no
+    cost model will pick the device, so the caller gets an immediate
+    slow-link verdict. jax transfers can't be interrupted in-thread (and an
+    abandoned daemon thread aborts the process at exit inside the runtime),
+    so the probe runs in a kill-safe SUBPROCESS; a healthy link finishes it
+    in a couple of seconds including the interpreter spawn.
+    """
+    import os
+    import subprocess
+    import sys
+
+    budget_s = float(os.environ.get("STITCH_TPU_PROBE_BUDGET_S", "20"))
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return _probe_link_blocking()  # virtual CPU devices: instant, no link
+    code = (
+        "import json\n"
+        "from image_stitch_tpu.ops.backend import _probe_link_blocking\n"
+        "p = _probe_link_blocking()\n"
+        "print(json.dumps(None if p is None else "
+        "[p.h2d_mbps, p.latency_ms, p.d2h_mbps]))\n"
+    )
+    try:
+        env = dict(os.environ)
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=budget_s, env=env,
+        )
+        import json
+
+        vals = json.loads(out.stdout.strip().splitlines()[-1])
+        if vals is None:
+            return None
+        return LinkProfile(h2d_mbps=vals[0], latency_ms=vals[1], d2h_mbps=vals[2])
+    except subprocess.TimeoutExpired:
+        # Conservative slow-link verdict: vetoes the device in every model.
+        return LinkProfile(
+            h2d_mbps=0.01, latency_ms=budget_s * 1e3, d2h_mbps=0.01
+        )
+    except Exception:
+        # No subprocess capability (embedded/sandboxed): fall back to the
+        # in-process probe with no budget rather than no information.
+        return _probe_link_blocking()
+
+
 def get_link_profile() -> LinkProfile | None:
     """Env override -> persistent cache -> one-time probe (cached)."""
     global _LINK_PROFILE, _LINK_PROBED
@@ -204,22 +287,12 @@ def get_link_profile() -> LinkProfile | None:
     except Exception:
         pass
     _LINK_PROFILE = probe_link_profile()
-    if _LINK_PROFILE is not None and platform != "cpu":
-        try:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:
-                json.dump(
-                    {
-                        "v": 2,
-                        "platform": platform,
-                        "h2d_mbps": _LINK_PROFILE.h2d_mbps,
-                        "latency_ms": _LINK_PROFILE.latency_ms,
-                        "d2h_mbps": _LINK_PROFILE.d2h_mbps,
-                    },
-                    f,
-                )
-        except OSError:
-            pass
+    if _LINK_PROFILE is not None:
+        # A timed-out probe persists its slow-link verdict too: future
+        # sessions skip the stall, and the stray in-flight probe (or any
+        # later session on a healthy link, where the probe finishes in
+        # well under a second) overwrites it with real numbers.
+        _save_link_profile(_LINK_PROFILE)
     return _LINK_PROFILE
 
 

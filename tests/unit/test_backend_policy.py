@@ -63,3 +63,24 @@ def test_slow_d2h_picks_host_despite_fast_upload():
     assert B.decide_auto_backend(1 << 24, True, prof) == "numpy"
     fast = B.LinkProfile(h2d_mbps=10000, latency_ms=0.1, d2h_mbps=5000)
     assert B.decide_auto_backend(1 << 24, True, fast) == "jax"
+
+
+def test_probe_timeout_yields_slow_link_verdict(monkeypatch):
+    """A degraded link can stall the probe for minutes (observed ~500 s
+    through a bad tunnel window); the budget turns the stall itself into
+    the measurement: a kill-safe subprocess is abandoned at the deadline
+    and a conservative slow-link profile comes back, which every cost
+    model maps to the host tier."""
+    import subprocess
+
+    from image_stitch_tpu.ops import backend as B
+
+    def fake_run(*args, **kwargs):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=kwargs.get("timeout"))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")  # skip the cpu shortcut
+    prof = B.probe_link_profile()
+    assert prof is not None
+    assert prof.h2d_mbps < 1.0
+    assert B.decide_auto_backend(1 << 24, True, prof) == "numpy"
