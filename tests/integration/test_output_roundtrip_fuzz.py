@@ -139,3 +139,49 @@ def test_jpeg_roundtrip_close(seed):
     assert arr.shape == exp.shape
     err = np.abs(arr - exp)
     assert float(np.mean(err)) < 4.0, f"seed {seed}: mean err {float(np.mean(err)):.2f}"
+
+
+@pytest.mark.parametrize("seed", range(0, N_SEEDS, 2))
+def test_png_roundtrip_color_types_exact(seed):
+    """Same property across 8-bit input color types: grayscale, gray+alpha,
+    RGB, RGBA. Expected pixels come from PIL decoding each input tile
+    independently (the oracle), composed on the documented conversion rules
+    (all-same-type grids keep the common format trivial). 16-bit paths are
+    excluded here because PIL's 16-bit modes don't round-trip faithfully as
+    a naive oracle — the dedicated suites (test_pngsuite.py high-byte
+    comparisons, goldens) cover those."""
+    from PIL import Image
+
+    rng = np.random.default_rng(9000 + seed)
+    channels, depth = [
+        (1, 8), (2, 8), (3, 8), (4, 8)
+    ][int(rng.integers(0, 4))]
+    cols = int(rng.integers(1, 4))
+    tw = int(rng.integers(8, 96))
+    th = int(rng.integers(8, 96))
+    n = cols * int(rng.integers(1, 3))
+    hi = 256 if depth == 8 else 65536
+    dt = np.uint8 if depth == 8 else np.uint16
+    tiles_arr = [
+        rng.integers(0, hi, (th, tw, channels)).astype(dt).squeeze()
+        for _ in range(n)
+    ]
+    tiles = [png_from_array(a.reshape(th, tw, channels) if a.ndim == 2 else a,
+                            bit_depth=depth) for a in tiles_arr]
+    out = concat_to_buffer({
+        "inputs": tiles,
+        "layout": {"columns": cols},
+        "bandHeight": int(rng.integers(4, 120)),
+        "hostThreads": int(rng.choice([1, 4])),
+    })
+    img = Image.open(io.BytesIO(out))
+    # Compare via PIL's independent decode of each input tile, promoted to
+    # the output's mode.
+    arr = np.asarray(img)
+    for i, tile in enumerate(tiles):
+        r, c = divmod(i, cols)
+        exp = np.asarray(Image.open(io.BytesIO(tile)).convert(img.mode))
+        got = arr[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+        np.testing.assert_array_equal(
+            got, exp, err_msg=f"seed {seed} tile {i} ct={channels} depth={depth}"
+        )
