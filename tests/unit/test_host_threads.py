@@ -200,3 +200,24 @@ def test_parallel_deflate_streaming_order_preserved():
     opts = {"inputs": tiles, "layout": {"columns": 3}, "hostThreads": 4}
     streamed = b"".join(concat_streaming(opts))
     assert streamed == concat_to_buffer({**opts})
+
+
+def test_concurrent_concat_calls_from_user_threads():
+    """Library thread-safety: independent concat calls running concurrently
+    on USER threads (each possibly with its own internal pool) must not
+    interfere — shared state is the buffer pool, native lib, and registry."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def job(seed):
+        tiles = [
+            png_from_array(random_rgba(60, 44, seed=seed * 10 + k))
+            for k in range(4)
+        ]
+        opts = {"inputs": tiles, "layout": {"columns": 2},
+                "hostThreads": 2 if seed % 2 else 1}
+        return concat_to_buffer(opts)
+
+    serial = [job(s) for s in range(6)]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        concurrent = list(pool.map(job, range(6)))
+    assert serial == concurrent
