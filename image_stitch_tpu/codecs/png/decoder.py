@@ -370,6 +370,8 @@ def png_plugin():
     return DecoderPlugin(
         format="png",
         create=lambda source, options=None: PngDecoder(
-            source, band_height=getattr(options, "band_height", None) if options else None
+            source,
+            band_height=getattr(options, "band_height", None) if options else None,
+            verify_crc=bool(getattr(options, "verify_crc", False)) if options else False,
         ),
     )

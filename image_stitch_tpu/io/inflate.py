@@ -20,29 +20,25 @@ import zlib
 from ..errors import StitchError
 
 
-def _native_inflater():
-    try:
-        from ..native import NativeInflater, native_available
-
-        if native_available():
-            return NativeInflater()
-    except Exception:
-        pass
-    return None
-
-
 class StreamingInflator:
     """Push compressed chunks, read decompressed output incrementally.
 
-    ``strict=True`` forces the zlib tier (which verifies Adler-32) — used by
-    the PNG decoder's verify_crc mode for full integrity checking.
+    ``strict=True`` verifies Adler-32 — used by the PNG decoder's
+    verify_crc mode for full integrity checking. The owned native tier
+    handles strict mode too (it parses the trailer and checks it against a
+    zlib.adler32 accumulation of the output); this class's own body is the
+    zlib fallback tier.
     """
 
     def __new__(cls, strict: bool = False):
-        if cls is StreamingInflator and not strict:
-            native = _native_inflater()
-            if native is not None:
-                return native
+        if cls is StreamingInflator:
+            try:
+                from ..native import NativeInflater, native_available
+
+                if native_available():
+                    return NativeInflater(strict=strict)
+            except Exception:
+                pass
         return super().__new__(cls)
 
     def __init__(self, strict: bool = False) -> None:

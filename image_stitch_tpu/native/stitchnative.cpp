@@ -992,6 +992,7 @@ typedef struct InflState {
     int32_t error;        // sticky error code (negative)
     int32_t pend_lit_count;  // literals decoded past a full output buffer
     uint8_t pend_lit[4];
+    uint32_t stream_adler;  // trailer Adler-32 once state >= 5
     uint32_t litlen[INFL_LL_CAP];
     uint32_t dist[INFL_D_CAP];
     uint8_t window[32768];
@@ -1707,10 +1708,19 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 }
             }
             continue;
-        } else if (st->state == 4) {  // adler32 (skipped) after byte align
+        } else if (st->state == 4) {  // adler32 trailer after byte align
             infl_take(st, st->bitcount & 7);
             if (!infl_have(st, in, in_len, 32)) break;
-            infl_take(st, 32);
+            {
+                // Trailer is big-endian; the LSB-first reader yields its
+                // bytes in stream order from the low end. Stored for the
+                // caller's strict mode — the decoder itself stays
+                // verification-free (chunk CRC-32 covers default mode).
+                uint32_t v = infl_take(st, 32);
+                st->stream_adler = ((v & 0xFFu) << 24) |
+                                   ((v & 0xFF00u) << 8) |
+                                   ((v >> 8) & 0xFF00u) | (v >> 24);
+            }
             st->state = 5;
         } else {  // done
             break;
@@ -1745,6 +1755,9 @@ suspend:
 
 int64_t owned_inflate_state_size(void) { return (int64_t)sizeof(InflState); }
 int32_t owned_inflate_state(const InflState* st) { return st->state; }
+uint32_t owned_inflate_stream_adler(const InflState* st) {
+    return st->stream_adler;
+}
 int32_t owned_inflate_error(const InflState* st) { return st->error; }
 int64_t owned_inflate_in_pos(const InflState* st) { return st->in_pos; }
 

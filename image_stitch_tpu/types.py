@@ -110,6 +110,10 @@ class DecoderOptions:
     force_owned: bool = False
     # Band height used by streaming decoders (rows per device transfer).
     band_height: int | None = None
+    # PNG: strict per-chunk CRC-32 + Adler-32 verification while streaming
+    # (off by default for throughput, matching the reference's streaming
+    # decoder; its parse paths verify, png-parser.ts:57-64).
+    verify_crc: bool = False
     # Dependency injection hook for tests (reference customConstructors DI,
     # src/decoders/types.ts:77-80): maps format name -> decode callable.
     custom_decoders: Mapping[str, Callable[..., Any]] | None = None
@@ -224,6 +228,7 @@ class ConcatOptions:
                 "forceOwned": "force_owned",
                 "bandHeight": "band_height",
                 "customDecoders": "custom_decoders",
+                "verifyCrc": "verify_crc",
             }
             for key, value in kwargs["decoder_options"].items():
                 dk[docamel.get(key, key)] = value

@@ -132,11 +132,9 @@ def test_streaming_inflator_dispatches_to_native():
     assert out == b"dispatch check"
 
 
-def test_strict_mode_uses_zlib_tier_and_verifies_adler():
+def test_strict_mode_verifies_adler():
     from image_stitch_tpu.io.inflate import StreamingInflator
 
-    strict = StreamingInflator(strict=True)
-    assert not isinstance(strict, NativeInflater)
     # Corrupt the Adler-32 trailer: strict catches it, lenient doesn't.
     comp = bytearray(zlib.compress(b"adler check payload", 6))
     comp[-1] ^= 0xFF
@@ -219,3 +217,70 @@ def test_empty_input_after_compaction_mid_stream():
     # The scenario under test must actually occur: drain calls with a fully
     # consumed (empty) input buffer.
     assert saw_empty
+
+
+def test_strict_mode_native_verifies_adler():
+    """Strict mode now stays on the owned tier: the C decoder parses the
+    trailer, the wrapper checks it against a zlib.adler32 accumulation.
+    Both the push and the drain_into surfaces must verify, and a corrupted
+    trailer must raise while default mode (chunk-CRC-covered) stays lax."""
+    from image_stitch_tpu.io.inflate import StreamingInflator
+
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 64, 1 << 18, dtype=np.uint8).tobytes()
+    comp = zlib.compress(raw, 6)
+
+    inf = StreamingInflator(strict=True)
+    assert isinstance(inf, NativeInflater)  # native tier handles strict now
+    out = inf.push(comp) + inf.finish()
+    assert out == raw
+
+    # Corrupt the Adler trailer (last 4 bytes): strict raises, default not.
+    bad = comp[:-4] + bytes(b ^ 0xFF for b in comp[-4:])
+    inf2 = StreamingInflator(strict=True)
+    with pytest.raises(StitchError, match="Adler-32 mismatch"):
+        inf2.push(bad)
+        inf2.finish()
+    lax = NativeInflater()
+    assert lax.push(bad) + lax.finish() == raw
+
+    # drain_into surface with banded output and a corrupt trailer.
+    inf3 = NativeInflater(strict=True)
+    inf3.feed(bad)
+    buf = np.empty(1 << 14, dtype=np.uint8)
+    with pytest.raises(StitchError, match="Adler-32 mismatch"):
+        while True:
+            if inf3.drain_into(buf) == 0 and inf3.finished:
+                break
+
+
+def test_verify_crc_reachable_from_public_options():
+    """decoderOptions.verifyCrc plumbs through the factory to the PNG
+    decoder's strict tier (previously only reachable by constructing
+    PngDecoder directly)."""
+    import io
+
+    from PIL import Image
+
+    from image_stitch_tpu import concat_to_buffer
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 255, (40, 40, 4)).astype(np.uint8)
+    # Build a tile via PIL (independent producer)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(buf, "PNG")
+    tile = buf.getvalue()
+    out = concat_to_buffer(
+        {"inputs": [tile], "layout": {"columns": 1},
+         "decoderOptions": {"verifyCrc": True}}
+    )
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(out))), arr)
+    # Flip a byte inside the IDAT payload: strict rejects, default decodes
+    # or rejects cleanly but never crashes (corruption-fuzz contract).
+    bad = bytearray(tile)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(StitchError):
+        concat_to_buffer(
+            {"inputs": [bytes(bad)], "layout": {"columns": 1},
+             "decoderOptions": {"verifyCrc": True}}
+        )
