@@ -187,6 +187,11 @@ def decode_heic_to_rgba(data: bytes, options: DecoderOptions | None = None) -> n
             "heic-decoder.ts:266-285)",
             exc,
         ) from exc
+    except Exception as exc:
+        # Error contract: hostile bytes surface as StitchError, never a raw
+        # PIL/pillow-heif exception (same corruption-fuzz class as the JPEG
+        # native tier).
+        raise StitchError("HEIC decode failed", exc) from exc
 
 
 class HeicDecoder:

@@ -45,12 +45,18 @@ def decode_jpeg_to_rgba(data: bytes, options: DecoderOptions | None = None) -> n
     if use_pil and _pil_available():
         from PIL import Image
 
-        img = Image.open(io.BytesIO(data)).convert("RGBA")
-        w, h = img.size
-        # frombuffer over tobytes: np.array(img) would route through PIL's
-        # __array_interface__, which also calls tobytes() and then copies a
-        # second time (~8% of the PIL tier per 1024px tile).
-        return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w, 4)
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGBA")
+            w, h = img.size
+            # frombuffer over tobytes: np.array(img) would route through
+            # PIL's __array_interface__, which also calls tobytes() and then
+            # copies a second time (~8% of the PIL tier per 1024px tile).
+            return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w, 4)
+        except Exception as exc:
+            # Error contract: hostile bytes surface as StitchError, never a
+            # raw PIL OSError/ValueError (corruption-fuzz find — the owned
+            # tier already kept the contract).
+            raise StitchError("JPEG decode failed (native tier)", exc) from exc
     from .owned_decoder import decode_baseline_jpeg
 
     rgb = decode_baseline_jpeg(data)

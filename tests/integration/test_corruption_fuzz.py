@@ -88,6 +88,15 @@ def test_corrupt_jpeg_owned_decoder_never_crashes(seed):
     )
 
 
+@pytest.mark.parametrize("seed", range(30))
+def test_corrupt_jpeg_pil_tier_never_crashes(seed):
+    """The PIL (native) JPEG tier leaked raw OSError on damaged streams —
+    found by a 2000-seed offline sweep; the owned tier kept the contract.
+    Seeds 3-6 of the sweep's mutation sequence reproduce the leak."""
+    rng = np.random.default_rng(3 + seed)
+    run_concat(mutate(valid_jpeg(), rng))
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_random_garbage_rejected(seed):
     rng = np.random.default_rng(4000 + seed)
