@@ -151,6 +151,11 @@ def test_parallel_deflate_bit_identical_and_valid():
     across multiple flush boundaries."""
     import zlib
 
+    from image_stitch_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("parallel deflate rides the native tier")
+
     rng = np.random.default_rng(9)
     # ~6 MB of canvas -> several 1 MB sync-flush batches
     tiles = [
