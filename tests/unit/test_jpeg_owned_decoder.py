@@ -178,3 +178,43 @@ def test_crafted_sos_unknown_component_rejected():
     data[i + 5] = 0xEE  # first scan component id -> unknown
     with pytest.raises(StitchError, match="unknown component"):
         decode_baseline_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_differential_fuzz_vs_pil(seed):
+    """Randomized differential fuzz: arbitrary content, dims, quality,
+    subsampling, progressive flag, restart cadence — the owned decoder
+    must be BIT-IDENTICAL to PIL/libjpeg on every valid stream (same
+    latent-bug class as the deflate length-limiter find: a clean run
+    diverging on unlucky inputs)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7000 + seed)
+    w = int(rng.integers(8, 120))
+    h = int(rng.integers(8, 120))
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    elif kind == 1:
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+        arr = np.clip(x + rng.integers(-30, 30, (h, w, 3)), 0, 255).astype(np.uint8)
+    else:
+        arr = np.full((h, w, 3), rng.integers(0, 256, 3, dtype=np.uint8)[None, None])
+    kwargs = {
+        "quality": int(rng.choice([30, 60, 85, 95, 100])),
+        "subsampling": int(rng.choice([0, 1, 2])),
+    }
+    if rng.random() < 0.5:
+        kwargs["progressive"] = True
+    if rng.random() < 0.3:
+        kwargs["restart_marker_blocks"] = int(rng.integers(1, 8))
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(arr, "RGB").save(buf, format="JPEG", **kwargs)
+    except (OSError, ValueError):
+        pytest.skip("PIL rejected this parameter combo")
+    data = buf.getvalue()
+    np.testing.assert_array_equal(
+        decode_baseline_jpeg(data), pil_decode(data),
+        err_msg=f"seed {seed} kwargs {kwargs} dims {w}x{h}",
+    )
