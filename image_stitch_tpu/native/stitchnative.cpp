@@ -1476,10 +1476,11 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 uint32_t kind = INFL_KIND(e);
                 // Literal burst: one lookup emits 1-3 bytes (packed
                 // multi-literal root entries); entries consume at most
-                // 10 root bits or a 15-bit long code, so 5 iterations fit
-                // a 56-bit refill in the common case. The unconditional
-                // 4-byte store is covered by the 300-byte output margin.
-                int lit_budget = 5;
+                // 10 root bits or a 15-bit long code. Budget 8: the bc >=
+                // NBITS check bounds bit use, and 8 iterations x 3 bytes +
+                // the 274-byte worst-case match overshoot = 298 stays
+                // inside the 300-byte output margin (4-byte stores incl.).
+                int lit_budget = 8;
                 int emitted = 0;
                 while (kind <= INFL_K_LIT3 && bc >= (int32_t)INFL_NBITS(e) &&
                        lit_budget--) {
