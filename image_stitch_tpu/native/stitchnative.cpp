@@ -940,7 +940,7 @@ extern "C" {
 // distance) plus per-pattern subtables for the rare codes longer than the
 // root (libdeflate-style). One load for short codes, two for long ones.
 #define INFL_LL_ROOT 11
-#define INFL_D_ROOT 8
+#define INFL_D_ROOT 10
 #define INFL_LL_CAP ((1 << INFL_LL_ROOT) + 2048)
 #define INFL_D_CAP ((1 << INFL_D_ROOT) + 2048)
 
