@@ -185,3 +185,85 @@ def test_png_roundtrip_color_types_exact(seed):
         np.testing.assert_array_equal(
             got, exp, err_msg=f"seed {seed} tile {i} ct={channels} depth={depth}"
         )
+
+
+@pytest.mark.parametrize("seed", range(0, N_SEEDS, 2))
+def test_positioned_roundtrip_exact(seed):
+    """Positioned mode with random sprites, alpha, z-order, clipping and
+    negative offsets: output must equal the float64 oracle compositor
+    (ops/pixel.composite_band placed back-to-front)."""
+    from PIL import Image
+
+    from image_stitch_tpu import PositionedImage
+    from image_stitch_tpu.ops.pixel import composite_band
+
+    rng = np.random.default_rng(12000 + seed)
+    cw = int(rng.integers(40, 200))
+    ch = int(rng.integers(40, 160))
+    n = int(rng.integers(1, 7))
+    sprites = []
+    for i in range(n):
+        sw = int(rng.integers(8, 80))
+        sh = int(rng.integers(8, 80))
+        arr = rng.integers(0, 256, (sh, sw, 4), dtype=np.uint8)
+        if rng.random() < 0.3:
+            arr[:, :, 3] = 255  # opaque fast path
+        x = int(rng.integers(-20, cw - 4))
+        y = int(rng.integers(-20, ch - 4))
+        z = int(rng.integers(0, 4)) if rng.random() < 0.7 else None
+        sprites.append((arr, x, y, z, i))
+    inputs = [
+        PositionedImage(x=x, y=y, source=png_from_array(arr), z_index=z)
+        for arr, x, y, z, _i in sprites
+    ]
+    out = concat_to_buffer({
+        "inputs": inputs,
+        "layout": {"width": cw, "height": ch},
+        "bandHeight": int(rng.integers(4, 100)),
+        "hostThreads": int(rng.choice([1, 4])),
+    })
+    arr_out = np.asarray(Image.open(io.BytesIO(out)))
+    # Oracle: stable z-sort (z, input order), composite back-to-front.
+    exp = np.zeros((ch, cw, 4), np.uint8)
+    ordered = sorted(sprites, key=lambda s: (s[3] if s[3] is not None else 0, s[4]))
+    for sp, x, y, _z, _i in ordered:
+        sh, sw = sp.shape[:2]
+        sx0, sy0 = max(0, -x), max(0, -y)
+        dx0, dy0 = max(0, x), max(0, y)
+        dx1, dy1 = min(cw, x + sw), min(ch, y + sh)
+        if dx1 <= dx0 or dy1 <= dy0:
+            continue
+        sub = sp[sy0 : sy0 + dy1 - dy0, sx0 : sx0 + dx1 - dx0]
+        composite_band(exp[dy0:dy1, dx0:dx1], sub, 0, True)
+    np.testing.assert_array_equal(arr_out, exp, err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(0, N_SEEDS, 2))
+def test_jpeg_encoder_fuzz_decodable_and_structured(seed):
+    """Randomized owned-encoder sweep: size x quality x sampling x restart
+    cadence on mixed content. Every output must parse as exactly one
+    SOI..EOI stream, decode through PIL, and stay within a quality-scaled
+    error bound on smooth content."""
+    from PIL import Image
+
+    rng = np.random.default_rng(15000 + seed)
+    w = int(rng.integers(8, 150))
+    h = int(rng.integers(8, 150))
+    arr = _content_grad(h, w)
+    q = int(rng.choice([30, 60, 85, 95, 100]))
+    opts = {
+        "inputs": [png_from_array(arr)],
+        "layout": {"columns": 1},
+        "outputFormat": "jpeg",
+        "jpegQuality": q,
+        "jpegSampling": str(rng.choice(["444", "420"])),
+        "bandHeight": int(rng.integers(8, 120)),
+        "jpegRestartIntervalRows": int(rng.choice([0, 1, 2, 5])),
+    }
+    out = concat_to_buffer(opts)
+    assert out[:2] == b"\xff\xd8" and out[-2:] == b"\xff\xd9"
+    assert out.count(b"\xff\xd8") >= 1 and out[2:].count(b"\xff\xd8\xff\xe0") == 0
+    dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB")).astype(np.int16)
+    exp = arr[:, :, :3].astype(np.int16)
+    bound = 3.0 if q >= 85 else 14.0
+    assert float(np.abs(dec - exp).mean()) < bound, f"seed {seed} q{q}"
