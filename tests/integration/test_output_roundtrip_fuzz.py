@@ -223,9 +223,10 @@ def test_positioned_roundtrip_exact(seed):
         "hostThreads": int(rng.choice([1, 4])),
     })
     arr_out = np.asarray(Image.open(io.BytesIO(out)))
-    # Oracle: stable z-sort (z, input order), composite back-to-front.
+    # Oracle: reference z semantics — default z_index is the INPUT INDEX
+    # (positioned-layout :184), ties broken by input index.
     exp = np.zeros((ch, cw, 4), np.uint8)
-    ordered = sorted(sprites, key=lambda s: (s[3] if s[3] is not None else 0, s[4]))
+    ordered = sorted(sprites, key=lambda s: (s[3] if s[3] is not None else s[4], s[4]))
     for sp, x, y, _z, _i in ordered:
         sh, sw = sp.shape[:2]
         sx0, sy0 = max(0, -x), max(0, -y)
