@@ -1553,11 +1553,16 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                             // Two unconditional 8-byte stores cover the
                             // typical 3-16 byte match (the 300-byte margin
                             // absorbs the overshoot); step-8 chunks stay
-                            // safe for any overlap with dist >= 8.
+                            // safe for any overlap with dist >= 8, and the
+                            // long-match tail steps 16 bytes when the
+                            // offset allows.
                             memcpy(op, sp, 8);
                             memcpy(op + 8, sp + 8, 8);
                             if (length > 16) {
                                 int32_t k = 16;
+                                if (dist >= 16)
+                                    for (; k + 16 <= length; k += 16)
+                                        memcpy(op + k, sp + k, 16);
                                 for (; k + 8 <= length; k += 8)
                                     memcpy(op + k, sp + k, 8);
                                 for (; k < length; ++k) op[k] = sp[k];
