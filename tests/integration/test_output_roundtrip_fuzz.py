@@ -187,6 +187,7 @@ def test_png_roundtrip_color_types_exact(seed):
         )
 
 
+@pytest.mark.filterwarnings("ignore::UserWarning")  # expected clip warnings
 @pytest.mark.parametrize("seed", range(0, N_SEEDS, 2))
 def test_positioned_roundtrip_exact(seed):
     """Positioned mode with random sprites, alpha, z-order, clipping and
