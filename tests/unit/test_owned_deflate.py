@@ -202,3 +202,17 @@ def test_noise_tile_band_stream_valid():
         out += d.flush_sync()
     out += d.finish()
     assert zlib.decompress(bytes(out)) == raw
+
+
+def test_compress_streaming_generator_wrapper():
+    """compress_streaming (reference streaming-deflate.ts:244-267 parity):
+    incremental chunks in, valid zlib stream out, equal to one-shot."""
+    import numpy as np
+
+    from image_stitch_tpu.io.deflate import compress_streaming
+
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 128, 3 << 20, dtype=np.uint8).tobytes()
+    chunks = [raw[i : i + 123_457] for i in range(0, len(raw), 123_457)]
+    out = b"".join(compress_streaming(iter(chunks)))
+    assert zlib.decompress(out) == raw
