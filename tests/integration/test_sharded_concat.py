@@ -159,3 +159,22 @@ def test_mesh_with_host_threads_bytes_match(tiles):
     host = _run(tiles, backend="numpy")
     sharded_threaded = _run(tiles, mesh=8, hostThreads=4)
     assert host == sharded_threaded
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_mesh_sizes_png_bytes_match_host(tiles, n_dev):
+    """PNG bytes are mesh-size invariant (all-integer pipeline): every
+    mesh factoring must reproduce the host bytes exactly."""
+    host = _run(tiles, backend="numpy")
+    assert _run(tiles, mesh=n_dev) == host
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_mesh_sizes_jpeg_restart_groups_match_host(tiles, n_dev):
+    """Restart-group entropy coding is the parallel unit: byte-exact vs
+    host on the test content for smaller meshes too."""
+    host = _run(tiles, backend="numpy", outputFormat="jpeg",
+                jpegRestartIntervalRows=1)
+    sharded = _run(tiles, mesh=n_dev, outputFormat="jpeg",
+                   jpegRestartIntervalRows=1)
+    assert sharded == host
