@@ -51,12 +51,15 @@ def decode_jpeg_to_rgba(data: bytes, options: DecoderOptions | None = None) -> n
             # frombuffer over tobytes: np.array(img) would route through
             # PIL's __array_interface__, which also calls tobytes() and then
             # copies a second time (~8% of the PIL tier per 1024px tile).
+            # NOTE: the result is READ-ONLY (a view over the bytes object);
+            # callers that mutate decoded pixels in place must copy first.
+            # Internal pipeline paths always copy during format conversion.
             return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w, 4)
         except Exception as exc:
             # Error contract: hostile bytes surface as StitchError, never a
             # raw PIL OSError/ValueError (corruption-fuzz find — the owned
             # tier already kept the contract).
-            raise StitchError("JPEG decode failed (native tier)", exc) from exc
+            raise StitchError("JPEG decode failed (PIL tier)", exc) from exc
     from .owned_decoder import decode_baseline_jpeg
 
     rgb = decode_baseline_jpeg(data)

@@ -73,12 +73,18 @@ class ProgressTracker:
         # host_threads decode workers call consumed() concurrently; the
         # read-modify-write on remaining/completed needs the lock.
         self._lock = threading.Lock()
+        # Callbacks deliver under their own lock, in completed order, so
+        # user code never sees (2, total) before (1, total) and need not be
+        # thread-safe even with host_threads > 1.
+        self._cb_lock = threading.Lock()
+        self._cb_next = 0  # next `completed` value to deliver
         # Zero-height inputs complete immediately (reference :1417-1425).
         for i, h in enumerate(headers):
             if h.height == 0:
                 self.completed += 1
         if self.completed:
             self.callback(self.completed, self.total)
+        self._cb_next = self.completed
 
     def consumed(self, image_idx: int, n_rows: int) -> None:
         with self._lock:
@@ -89,8 +95,18 @@ class ProgressTracker:
                 return
             self.remaining[image_idx] = 0
             self.completed += 1
-            completed = self.completed
-        self.callback(completed, self.total)
+        self._deliver()
+
+    def _deliver(self) -> None:
+        """Deliver pending callbacks serially and in increasing order."""
+        while True:
+            with self._cb_lock:
+                with self._lock:
+                    if self._cb_next >= self.completed:
+                        return
+                    self._cb_next += 1
+                    value = self._cb_next
+                self.callback(value, self.total)
 
 
 class RowSource:

@@ -76,6 +76,10 @@ class LinkProfile:
     h2d_mbps: float
     latency_ms: float
     d2h_mbps: float | None = None  # None: unknown (ignore the d2h term)
+    # True when this is the blown-probe-budget sentinel, not a measurement.
+    # Sentinels stay session-local (never persisted): one degraded tunnel
+    # window must not pin 'auto' to host for every future session.
+    timed_out: bool = False
 
 
 def decide_auto_backend(
@@ -223,30 +227,38 @@ def probe_link_profile() -> LinkProfile | None:
         "print(json.dumps(None if p is None else "
         "[p.h2d_mbps, p.latency_ms, p.d2h_mbps]))\n"
     )
+    env = dict(os.environ)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     try:
-        env = dict(os.environ)
-        root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=budget_s, env=env,
         )
-        import json
-
-        vals = json.loads(out.stdout.strip().splitlines()[-1])
-        if vals is None:
-            return None
-        return LinkProfile(h2d_mbps=vals[0], latency_ms=vals[1], d2h_mbps=vals[2])
     except subprocess.TimeoutExpired:
         # Conservative slow-link verdict: vetoes the device in every model.
+        # Session-local only (timed_out): a later healthy session re-probes.
         return LinkProfile(
-            h2d_mbps=0.01, latency_ms=budget_s * 1e3, d2h_mbps=0.01
+            h2d_mbps=0.01, latency_ms=budget_s * 1e3, d2h_mbps=0.01,
+            timed_out=True,
         )
-    except Exception:
+    except OSError:
         # No subprocess capability (embedded/sandboxed): fall back to the
         # in-process probe with no budget rather than no information.
         return _probe_link_blocking()
+    try:
+        import json
+
+        vals = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        # Child crashed or printed garbage: treat as "no profile" — do NOT
+        # rerun the unbudgeted blocking probe, which would reintroduce the
+        # exact unbounded stall the subprocess design exists to prevent.
+        return None
+    if vals is None:
+        return None
+    return LinkProfile(h2d_mbps=vals[0], latency_ms=vals[1], d2h_mbps=vals[2])
 
 
 def get_link_profile() -> LinkProfile | None:
@@ -287,11 +299,7 @@ def get_link_profile() -> LinkProfile | None:
     except Exception:
         pass
     _LINK_PROFILE = probe_link_profile()
-    if _LINK_PROFILE is not None:
-        # A timed-out probe persists its slow-link verdict too: future
-        # sessions skip the stall, and the stray in-flight probe (or any
-        # later session on a healthy link, where the probe finishes in
-        # well under a second) overwrites it with real numbers.
+    if _LINK_PROFILE is not None and not _LINK_PROFILE.timed_out:
         _save_link_profile(_LINK_PROFILE)
     return _LINK_PROFILE
 

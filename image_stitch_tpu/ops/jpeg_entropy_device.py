@@ -542,6 +542,211 @@ def jpeg_encode_band_trace(
     return words, total_bits, new_dc, max_block_bits, max_overlap, yb, cbb, crb
 
 
+def _symbol_streams_flat(yb, cbb, crb, luts, n_groups: int,
+                         sampling: str = "444"):
+    """Group-flat symbol generation: like ``_symbol_streams`` but the DC
+    prediction chains reset to 0 at every restart-group boundary (T.81
+    E.2.4) while everything stays in ONE flat (nbt, 65) array — no vmap.
+    Batched (vmapped) gathers and scatters lower an order of magnitude
+    slower on TPU than their flat forms (measured: the vmapped phase-2
+    merge was ~59 ms/band; the flat rewrite ~6 ms), so the whole restart
+    program works on globally flattened blocks.
+    """
+    n = cbb.shape[0]  # total MCUs
+    per_mcu = (4, 1, 1) if sampling == "420" else (1, 1, 1)
+    comps = (yb, cbb, crb)
+    seq = jnp.concatenate(
+        [c.reshape(n, k, 64) for c, k in zip(comps, per_mcu)], axis=1
+    ).reshape(-1, 64).astype(jnp.int32)
+    zz = _zz_permute(seq)
+    tsel_pattern = [0] * per_mcu[0] + [1] * per_mcu[1] + [1] * per_mcu[2]
+    tsel = jnp.tile(jnp.asarray(tsel_pattern, dtype=jnp.int32), n)
+
+    # DC chains: per component, per group (reset to 0 at group starts).
+    diff_parts = []
+    for c, k in zip(comps, per_mcu):
+        dc_c = c[:, 0].astype(jnp.int32).reshape(n_groups, -1)
+        prev_c = jnp.pad(dc_c[:, :-1], ((0, 0), (1, 0)))
+        diff_parts.append((dc_c - prev_c).reshape(n, k))
+    diffs = jnp.concatenate(diff_parts, axis=1).reshape(-1)
+    dsz = _bit_size(diffs, 12)
+    dval = jnp.where(diffs < 0, diffs + (1 << dsz) - 1, diffs) & ((1 << dsz) - 1)
+    dpacked = luts["dc_packed"][tsel * 16 + dsz]
+    dcode = dpacked & jnp.uint32(0xFFFF)
+    dlen = (dpacked >> 16).astype(jnp.int32)
+    dc_codes = ((dcode << dsz) | dval.astype(jnp.uint32)).astype(jnp.uint32)
+    dc_lens = (dlen + dsz).astype(jnp.int32)
+
+    v = zz[:, 1:]
+    nz = v != 0
+    pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
+    marked = jnp.where(nz, pos, 0)
+    incl_cummax = jax.lax.cummax(marked, axis=1)
+    prev_nz = jnp.concatenate(
+        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
+    )
+    last_nz = incl_cummax[:, -1]
+
+    run = pos - prev_nz - 1
+    asz = _bit_size(v, 11)
+    aval = jnp.where(v < 0, v + (1 << asz) - 1, v) & ((1 << asz) - 1)
+    sym = ((run % 16) << 4) | asz
+    apacked = _ac_lut_lookup(luts["ac_packed"], tsel, sym)
+    acode = apacked & jnp.uint32(0xFFFF)
+    alen = (apacked >> 16).astype(jnp.int32)
+    main_codes = ((acode << asz) | aval.astype(jnp.uint32)).astype(jnp.uint32)
+    main_lens = jnp.where(nz, alen + asz, 0).astype(jnp.int32)
+
+    zrl_here = (~nz) & ((pos - prev_nz) % 16 == 0) & (pos < last_nz[:, None])
+    zrl_codes = jnp.broadcast_to(
+        luts["zrl_code"][tsel][:, None], v.shape
+    ).astype(jnp.uint32)
+    zrl_lens = jnp.where(zrl_here, luts["zrl_len"][tsel][:, None], 0).astype(
+        jnp.int32
+    )
+    ac_codes = jnp.where(nz, main_codes, zrl_codes)
+    ac_lens = jnp.where(nz, main_lens, zrl_lens)
+
+    need_eob = last_nz != 63
+    eob_codes = luts["eob_code"][tsel].astype(jnp.uint32)
+    eob_lens = jnp.where(need_eob, luts["eob_len"][tsel], 0).astype(jnp.int32)
+
+    codes = jnp.concatenate(
+        [dc_codes[:, None], ac_codes, eob_codes[:, None]], axis=1
+    )
+    lens = jnp.concatenate(
+        [dc_lens[:, None], ac_lens, eob_lens[:, None]], axis=1
+    )
+    codes = jnp.where(lens > 0, codes, jnp.uint32(0))
+    return codes, lens
+
+
+def _pack_blocks_aligned(codes, lens, starts, local_words: int):
+    """Phase 1, pre-aligned: pack each block's symbols into a per-block
+    word buffer already bit-aligned to the block's GLOBAL start.
+
+    The per-block packing loop places each symbol at a dynamic offset
+    anyway, so starting the offset at ``starts & 31`` instead of 0 costs
+    nothing — and it deletes all shift work from the merge: the merge
+    then only ORs whole words. Buffer is local_words + 2 words: the
+    block-bit budget (local_words*32) plus up to 31 alignment bits.
+
+    Returns aligned (nb, local_words + 2) uint32.
+    """
+    nb = codes.shape[0]
+    n_aw = local_words + 2
+    codes_t = codes.T
+    lens_t = lens.T
+    lane = jnp.arange(n_aw, dtype=jnp.int32)[:, None]  # (AW, 1)
+
+    def step(s, state):
+        local, off = state  # local: (AW, nb); off: (nb,) bit offsets
+        code = jax.lax.dynamic_index_in_dim(codes_t, s, axis=0, keepdims=False)
+        ln = jax.lax.dynamic_index_in_dim(lens_t, s, axis=0, keepdims=False)
+        end = off + ln
+        w0 = off >> 5
+        over = end - ((w0 + 1) << 5)
+        in_one = over <= 0
+        c32 = code.astype(jnp.uint32)
+        contrib0 = jnp.where(
+            in_one,
+            c32 << jnp.clip(-over, 0, 31).astype(jnp.uint32),
+            c32 >> jnp.clip(over, 0, 31).astype(jnp.uint32),
+        )
+        contrib1 = jnp.where(
+            in_one,
+            jnp.uint32(0),
+            c32 << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
+        )
+        w1 = jnp.where(in_one, w0, w0 + 1)
+        w0c = jnp.clip(w0, 0, n_aw - 1)
+        w1c = jnp.clip(w1, 0, n_aw - 1)
+        local = local | jnp.where(lane == w0c[None, :], contrib0[None, :], 0)
+        local = local | jnp.where(lane == w1c[None, :], contrib1[None, :], 0)
+        return local, end
+
+    local = jnp.zeros((n_aw, nb), dtype=jnp.uint32)
+    off0 = (starts & 31).astype(jnp.int32)
+    local, _ = jax.lax.fori_loop(0, codes_t.shape[0], step, (local, off0))
+    return local.T  # (nb, AW)
+
+
+def _merge_aligned(aligned, starts, block_bits, cap_words: int):
+    """Phase 2, flat: OR pre-aligned per-block buffers into the global
+    word stream with K full-row gathers.
+
+    TPU gather cost is per indexed ROW and full contiguous rows hit the
+    fast vectorized path (measured ~1 ms per 393K rows) while two-index
+    (row, column) gathers run ~10x slower and vmapped gathers slower
+    still — hence flat arrays, whole-row slices, and an unrolled
+    compare-chain column select instead of a second gather dimension.
+
+    aligned: (nb, AW) uint32 pre-aligned buffers; starts/block_bits in
+    bits, ``starts`` strictly nondecreasing. Returns (words (cap_words,)
+    uint32, max_overlap).
+    """
+    nb, n_aw = aligned.shape
+    ends = starts + block_bits
+    word_ids = jnp.arange(cap_words, dtype=jnp.int32)
+
+    # j_lo[w] = #{b : end_b <= 32w} via end-word histogram + exclusive
+    # cumsum (flat segment_sum with sorted indices is fast; a binary
+    # search per word would be ~log(nb) slow gathers each).
+    end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(end_word), end_word, num_segments=cap_words,
+        indices_are_sorted=True,
+    )
+    j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    start_word = jnp.clip(starts >> 5, 0, cap_words - 1)
+    start_counts = jax.ops.segment_sum(
+        jnp.ones_like(start_word), start_word, num_segments=cap_words,
+        indices_are_sorted=True,
+    )
+    j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
+    max_overlap = jnp.max(j_hi - j_lo)
+
+    # Record rows: [wstart | aligned words]. K sentinel rows (wstart = INT
+    # MAX) make out-of-range j_lo + k reads invalid via the wstart test.
+    wstart = (starts >> 5).astype(jnp.int32)
+    rec = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [wstart[:, None].astype(jnp.uint32), aligned], axis=1
+            ),
+            jnp.full((K_OVERLAP, n_aw + 1), 0xFFFFFFFF, jnp.uint32),
+        ],
+        axis=0,
+    )  # (nb + K, AW + 1)
+
+    dn_row = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+
+    def gather_k(k):
+        rows = jax.lax.gather(
+            rec, (j_lo + k)[:, None], dn_row, slice_sizes=(1, n_aw + 1),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (cap_words, AW + 1)
+        ws = rows[:, 0].astype(jnp.int32)
+        rel = word_ids - ws  # block's word containing this output word
+        valid = (ws <= word_ids) & (rel < n_aw)
+        # 2D masked OR-reduction over the AW columns. A per-column compare
+        # chain (val |= where(rel == c, rows[:, 1+c], 0)) costs a lane
+        # extraction per column — measured ~3x the whole merge; the masked
+        # reduce keeps the data 2D until one lane-dim OR. Words past the
+        # block's end are zero in `aligned` already.
+        mask = rel[:, None] == jnp.arange(n_aw, dtype=jnp.int32)[None, :]
+        val2d = jnp.where(mask, rows[:, 1:], jnp.uint32(0))
+        val = jax.lax.reduce(val2d, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+        return jnp.where(valid, val, jnp.uint32(0))
+
+    words = functools.reduce(
+        jnp.bitwise_or, [gather_k(k) for k in range(K_OVERLAP)]
+    )
+    return words, max_overlap
+
+
 def jpeg_encode_band_groups_trace(
     band: jax.Array,  # (8k, W, 4) uint8, W % 8 == 0
     luma_q: jax.Array,
@@ -553,9 +758,23 @@ def jpeg_encode_band_groups_trace(
     sampling: str = "444",
     local_words: int = LOCAL_WORDS,
 ):
-    """Fused band program for restart-interval mode: quantize once, then pack
-    each restart group independently (vmapped v2 packer, prev_dc = 0 and
+    """Fused band program for restart-interval mode: quantize once, then
+    pack every restart group in one FLAT program (prev_dc = 0 and
     bit_base = 0 per group — T.81 E.2.4 restart semantics).
+
+    The groups' streams are laid out densely: group g's words start at the
+    dense word offset cumsum(ceil(bits/32))[g], exactly the layout the
+    host fetch expects, so there is no separate repack stage. Placing each
+    group at a 32-aligned dense base keeps the global ``starts`` monotone,
+    which is what lets one flat merge handle every group at once (flat
+    gathers/scatters are ~10x faster than their vmapped forms on TPU; see
+    _merge_aligned).
+
+    Capacity is pooled: the band overflows only when the TOTAL dense words
+    exceed n_groups * cap_words (per-group spikes borrow from the pool).
+    The host detects that from the per-group bit counts it fetches anyway
+    (sum(ceil(bits/32)) > n_groups*cap_words) — plus the per-block
+    local_words budget via max_block_bits as before.
 
     Groups are byte-aligned in the output stream, so there is no inter-band
     bit carry at all; the host pads each group's tail byte with 1s, stuffs,
@@ -569,39 +788,26 @@ def jpeg_encode_band_groups_trace(
         from .device import jpeg_quantize_trace as _quantize
 
     yb, cbb, crb = _quantize(band, luma_q, chroma_q)
-    # Per-component blocks-per-group (Y has 4x the chroma count in 4:2:0;
-    # MCU-raster block order makes groups contiguous slices).
-    ybg = yb.reshape(n_groups, yb.shape[0] // n_groups, 64)
-    cbg = cbb.reshape(n_groups, cbb.shape[0] // n_groups, 64)
-    crg = crb.reshape(n_groups, crb.shape[0] // n_groups, 64)
+    codes, lens = _symbol_streams_flat(yb, cbb, crb, luts, n_groups, sampling)
 
-    def pack_one(y, cb, cr):
-        words, total_bits, _dc, max_bb, max_ov = entropy_pack_trace_v2(
-            y, cb, cr, luts, jnp.zeros(3, jnp.int32), jnp.int32(0), cap_words,
-            local_words=local_words, sampling=sampling,
-        )
-        return words, total_bits, max_bb, max_ov
+    block_bits = jnp.sum(lens, axis=1)  # (nbt,)
+    max_block_bits = jnp.max(block_bits)
+    nb_g = block_bits.shape[0] // n_groups
+    per_group = block_bits.reshape(n_groups, nb_g)
+    group_bits = jnp.sum(per_group, axis=1)  # (n_groups,)
+    used = (group_bits + 31) >> 5
+    dense_base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(used)[:-1]]
+    )  # word offset of each group in the dense stream
+    in_group = jnp.cumsum(per_group, axis=1) - per_group  # exclusive
+    starts = (
+        (dense_base[:, None] << 5) + in_group
+    ).reshape(-1).astype(jnp.int32)
 
-    words, bits, max_bb, max_ov = jax.vmap(pack_one)(ybg, cbg, crg)
-
-    # Dense repack: lay the groups' used words end to end so the host
-    # fetches only ~the compressed size instead of n_groups * cap_words of
-    # padding (the d2h link is the scarce resource). Same histogram trick
-    # as the packer's j_lo: grp(i) = #groups whose dense span ends <= i.
-    used = (bits + 31) >> 5  # words per group
-    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(used)[:-1]])
+    aligned = _pack_blocks_aligned(codes, lens, starts, local_words)
     total = n_groups * cap_words
-    ends = offs + used
-    end_hist = jax.ops.segment_sum(
-        jnp.ones_like(ends), jnp.clip(ends, 0, total - 1),
-        num_segments=total, indices_are_sorted=True,
-    )
-    grp = jnp.cumsum(end_hist).astype(jnp.int32)  # inclusive: ends <= i
-    i = jnp.arange(total, dtype=jnp.int32)
-    g = jnp.clip(grp, 0, n_groups - 1)
-    local = jnp.clip(i - offs[g], 0, cap_words - 1)
-    dense = jnp.where(i < ends[-1], words[g, local], jnp.uint32(0))
-    return dense, bits, jnp.max(max_bb), jnp.max(max_ov), yb, cbb, crb
+    dense, max_overlap = _merge_aligned(aligned, starts, block_bits, total)
+    return dense, group_bits, max_block_bits, max_overlap, yb, cbb, crb
 
 
 class DeviceJpegEncoder:
@@ -788,11 +994,12 @@ class DeviceJpegEncoder:
         for (res, n_groups, cap_words) in handles:
             dense, bits, max_bb, max_ov, yb, cbb, crb = res
             bits_h = np.asarray(bits)
-            # A group whose words exactly fill cap_words would alias in the
-            # dense repack's end-histogram (its end bin clips onto its own
-            # last word), so treat >= cap as overflow too.
+            # Pooled capacity: the flat dense layout only needs the TOTAL
+            # used words to fit (per-group spikes borrow from the band's
+            # pool); when it doesn't, the device merge's clipped histogram
+            # bins are garbage, so host-code the whole aligned sub-band.
             if int(max_bb) > self._local_words * 32 or int(max_ov) > K_OVERLAP or bool(
-                ((bits_h + 31) // 32 >= cap_words).any()
+                ((bits_h + 31) // 32).sum() > n_groups * cap_words
             ):
                 if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
                     self._cap_bits_per_px = min(

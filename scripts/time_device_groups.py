@@ -91,6 +91,29 @@ def main() -> None:
     print(f"all: {[f'{t*1000:.0f}ms' for t in times]}")
     print(f"best: {best*1000:.0f} ms/band ({mp/best:.1f} MP/s device-side)")
 
+    # Pipelined marginal: N back-to-back dispatches, ONE dependent fetch —
+    # the streaming encoder's shape (submit keeps the device busy; the
+    # fetch latency amortizes over bands in flight). Marginal per band =
+    # (t(N) - t(1)) / (N - 1) cancels the fixed ~25 ms tunnel round trip.
+    def run_n(n: int) -> None:
+        out = None
+        for _ in range(n):
+            out = fn(band, lqd, cqd, lutsd, n_groups, cap_g)
+        float(jnp.sum(out[1]))
+
+    n_pipe = 8
+    t1 = min(times)
+    tn = []
+    for _ in range(max(2, REPS - 2)):
+        t0 = time.perf_counter()
+        run_n(n_pipe)
+        tn.append(time.perf_counter() - t0)
+    marg = (min(tn) - t1) / (n_pipe - 1)
+    print(
+        f"pipelined x{n_pipe}: {min(tn)*1000:.0f} ms total -> "
+        f"{marg*1000:.1f} ms/band marginal ({mp/marg:.1f} MP/s device-side)"
+    )
+
 
 if __name__ == "__main__":
     main()

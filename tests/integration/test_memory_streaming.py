@@ -238,12 +238,20 @@ def test_10000px_jpeg_memory_and_efficiency(tmp_path):
 
 
 @pytest.mark.skipif(
-    not os.environ.get("STITCH_TPU_BIG_MEMORY_TESTS"),
-    reason="set STITCH_TPU_BIG_MEMORY_TESTS=1 for the 20000^2 tiled proof",
+    bool(os.environ.get("STITCH_TPU_SKIP_BIG_MEMORY_TESTS")),
+    reason="STITCH_TPU_SKIP_BIG_MEMORY_TESTS=1 skips the 20000^2 proof",
+)
+@pytest.mark.skipif(
+    bool(os.environ.get("STITCH_TPU_NO_NATIVE")),
+    reason="the pure-Python fallback tier takes >10 min at this scale; the "
+    "memory contract is proven no-native by the 10000^2 PNG test above",
 )
 def test_20000px_tiled_memory_budget(tmp_path):
     """The reference's largest proof: 20000x20000 tiled (1.6 GB RGBA)
-    < 1.5 GB peak (memory.test.ts:325-326). Opt-in: ~4x the 10000^2 cost."""
+    < 1.5 GB peak (memory.test.ts:325-326) — CI-enforced there, default-on
+    here too. Time-boxed shape: one shared compressible tile + input cache
+    (decode-once) + level-1 deflate keep it ~1-2 min even on a loaded host;
+    STITCH_TPU_SKIP_BIG_MEMORY_TESTS=1 opts out."""
     tile = gradient_tile_png(1000)
     enable_input_cache()
     try:
