@@ -32,8 +32,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CONFIG = os.environ.get("BENCH_CONFIG", "grid_jpeg")
 GRID = int(os.environ.get("BENCH_GRID", "8"))
 TILE = int(os.environ.get("BENCH_TILE", "1024"))
+if CONFIG == "northstar":
+    # BASELINE.md config 5: 16x16 grid of 4K tiles -> JPEG q85 streaming,
+    # O(canvas_width) memory asserted during the run.
+    GRID = int(os.environ.get("BENCH_GRID", "16"))
+    TILE = int(os.environ.get("BENCH_TILE", "4096"))
 QUALITY = 85
 TARGET_MPPS = 1000.0  # 1 GP/s/chip north-star
+
+
+def monitor_rss(fn):
+    """Run fn while sampling RSS; returns (result, peak_delta_bytes)."""
+    import threading
+
+    def rss() -> int:
+        with open(f"/proc/{os.getpid()}/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+
+    baseline = rss()
+    peak = baseline
+    stop = threading.Event()
+
+    def sampler():
+        nonlocal peak
+        while not stop.is_set():
+            peak = max(peak, rss())
+            stop.wait(0.05)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        result = fn()
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+    peak = max(peak, rss())
+    return result, max(0, peak - baseline)
 
 
 def make_tile_png(seed: int, size: int) -> bytes:
@@ -93,7 +127,18 @@ def build_config(backend: str):
     threads = int(os.environ.get("BENCH_THREADS", "0"))
     if threads:
         base["host_threads"] = threads  # parallel per-tile decode pulls
-    if CONFIG == "grid_jpeg":
+    if CONFIG == "northstar":
+        # 4 unique 4K tiles reused across the 16x16 grid (tile generation
+        # would otherwise dominate setup); JPEG q85 via streaming output.
+        tiles = [make_tile_png(s, TILE) for s in range(4)]
+        inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]
+        opts = {**base, "inputs": inputs, "layout": {"columns": GRID},
+                "outputFormat": "jpeg", "jpegQuality": QUALITY}
+        warm = {**opts, "inputs": inputs[:GRID]}
+        mp = (GRID * TILE) ** 2 / 1e6
+        name = (f"northstar: {GRID}x{GRID} grid of {TILE}px PNG tiles -> "
+                f"JPEG q{QUALITY} (streaming)")
+    elif CONFIG == "grid_jpeg":
         tiles = [make_tile_png(s, TILE) for s in range(min(GRID * GRID, 8))]
         inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]
         opts = {**base, "inputs": inputs, "layout": {"columns": GRID},
@@ -155,6 +200,36 @@ def build_config(backend: str):
     return name, opts, warm, mp
 
 
+def device_row_subprocess(budget_s: float) -> dict:
+    """Measure the device (jax restart-groups) backend in a kill-safe
+    subprocess: first-compile through the remote compile service can take
+    minutes in a bad window, and an in-process jax call can't be
+    interrupted (same rationale as the link probe, ops/backend.py)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update({
+        "BENCH_BACKEND": "jax",
+        "BENCH_RESTART": "1",
+        "BENCH_DUAL": "0",
+        "BENCH_REPS": os.environ.get("BENCH_DEVICE_REPS", "2"),
+    })
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=budget_s, env=env,
+        )
+        row = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"value": row["value"], "unit": "MP/s",
+                "seconds": row["detail"]["seconds"]}
+    except subprocess.TimeoutExpired:
+        return {"skipped": f"device run exceeded {budget_s:.0f}s budget "
+                "(degraded tunnel/compile window)"}
+    except Exception as exc:  # noqa: BLE001 - report, don't crash the bench
+        return {"skipped": f"device run failed: {type(exc).__name__}"}
+
+
 def main() -> None:
     from image_stitch_tpu.ops.backend import resolve_backend_name
 
@@ -163,31 +238,76 @@ def main() -> None:
     )
     name, opts, warm, mp = build_config(backend)
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    default_reps = "1" if CONFIG == "northstar" else "5"
+    reps = int(os.environ.get("BENCH_REPS", default_reps))
+    peak_delta = None
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         run_streaming(warm)  # compile + open links outside the timed region
         # Best-of-N: this host's background load swings throughput 2-4x over
         # minutes (BENCHMARKS.md caveat); the best run reflects the pipeline,
         # the spread reflects the neighbors.
-        runs = [run_streaming(opts) for _ in range(reps)]
+        if CONFIG == "northstar":
+            runs, peak_delta = monitor_rss(
+                lambda: [run_streaming(opts) for _ in range(reps)]
+            )
+        else:
+            runs = [run_streaming(opts) for _ in range(reps)]
         dt, out_bytes = min(runs, key=lambda r: r[0])
 
     mpps = mp / dt
+    detail = {
+        "config": CONFIG,
+        "megapixels": round(mp, 1),
+        "seconds": round(dt, 3),
+        "output_bytes": out_bytes,
+        "backend": backend,
+        "best_of": reps,
+        "all_seconds": [round(r[0], 3) for r in runs],
+    }
+    if peak_delta is not None:
+        # The O(canvas_width) contract: peak RSS during the streamed run
+        # stays in the band-working-set class, nowhere near the canvas
+        # (canvas = GRID*TILE squared * 4 bytes).
+        canvas_bytes = (GRID * TILE) ** 2 * 4
+        detail["peak_rss_delta_mb"] = round(peak_delta / 1e6, 1)
+        detail["canvas_mb"] = round(canvas_bytes / 1e6, 1)
+        detail["o_canvas_width_ok"] = bool(peak_delta < canvas_bytes / 4)
+
+    # Dual-backend artifact (VERDICT r2 item 2): record the device row in
+    # the same JSON line as the host row. Skipped with a reason when the
+    # measured link is degraded or the device run blows its budget.
+    detail["backends"] = {backend: round(mpps, 2)}
+    if os.environ.get("BENCH_DUAL", "1") != "0" and backend == "numpy":
+        from image_stitch_tpu.ops.backend import get_link_profile
+
+        try:
+            import jax
+
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "none"
+        if platform in ("cpu", "none"):
+            detail["backends"]["jax_restart"] = {
+                "skipped": f"no accelerator (platform={platform})"
+            }
+        else:
+            profile = get_link_profile()
+            if profile is None or profile.timed_out or profile.h2d_mbps < 20:
+                why = "link probe timed out" if (profile and profile.timed_out) \
+                    else f"h2d {profile.h2d_mbps:.1f} MB/s < 20" if profile \
+                    else "link probe unavailable"
+                detail["backends"]["jax_restart"] = {"skipped": why}
+            else:
+                budget = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "900"))
+                detail["backends"]["jax_restart"] = device_row_subprocess(budget)
+
     result = {
         "metric": f"{name} (MP/s/chip, end-to-end)",
         "value": round(mpps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mpps / TARGET_MPPS, 4),
-        "detail": {
-            "config": CONFIG,
-            "megapixels": round(mp, 1),
-            "seconds": round(dt, 3),
-            "output_bytes": out_bytes,
-            "backend": backend,
-            "best_of": reps,
-            "all_seconds": [round(r[0], 3) for r in runs],
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

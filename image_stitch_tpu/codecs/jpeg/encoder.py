@@ -44,95 +44,36 @@ from .tables import (
 MCU_HEIGHT = 8
 
 
-def dct_matrix() -> np.ndarray:
-    """Orthonormal 8x8 DCT-II matrix."""
-    k = np.arange(8)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    m = c * np.sqrt(2.0 / 8.0)
-    m[0, :] = np.sqrt(1.0 / 8.0)
-    return m.astype(np.float32)
-
-
-_DCT = dct_matrix()
-
-
-def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
-    """JFIF BT.601 full-range RGB->YCbCr, float32 (..., 3)."""
-    r = rgb[..., 0].astype(np.float32)
-    g = rgb[..., 1].astype(np.float32)
-    b = rgb[..., 2].astype(np.float32)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    return np.stack([y, cb, cr], axis=-1)
-
-
-def _quantize(coefs: np.ndarray, qtable: np.ndarray) -> np.ndarray:
-    """Round-half-away-from-zero quantization (matches Rust f32 round)."""
-    scaled = coefs / qtable.reshape(8, 8).astype(np.float32)
-    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int16)
-
-
 def _band_to_blocks_numpy(
     band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(8k, W, 4) uint8 -> three (k*W/8, 64) int32 quantized natural-order
+    """(8k, W, 4) uint8 -> three (k*W/8, 64) int16 quantized natural-order
     blocks in strip-major order.
 
-    Host oracle path; expression forms match ops/device._jpeg_quantize_jit
-    exactly so host and device produce identical quantized coefficients.
+    Host oracle path: the exact integer pipeline (ops/jpeg_dct), so every
+    tier — numpy, XLA on any backend/mesh, C++ — produces bit-identical
+    quantized coefficients by construction.
     """
     h, w = band_rgba.shape[:2]
     assert h % MCU_HEIGHT == 0 and w % 8 == 0
-    r = band_rgba[:, :, 0].astype(np.float32)
-    g = band_rgba[:, :, 1].astype(np.float32)
-    b = band_rgba[:, :, 2].astype(np.float32)
-    y = np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b - np.float32(128.0)
-    cb = np.float32(-0.168735892) * r + np.float32(-0.331264108) * g + np.float32(0.5) * b
-    cr = np.float32(0.5) * r + np.float32(-0.418687589) * g + np.float32(-0.081312411) * b
-    out = []
-    for plane, q in ((y, luma_q), (cb, chroma_q), (cr, chroma_q)):
-        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-        coefs = (_DCT @ blocks) @ _DCT.T  # same association as the device path
-        out.append(_quantize(coefs, q).reshape(-1, 64))
-    return out[0], out[1], out[2]
+    from ...ops.jpeg_dct import band_to_blocks_islow
+
+    return band_to_blocks_islow(band_rgba, luma_q, chroma_q, np)
 
 
 def _band_to_blocks_numpy_420(
     band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """4:2:0 quantization: full-res Y, 2x2 box-averaged chroma.
+    """4:2:0 quantization: full-res Y, 2x2 box-averaged integer chroma.
 
     band: (16k, W, 4) uint8 with W % 16 == 0. Returns (y (4n, 64) in MCU
     order [TL,TR,BL,BR], cb (n, 64), cr (n, 64)) with n MCUs raster-major.
     """
     h, w = band_rgba.shape[:2]
     assert h % 16 == 0 and w % 16 == 0
-    r = band_rgba[:, :, 0].astype(np.float32)
-    g = band_rgba[:, :, 1].astype(np.float32)
-    b = band_rgba[:, :, 2].astype(np.float32)
-    y = np.float32(0.299) * r + np.float32(0.587) * g + np.float32(0.114) * b - np.float32(128.0)
-    cb = np.float32(-0.168735892) * r + np.float32(-0.331264108) * g + np.float32(0.5) * b
-    cr = np.float32(0.5) * r + np.float32(-0.418687589) * g + np.float32(-0.081312411) * b
+    from ...ops.jpeg_dct import band_to_blocks_islow_420
 
-    def dct_blocks(plane, q):
-        hh, ww = plane.shape
-        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-        return _quantize((_DCT @ blocks) @ _DCT.T, q)  # (by, bx, 64)-ish
-
-    yq = dct_blocks(y, luma_q)  # (h/8, w/8, 8, 8) quantized -> reshape below
-    yq = yq.reshape(h // 8, w // 8, 64)
-    # Regroup Y blocks into MCU order: (my, mx, [TL,TR,BL,BR]).
-    yq = (
-        yq.reshape(h // 16, 2, w // 16, 2, 64)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1, 64)
-    )
-    cb_s = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-    cr_s = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-    cbq = dct_blocks(cb_s, chroma_q).reshape(-1, 64)
-    crq = dct_blocks(cr_s, chroma_q).reshape(-1, 64)
-    return yq, cbq, crq
+    return band_to_blocks_islow_420(band_rgba, luma_q, chroma_q, np)
 
 
 class StreamingJpegEncoder:

@@ -605,153 +605,132 @@ void png_filter_select_band(const uint8_t* rows, const uint8_t* prev_row,
 }
 
 // ---------------------------------------------------------------------------
-// Fused RGBA -> YCbCr -> 8x8 DCT -> quantize over a band (4:4:4).
+// Fused RGBA -> YCbCr -> 8x8 FDCT -> quantize over a band (4:4:4).
 //
-// Host fast tier of the encoder's device program (ops/device.py
-// _jpeg_quantize_jit): same math, scalar/SIMD C++. Input (h, w, 4) uint8
-// with h % 8 == 0 and w % 8 == 0; outputs (h/8 * w/8, 64) int16 blocks per
-// component in strip-major order.
+// Host fast tier of the encoder's device program (ops/jpeg_dct.py): the
+// EXACT INTEGER pipeline — 16-bit fixed-point YCbCr, 13-bit fixed-point
+// butterfly FDCT (T.81 Sec. A.3.3 flowgraph, jfdctint constants), and
+// quantization via a single IEEE f32 division whose floor is provably
+// exact. Every tier (numpy / XLA on any backend or mesh / this C++)
+// computes bit-identical quantized coefficients by construction. Input
+// (h, w, 4) uint8 with h % 8 == 0 and w % 8 == 0; outputs
+// (h/8 * w/8, 64) int16 blocks per component in strip-major order.
 // ---------------------------------------------------------------------------
 
-static void dct8_rows(float* b) {
-    // 1-D DCT-II (orthonormal) applied to 8 rows of 8 via matrix C:
-    // out = C * in  where C[u][x] = c(u)/2 * cos((2x+1)u*pi/16).
-    static float C[8][8];
-    static int init = 0;
-    if (!init) {
-        for (int u = 0; u < 8; ++u)
-            for (int x = 0; x < 8; ++x) {
-                double s = u == 0 ? 0.3535533905932738 : 0.5;
-                C[u][x] = (float)(s * __builtin_cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
-            }
-        init = 1;
-    }
-    float tmp[64];
-    // rows: tmp = in * C^T  (apply along x)
-    for (int y = 0; y < 8; ++y)
-        for (int u = 0; u < 8; ++u) {
-            float acc = 0.f;
-            for (int x = 0; x < 8; ++x) acc += b[y * 8 + x] * C[u][x];
-            tmp[y * 8 + u] = acc;
-        }
-    // cols: out = C * tmp (apply along y)
-    for (int u = 0; u < 8; ++u)
-        for (int x = 0; x < 8; ++x) {
-            float acc = 0.f;
-            for (int y = 0; y < 8; ++y) acc += C[u][y] * tmp[y * 8 + x];
-            b[u * 8 + x] = acc;
-        }
+#define STITCH_CONST_BITS 13
+#define STITCH_PASS1_BITS 2
+
+static inline int32_t stitch_descale(int32_t x, int n) {
+    return (x + (1 << (n - 1))) >> n;  // arithmetic shift (gcc/clang)
 }
 
-static inline int16_t quant1(float v, float inv_q) {
-    float s = v * inv_q;
-    return (int16_t)(s >= 0.f ? (int)(s + 0.5f) : -(int)(-s + 0.5f));
+// One 8-point fixed-point DCT pass over d[0..7] (stride s), matching
+// ops/jpeg_dct._fdct_pass exactly. final=0: row pass; final=1: column pass.
+static inline void fdct8_pass(int32_t* d, int s, int final_pass) {
+    int32_t t0 = d[0 * s] + d[7 * s], t7 = d[0 * s] - d[7 * s];
+    int32_t t1 = d[1 * s] + d[6 * s], t6 = d[1 * s] - d[6 * s];
+    int32_t t2 = d[2 * s] + d[5 * s], t5 = d[2 * s] - d[5 * s];
+    int32_t t3 = d[3 * s] + d[4 * s], t4 = d[3 * s] - d[4 * s];
+    int32_t t10 = t0 + t3, t13 = t0 - t3;
+    int32_t t11 = t1 + t2, t12 = t1 - t2;
+    int shift;
+    if (final_pass) {
+        d[0 * s] = stitch_descale(t10 + t11, STITCH_PASS1_BITS);
+        d[4 * s] = stitch_descale(t10 - t11, STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS + STITCH_PASS1_BITS;
+    } else {
+        d[0 * s] = (t10 + t11) * (1 << STITCH_PASS1_BITS);
+        d[4 * s] = (t10 - t11) * (1 << STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS - STITCH_PASS1_BITS;
+    }
+    int32_t z1 = (t12 + t13) * 4433;
+    d[2 * s] = stitch_descale(z1 + t13 * 6270, shift);
+    d[6 * s] = stitch_descale(z1 - t12 * 15137, shift);
+    z1 = t4 + t7;
+    int32_t z2 = t5 + t6, z3 = t4 + t6, z4 = t5 + t7;
+    int32_t z5 = (z3 + z4) * 9633;
+    t4 *= 2446;
+    t5 *= 16819;
+    t6 *= 25172;
+    t7 *= 12299;
+    z1 *= -7373;
+    z2 *= -20995;
+    z3 = z3 * -16069 + z5;
+    z4 = z4 * -3196 + z5;
+    d[7 * s] = stitch_descale(t4 + z1 + z3, shift);
+    d[5 * s] = stitch_descale(t5 + z2 + z4, shift);
+    d[3 * s] = stitch_descale(t6 + z2 + z3, shift);
+    d[1 * s] = stitch_descale(t7 + z1 + z4, shift);
 }
 
-#ifdef __AVX2__
-// Fused 8x8 DCT + quantize, one block: both separable passes vectorized
-// across 8 lanes with the per-output accumulation kept x-/y-sequential via
-// FMA (the same contraction the compiler applies to the scalar loops), so
-// the tier's numerics stay deterministic. Reads the 8x8 block directly
-// from the planar strip (no gather copy); writes 64 int16.
-static void dct8_quant_avx2(const float* p, int64_t stride, const float* invq,
-                            int16_t* out) {
-    static float Crow[8][8];   // C[u][x]
-    static float Ccol[8][8];   // C[u][x] transposed: Ccol[x][u]
-    static int init = 0;
-    if (!init) {
-        for (int u = 0; u < 8; ++u)
-            for (int x = 0; x < 8; ++x) {
-                double s = u == 0 ? 0.3535533905932738 : 0.5;
-                float v = (float)(s * __builtin_cos(
-                                          (2 * x + 1) * u *
-                                          3.14159265358979323846 / 16.0));
-                Crow[u][x] = v;
-                Ccol[x][u] = v;
-            }
-        init = 1;
-    }
-    __m256 tmp[8];
-    for (int y = 0; y < 8; ++y) {
-        __m256 acc = _mm256_setzero_ps();
-        const float* row = p + y * stride;
-        for (int x = 0; x < 8; ++x)
-            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(row + x),
-                                  _mm256_loadu_ps(Ccol[x]), acc);
-        tmp[y] = acc;  // lanes: frequency u
-    }
-    const __m256 half = _mm256_set1_ps(0.5f);
-    const __m256 signmask = _mm256_set1_ps(-0.0f);
-    for (int u = 0; u < 8; ++u) {
-        __m256 acc = _mm256_setzero_ps();
-        for (int y = 0; y < 8; ++y)
-            acc = _mm256_fmadd_ps(_mm256_broadcast_ss(&Crow[u][y]), tmp[y],
-                                  acc);
-        __m256 s = _mm256_mul_ps(acc, _mm256_loadu_ps(invq + u * 8));
-        __m256 sign = _mm256_and_ps(s, signmask);
-        __m256 mag = _mm256_andnot_ps(signmask, s);
-        __m256i ti = _mm256_cvttps_epi32(_mm256_add_ps(mag, half));
-        // restore sign: (x ^ m) - m with m = all-ones where negative
-        __m256i m = _mm256_srai_epi32(_mm256_castps_si256(sign), 31);
-        ti = _mm256_sub_epi32(_mm256_xor_si256(ti, m), m);
-        __m128i lo = _mm256_castsi256_si128(ti);
-        __m128i hi = _mm256_extracti128_si256(ti, 1);
-        _mm_storeu_si128((__m128i*)(out + u * 8), _mm_packs_epi32(lo, hi));
-    }
+static void fdct8_islow(int32_t* b) {  // 64 level-shifted samples, row-major
+    for (int i = 0; i < 8; ++i) fdct8_pass(b + i * 8, 1, 0);
+    for (int i = 0; i < 8; ++i) fdct8_pass(b + i, 8, 1);
 }
-#endif
 
-// Note: the C++ tier's f32 DCT may differ from the numpy/XLA tiers by +-1
-// in rare round-half-tie coefficients (FMA contraction / summation order);
-// each tier is deterministic and all are valid JPEG (see ops/device.py
-// exactness notes). Measured: ~1e-5 of coefficients at q85.
 void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                          const int32_t* lq, const int32_t* cq,
                          int16_t* yout, int16_t* cbout, int16_t* crout) {
-    float inv_lq[64], inv_cq[64];
+    // Per-coefficient quantizer constants: floor((|c| + 4q) / (8q)) via
+    // an f32 divide + exact integer floor-correction (mirrors
+    // ops/jpeg_dct.quantize_islow: TPU divides via reciprocal
+    // approximation, so every tier corrects the floor in integers and
+    // all agree bit for bit; on x86 the correction is a no-op).
+    int32_t l4[64], c4[64];
+    float l8f[64], c8f[64];
     for (int i = 0; i < 64; ++i) {
-        inv_lq[i] = 1.0f / (float)lq[i];
-        inv_cq[i] = 1.0f / (float)cq[i];
+        l4[i] = 4 * lq[i];
+        c4[i] = 4 * cq[i];
+        l8f[i] = (float)(8 * lq[i]);
+        c8f[i] = (float)(8 * cq[i]);
     }
     int64_t bx = w / 8;
     // Strip-at-a-time: convert 8 interleaved RGBA rows into three planar
-    // (8, w) float buffers with one contiguous sweep (auto-vectorizes),
-    // then DCT+quantize each 8x8 block from the planes.
-    float* planes = (float*)malloc((size_t)(3 * 8 * w) * sizeof(float));
-    float* yp = planes;
-    float* cbp = planes + 8 * w;
-    float* crp = planes + 16 * w;
-    float blkbuf[64];
+    // (8, w) int16 buffers (level-shifted) with one contiguous sweep
+    // (auto-vectorizes), then FDCT+quantize each 8x8 block.
+    int16_t* planes = (int16_t*)malloc((size_t)(3 * 8 * w) * sizeof(int16_t));
+    int16_t* yp = planes;
+    int16_t* cbp = planes + 8 * w;
+    int16_t* crp = planes + 16 * w;
+    int32_t blk[64];
     for (int64_t sy = 0; sy < h / 8; ++sy) {
         const uint8_t* src = rgba + sy * 8 * w * 4;
         int64_t n = 8 * w;
         for (int64_t i = 0; i < n; ++i) {
-            float r = (float)src[i * 4 + 0];
-            float g = (float)src[i * 4 + 1];
-            float b = (float)src[i * 4 + 2];
-            yp[i] = 0.299f * r + 0.587f * g + 0.114f * b - 128.0f;
-            cbp[i] = -0.168735892f * r - 0.331264108f * g + 0.5f * b;
-            crp[i] = 0.5f * r - 0.418687589f * g - 0.081312411f * b;
+            int32_t r = src[i * 4 + 0];
+            int32_t g = src[i * 4 + 1];
+            int32_t b = src[i * 4 + 2];
+            yp[i] = (int16_t)(((19595 * r + 38470 * g + 7471 * b + 32768) >> 16) - 128);
+            cbp[i] = (int16_t)(((-11059 * r - 21709 * g + 32768 * b + 32768 + (128 << 16)) >> 16) - 128);
+            crp[i] = (int16_t)(((32768 * r - 27439 * g - 5329 * b + 32768 + (128 << 16)) >> 16) - 128);
         }
         for (int64_t sx = 0; sx < bx; ++sx) {
-            int64_t blk = sy * bx + sx;
-            const struct { const float* plane; const float* invq; int16_t* out; }
-                jobs[3] = {{yp, inv_lq, yout + blk * 64},
-                           {cbp, inv_cq, cbout + blk * 64},
-                           {crp, inv_cq, crout + blk * 64}};
+            int64_t blkidx = sy * bx + sx;
+            const struct { const int16_t* plane; const int32_t* q4;
+                           const float* q8f; int16_t* out; } jobs[3] = {
+                {yp, l4, l8f, yout + blkidx * 64},
+                {cbp, c4, c8f, cbout + blkidx * 64},
+                {crp, c4, c8f, crout + blkidx * 64}};
             for (int j = 0; j < 3; ++j) {
-                const float* p = jobs[j].plane + sx * 8;
-#ifdef __AVX2__
-                dct8_quant_avx2(p, w, jobs[j].invq, jobs[j].out);
-#else
+                const int16_t* p = jobs[j].plane + sx * 8;
                 for (int yy = 0; yy < 8; ++yy)
                     for (int xx = 0; xx < 8; ++xx)
-                        blkbuf[yy * 8 + xx] = p[yy * w + xx];
-                dct8_rows(blkbuf);
+                        blk[yy * 8 + xx] = p[yy * w + xx];
+                fdct8_islow(blk);
                 int16_t* o = jobs[j].out;
-                const float* iq = jobs[j].invq;
-                for (int i = 0; i < 64; ++i) o[i] = quant1(blkbuf[i], iq[i]);
-#endif
+                const int32_t* q4 = jobs[j].q4;
+                const float* q8f = jobs[j].q8f;
+                for (int i = 0; i < 64; ++i) {
+                    int32_t c = blk[i];
+                    int32_t mag = c < 0 ? -c : c;
+                    int32_t num = mag + q4[i];
+                    int32_t den = (int32_t)q8f[i];
+                    int32_t quot = (int32_t)__builtin_floorf((float)num / q8f[i]);
+                    int32_t rem = num - quot * den;
+                    if (rem < 0) quot -= 1;
+                    else if (rem >= den) quot += 1;
+                    o[i] = (int16_t)(c < 0 ? -quot : quot);
+                }
             }
         }
     }

@@ -8,23 +8,21 @@ The two band-level hot ops the accelerator owns end-to-end:
    (png-filter.ts:148-183) but one fused XLA program over (H, row_bytes).
    The VPU-shaped elementwise work fuses into two passes over the band.
 
-2. **JPEG color-convert + 8x8 DCT + quantize** (encode): RGB→YCbCr, level
-   shift, DCT as a pair of 8x8 matmuls (MXU-shaped, batched over every block
-   of the band), round-half-away quantization — the on-device half of the
-   reference's Rust WASM encoder (SURVEY §2 native item 1).
+2. **JPEG color-convert + 8x8 DCT + quantize** (encode): integer YCbCr,
+   level shift, fixed-point butterfly FDCT, exact integer quantization
+   (ops/jpeg_dct) — the on-device half of the reference's Rust WASM
+   encoder (SURVEY §2 native item 1).
 
 Both are jitted per input shape; band heights are constant through a stream,
 so each canvas size compiles exactly twice (full band + final partial band).
 
-Exactness: all integer paths (filter select, placement, conversion) are
-bit-exact by construction — PNG output is therefore byte-identical across
-every backend and every mesh sharding. JPEG's DCT runs in f32: quantized
-outputs are validated equal across tiers at production qualities on test
-content, but a 1-ULP difference between numpy, XLA, and GSPMD-resharded
-XLA programs can flip a round-half quantization tie in rare coefficients
-(observed on full-range noise), so JPEG *bytes* are guaranteed
-deterministic per (backend, mesh) configuration and pixel-equivalent
-(+-1 coefficient) across configurations — not bit-identical between them.
+Exactness: every path — filter select, placement, conversion, AND the JPEG
+quantize stage — is exact integer math, so both PNG and JPEG output bytes
+are bit-identical across numpy/XLA/C++ tiers and every mesh sharding, by
+construction. (Round 2 ran the DCT in f32, where 1-ULP association
+differences between tiers or GSPMD layouts could flip a round-half
+quantization tie; the integer pipeline in ops/jpeg_dct removed that whole
+failure class.)
 """
 
 from __future__ import annotations
@@ -203,105 +201,36 @@ def convert_band_trace(
 # --------------------------------------------------------------------------- #
 
 
-def _dct_matrix() -> np.ndarray:
-    k = np.arange(8)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    m = c * np.sqrt(2.0 / 8.0)
-    m[0, :] = np.sqrt(1.0 / 8.0)
-    return m.astype(np.float32)
-
-
-_DCT_M = _dct_matrix()
-
-
 def jpeg_quantize_trace(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
     """Pure traceable YCbCr + DCT + quantize (composable into fused programs).
 
-    band: (H, W, 4) uint8, H and W multiples of 8.
+    The exact integer pipeline (ops/jpeg_dct): int32 butterfly FDCT +
+    exactly-floored division, so quantized coefficients are bit-identical
+    to the numpy and C++ tiers AND invariant under any GSPMD resharding —
+    there is no floating-point accumulation anywhere to reassociate.
+
+    band: (H, W, >=3) uint8, H and W multiples of 8.
     Returns (y, cb, cr) quantized natural-order blocks, each
-    (H//8 * W//8, 64) int32, strip-major (row of blocks, then column).
+    (H//8 * W//8, 64) int16, strip-major (row of blocks, then column).
     """
-    h, w, _ = band.shape
-    r = band[:, :, 0].astype(jnp.float32)
-    g = band[:, :, 1].astype(jnp.float32)
-    b = band[:, :, 2].astype(jnp.float32)
-    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b  # 128 offset cancels shift
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    from .jpeg_dct import band_to_blocks_islow
 
-    dct = jnp.asarray(_DCT_M)
-
-    def one(plane: jax.Array, q: jax.Array) -> jax.Array:
-        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-        # precision='highest': full-f32 MXU passes so quantized coefficients
-        # match the host's f32 DCT (TPU matmuls otherwise use bf16 passes).
-        coefs = jnp.matmul(
-            jnp.matmul(
-                dct, blocks, preferred_element_type=jnp.float32, precision="highest"
-            ),
-            dct.T,
-            preferred_element_type=jnp.float32,
-            precision="highest",
-        )
-        scaled = coefs / q.reshape(8, 8).astype(jnp.float32)
-        rounded = jnp.where(
-            scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
-        )
-        # int16: quantized baseline coefficients are bounded by ~±1024;
-        # halving the transfer matters on latency-bound host links.
-        return rounded.astype(jnp.int16).reshape(-1, 64)
-
-    return one(y, luma_q), one(cb, chroma_q), one(cr, chroma_q)
+    return band_to_blocks_islow(band, luma_q, chroma_q, jnp)
 
 
 _jpeg_quantize_jit = jax.jit(jpeg_quantize_trace)
 
 
 def jpeg_quantize_420_trace(band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array):
-    """4:2:0 quantize: full-res Y, 2x2 box-averaged chroma (device
-    counterpart of codecs/jpeg/encoder._band_to_blocks_numpy_420).
+    """4:2:0 quantize: full-res Y, 2x2 box-averaged integer chroma (exact
+    integer pipeline; bit-identical to the numpy tier).
 
-    band: (16k, W, 4) uint8 with W % 16 == 0. Returns (y (4n, 64) in MCU
+    band: (16k, W, >=3) uint8 with W % 16 == 0. Returns (y (4n, 64) in MCU
     order [TL,TR,BL,BR], cb (n, 64), cr (n, 64)), n MCUs raster-major.
     """
-    h, w, _ = band.shape
-    r = band[:, :, 0].astype(jnp.float32)
-    g = band[:, :, 1].astype(jnp.float32)
-    b = band[:, :, 2].astype(jnp.float32)
-    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    from .jpeg_dct import band_to_blocks_islow_420
 
-    dct = jnp.asarray(_DCT_M)
-
-    def dct_blocks(plane: jax.Array, q: jax.Array) -> jax.Array:
-        hh, ww = plane.shape
-        blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-        coefs = jnp.matmul(
-            jnp.matmul(
-                dct, blocks, preferred_element_type=jnp.float32, precision="highest"
-            ),
-            dct.T,
-            preferred_element_type=jnp.float32,
-            precision="highest",
-        )
-        scaled = coefs / q.reshape(8, 8).astype(jnp.float32)
-        rounded = jnp.where(
-            scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5)
-        )
-        return rounded.astype(jnp.int16)
-
-    yq = dct_blocks(y, luma_q).reshape(h // 8, w // 8, 64)
-    yq = (
-        yq.reshape(h // 16, 2, w // 16, 2, 64)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1, 64)
-    )  # MCU order [TL, TR, BL, BR]
-    cb_s = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-    cr_s = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-    cbq = dct_blocks(cb_s, chroma_q).reshape(-1, 64)
-    crq = dct_blocks(cr_s, chroma_q).reshape(-1, 64)
-    return yq, cbq, crq
+    return band_to_blocks_islow_420(band, luma_q, chroma_q, jnp)
 
 
 # --------------------------------------------------------------------------- #
@@ -422,14 +351,6 @@ class JaxBackend:
     def jpeg_quantize_band_async(
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ):
-        if self._pallas:
-            from .pallas_kernels import jpeg_quantize_pallas
-
-            out = jpeg_quantize_pallas(
-                jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
-            )
-            _start_host_copy(out)
-            return out
         qjit = self._quantize_jit
         if self._mesh is not None and (
             band.shape[0] % self._mesh.shape["band"]

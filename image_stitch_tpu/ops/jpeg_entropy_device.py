@@ -527,10 +527,12 @@ def jpeg_encode_band_trace(
     blocks are additional outputs that are fetched *only* in the rare
     local-capacity-overflow fallback.
     """
+    # use_pallas is accepted for signature stability but ignored: the
+    # quantize stage is the exact integer pipeline (ops/jpeg_dct), pure
+    # elementwise int32 work with no MXU shape for a Pallas kernel to win.
+    del use_pallas
     if sampling == "420":
         from .device import jpeg_quantize_420_trace as _quantize
-    elif use_pallas:
-        from .pallas_kernels import jpeg_quantize_pallas as _quantize
     else:
         from .device import jpeg_quantize_trace as _quantize
 
@@ -780,10 +782,12 @@ def jpeg_encode_band_groups_trace(
     bit carry at all; the host pads each group's tail byte with 1s, stuffs,
     and joins groups with RSTn markers.
     """
+    # use_pallas is accepted for signature stability but ignored: the
+    # quantize stage is the exact integer pipeline (ops/jpeg_dct), pure
+    # elementwise int32 work with no MXU shape for a Pallas kernel to win.
+    del use_pallas
     if sampling == "420":
         from .device import jpeg_quantize_420_trace as _quantize
-    elif use_pallas:
-        from .pallas_kernels import jpeg_quantize_pallas as _quantize
     else:
         from .device import jpeg_quantize_trace as _quantize
 
@@ -842,9 +846,7 @@ class DeviceJpegEncoder:
         self._bit_base = jnp.int32(0)
         self._carry_val = 0  # host-side partial-byte value (bits = bit_base)
         self._cap_bits_per_px = cap_bits_per_px
-        from .pallas_kernels import pallas_enabled
-
-        self._use_pallas = mesh is None and pallas_enabled()
+        self._use_pallas = False  # quantize is integer-exact XLA now
         self._jit = jax.jit(
             jpeg_encode_band_trace,
             static_argnames=("cap_words", "use_pallas", "sampling", "local_words"),

@@ -8,8 +8,10 @@ the filtered bytes — the roofline for this op is pure HBM bandwidth.
 Kernels:
 - :func:`filter_select_pallas` — PNG filter selection over a band
   (semantics identical to png-filter.ts:148-183 / ops/device.py).
-- :func:`dct8_pallas` — batched 8x8 DCT + quantize for JPEG strips, using
-  MXU-shaped matmuls on (8, 128)-lane tiles.
+(The round-2 f32 DCT+quantize kernel is gone: the JPEG quantize stage is
+now the exact integer pipeline in ops/jpeg_dct — pure elementwise int32
+butterflies that XLA fuses as well as a hand kernel would, with no MXU
+matmul left to tile.)
 
 Each kernel has an ``interpret=True`` path used by the CPU test suite; on
 TPU they compile through Mosaic.
@@ -131,121 +133,6 @@ def filter_select_pallas(
         out[:h, :n],
         raw[-1],
     )
-
-
-# --------------------------------------------------------------------------- #
-# Batched 8x8 DCT + quantize
-# --------------------------------------------------------------------------- #
-
-
-def _dct_matrix() -> np.ndarray:
-    k = np.arange(8)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
-    m = c * np.sqrt(2.0 / 8.0)
-    m[0, :] = np.sqrt(1.0 / 8.0)
-    return m.astype(np.float32)
-
-
-def _dct_kernel(plane_ref, dctm_ref, mtbd_ref, qtile_ref, out_ref):
-    """One (8, 128) tile = 16 blocks side by side: DCT columns via one
-    (8,8)@(8,128) matmul, DCT rows via one (8,128)@(128,128) matmul against
-    a block-diagonal stack of 16 copies of M^T (Mosaic has no lane-dim 3D
-    reshape, and adding exact f32 zeros never changes a sum, so the
-    block-diagonal contraction is both legal and value-identical).
-
-    Bit-exactness: full-f32 matmuls (precision=HIGHEST, same association as
-    ops/device.jpeg_quantize_trace) and DIVISION by the quant table with the
-    same round-half-away — so pallas output == XLA trace == host numpy."""
-    x = plane_ref[:].astype(jnp.float32)  # (8, 128): 16 blocks of (8, 8)
-    m = dctm_ref[:]  # (8, 8)
-    cx = jnp.dot(
-        m, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )  # (8, 128)
-    coefs = jnp.dot(
-        cx,
-        mtbd_ref[:],  # (128, 128) block-diag of M^T
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (8, 128)
-    scaled = coefs / qtile_ref[:]  # (8, 128) q tiled 16x along lanes
-    rounded = jnp.where(scaled >= 0, jnp.floor(scaled + 0.5), jnp.ceil(scaled - 0.5))
-    out_ref[:] = rounded.astype(jnp.int16)
-
-
-@functools.lru_cache(maxsize=1)
-def _mt_block_diag() -> np.ndarray:
-    m = _dct_matrix()
-    bd = np.zeros((128, 128), dtype=np.float32)
-    for j in range(16):
-        bd[j * 8 : (j + 1) * 8, j * 8 : (j + 1) * 8] = m.T
-    return bd
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dct8_pallas(plane: jax.Array, qtable: jax.Array, interpret: bool = False):
-    """plane: (H, W) float32 level-shifted samples, H%8==0, W%128==0.
-    Returns (H/8 * W/8, 64) int16 quantized blocks in strip-major order."""
-    h, w = plane.shape
-    dctm = jnp.asarray(_dct_matrix())
-    mtbd = jnp.asarray(_mt_block_diag())
-    q8 = qtable.reshape(8, 8).astype(jnp.float32)
-    qtile = jnp.tile(q8, (1, 16))  # (8, 128)
-    grid = (h // 8, w // 128)
-    out = pl.pallas_call(
-        _dct_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int16),
-        interpret=interpret,
-    )(plane, dctm, mtbd, qtile)
-    # (H, W) coefficient layout -> strip-major (H/8 * W/8, 64) natural-order
-    # blocks (an XLA reshape outside the kernel, fused into the consumer).
-    return (
-        out.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
-    )
-
-
-# --------------------------------------------------------------------------- #
-# Full JPEG quantize stage (YCbCr + DCT + quantize) via the pallas DCT
-# --------------------------------------------------------------------------- #
-
-
-def jpeg_quantize_pallas(
-    band: jax.Array, luma_q: jax.Array, chroma_q: jax.Array, interpret: bool = False
-):
-    """Drop-in for ops/device.jpeg_quantize_trace using dct8_pallas.
-
-    band: (H, W, 4) uint8, H%8 == 0, W%8 == 0. Width is padded to the
-    128-lane tile internally; the padded blocks are sliced away, so block
-    order and values match the XLA trace exactly.
-    """
-    h, w, _ = band.shape
-    r = band[:, :, 0].astype(jnp.float32)
-    g = band[:, :, 1].astype(jnp.float32)
-    b = band[:, :, 2].astype(jnp.float32)
-    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
-
-    w_pad = max(128, -(-w // 128) * 128)
-
-    def one(plane, q):
-        if w_pad != w:
-            plane = jnp.pad(plane, ((0, 0), (0, w_pad - w)))
-        blocks = dct8_pallas(plane, q, interpret=interpret)
-        if w_pad != w:
-            blocks = blocks.reshape(h // 8, w_pad // 8, 64)[:, : w // 8].reshape(
-                -1, 64
-            )
-        return blocks
-
-    return one(y, luma_q), one(cb, chroma_q), one(cr, chroma_q)
 
 
 def pallas_enabled() -> bool:

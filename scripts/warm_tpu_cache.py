@@ -112,24 +112,9 @@ def main() -> None:
         lambda: jax.jit(dev.jpeg_quantize_trace).lower(band, qt, qt).compile(),
     )
 
-    # 5. Pallas kernels (Mosaic compiles; also their fused variants)
-    from image_stitch_tpu.ops.pallas_kernels import (
-        dct8_pallas, filter_select_pallas, jpeg_quantize_pallas,
-    )
+    # 5. Pallas kernels (Mosaic compiles)
+    from image_stitch_tpu.ops.pallas_kernels import filter_select_pallas
 
-    plane = S((BAND_H, CANVAS_W), jnp.float32)
-    timed(
-        "pallas dct8",
-        lambda: jax.jit(dct8_pallas, static_argnames=("interpret",))
-        .lower(plane, qt)
-        .compile(),
-    )
-    timed(
-        "pallas quantize stage",
-        lambda: jax.jit(jpeg_quantize_pallas)
-        .lower(band, qt, qt)
-        .compile(),
-    )
     timed(
         "pallas filter_select",
         lambda: jax.jit(

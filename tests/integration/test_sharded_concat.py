@@ -69,9 +69,9 @@ def test_sharded_jpeg_bytes_match_host(tiles):
 @pytest.mark.parametrize("ri", [1, 2])
 def test_sharded_jpeg_restart_groups_match_host(tiles, ri):
     """Restart groups are the parallel-entropy unit: byte-aligned, DC-reset,
-    packed per-device — byte-identical to the sequential host coder on this
-    content (the entropy layer is exact by construction; only f32 DCT ties
-    could ever differ, see ops/device.py)."""
+    packed per-device — byte-identical to the sequential host coder. Both
+    the entropy layer and the quantize stage (ops/jpeg_dct integer
+    pipeline) are exact by construction, so this holds for ANY content."""
     kw = {"outputFormat": "jpeg", "jpeg_restart_interval_rows": ri}
     shard = _run(tiles, mesh=8, **kw)
     host = _run(tiles, backend="numpy", **kw)
@@ -132,9 +132,9 @@ def test_mesh_oversubscription_rejected(tiles):
 
 
 def test_mesh_sharded_matches_single_device_at_q100(tiles):
-    """Pins mesh-vs-single byte equality on this fixed content at q100.
-    (Not a universal JPEG guarantee: resharding can flip rare f32 DCT ties
-    on extreme content — see ops/device.py; PNG is unconditionally exact.)"""
+    """Mesh-vs-single byte equality at q100, where every quantization
+    rounding boundary is exposed (q=1 steps). Exact for any content since
+    the integer quantize pipeline (ops/jpeg_dct) has no f32 ties."""
     kw = {"outputFormat": "jpeg", "jpegQuality": 100, "jpeg_restart_interval_rows": 1}
     shard = _run(tiles, mesh=8, **kw)
     single = _run(tiles, backend="jax", **kw)
@@ -143,8 +143,7 @@ def test_mesh_sharded_matches_single_device_at_q100(tiles):
 
 def test_sharded_png_exact_on_full_range_noise():
     """PNG's pipeline is all-integer: byte equality holds for ANY content
-    and ANY mesh factoring (unlike JPEG's f32 quantize, whose rare
-    round-half ties may flip under resharding — see ops/device.py)."""
+    and ANY mesh factoring."""
     rng = np.random.default_rng(123)
     arrs = [rng.integers(0, 256, (128, 128, 4), dtype=np.uint8) for _ in range(4)]
     host = concat_to_buffer({"inputs": arrs, "layout": {"columns": 2}, "backend": "numpy"})
@@ -172,9 +171,31 @@ def test_mesh_sizes_png_bytes_match_host(tiles, n_dev):
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_mesh_sizes_jpeg_restart_groups_match_host(tiles, n_dev):
     """Restart-group entropy coding is the parallel unit: byte-exact vs
-    host on the test content for smaller meshes too."""
+    host for every mesh size (exact integer pipeline end to end)."""
     host = _run(tiles, backend="numpy", outputFormat="jpeg",
                 jpegRestartIntervalRows=1)
     sharded = _run(tiles, mesh=n_dev, outputFormat="jpeg",
                    jpegRestartIntervalRows=1)
     assert sharded == host
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_jpeg_exact_on_full_range_noise(n_dev):
+    """JPEG bytes are now mesh-invariant UNCONDITIONALLY (VERDICT r2 item
+    4): the quantize stage is exact integer math (ops/jpeg_dct), so there
+    is no f32 round-half tie left for GSPMD resharding to flip. Full-range
+    noise maximizes coefficient/rounding-boundary coverage; saturated
+    checkerboards (the content that exposed tie flips in the f32 era) are
+    mixed in."""
+    rng = np.random.default_rng(321)
+    arrs = [rng.integers(0, 256, (96, 96, 4), dtype=np.uint8) for _ in range(3)]
+    sat = np.zeros((96, 96, 4), np.uint8)
+    sat[..., 0] = 255
+    sat[..., 2] = (rng.integers(0, 2, (96, 96)) * 255).astype(np.uint8)
+    sat[..., 3] = 255
+    arrs.append(sat)
+    kw = {"layout": {"columns": 2}, "outputFormat": "jpeg",
+          "jpeg_restart_interval_rows": 1}
+    host = concat_to_buffer({"inputs": arrs, "backend": "numpy", **kw})
+    shard = concat_to_buffer({"inputs": arrs, "mesh": n_dev, **kw})
+    assert shard == host
