@@ -668,6 +668,127 @@ static void fdct8_islow(int32_t* b) {  // 64 level-shifted samples, row-major
     for (int i = 0; i < 8; ++i) fdct8_pass(b + i, 8, 1);
 }
 
+#ifdef __AVX2__
+// ---- AVX2 islow: one block per call, lanes = the 8 in-block positions.
+// Same integer math as fdct8_pass, so bit-identical to every other tier.
+
+static inline void avx_transpose8x8(__m256i v[8]) {
+    __m256i t0 = _mm256_unpacklo_epi32(v[0], v[1]);
+    __m256i t1 = _mm256_unpackhi_epi32(v[0], v[1]);
+    __m256i t2 = _mm256_unpacklo_epi32(v[2], v[3]);
+    __m256i t3 = _mm256_unpackhi_epi32(v[2], v[3]);
+    __m256i t4 = _mm256_unpacklo_epi32(v[4], v[5]);
+    __m256i t5 = _mm256_unpackhi_epi32(v[4], v[5]);
+    __m256i t6 = _mm256_unpacklo_epi32(v[6], v[7]);
+    __m256i t7 = _mm256_unpackhi_epi32(v[6], v[7]);
+    __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+    __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+    __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+    __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+    __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+    __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+    __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+    __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+    v[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+    v[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+    v[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+    v[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+    v[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+    v[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+    v[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+    v[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+static inline __m256i avx_descale(__m256i x, int n) {
+    return _mm256_srai_epi32(
+        _mm256_add_epi32(x, _mm256_set1_epi32(1 << (n - 1))), n);
+}
+
+static inline __m256i avx_mulc(__m256i x, int c) {
+    return _mm256_mullo_epi32(x, _mm256_set1_epi32(c));
+}
+
+// One butterfly pass over d[0..7] (each a ymm of 8 parallel instances).
+static inline void avx_fdct_pass(__m256i d[8], int final_pass) {
+    __m256i t0 = _mm256_add_epi32(d[0], d[7]), t7 = _mm256_sub_epi32(d[0], d[7]);
+    __m256i t1 = _mm256_add_epi32(d[1], d[6]), t6 = _mm256_sub_epi32(d[1], d[6]);
+    __m256i t2 = _mm256_add_epi32(d[2], d[5]), t5 = _mm256_sub_epi32(d[2], d[5]);
+    __m256i t3 = _mm256_add_epi32(d[3], d[4]), t4 = _mm256_sub_epi32(d[3], d[4]);
+    __m256i t10 = _mm256_add_epi32(t0, t3), t13 = _mm256_sub_epi32(t0, t3);
+    __m256i t11 = _mm256_add_epi32(t1, t2), t12 = _mm256_sub_epi32(t1, t2);
+    int shift;
+    if (final_pass) {
+        d[0] = avx_descale(_mm256_add_epi32(t10, t11), STITCH_PASS1_BITS);
+        d[4] = avx_descale(_mm256_sub_epi32(t10, t11), STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS + STITCH_PASS1_BITS;
+    } else {
+        d[0] = _mm256_slli_epi32(_mm256_add_epi32(t10, t11), STITCH_PASS1_BITS);
+        d[4] = _mm256_slli_epi32(_mm256_sub_epi32(t10, t11), STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS - STITCH_PASS1_BITS;
+    }
+    __m256i z1 = avx_mulc(_mm256_add_epi32(t12, t13), 4433);
+    d[2] = avx_descale(_mm256_add_epi32(z1, avx_mulc(t13, 6270)), shift);
+    d[6] = avx_descale(_mm256_sub_epi32(z1, avx_mulc(t12, 15137)), shift);
+    z1 = _mm256_add_epi32(t4, t7);
+    __m256i z2 = _mm256_add_epi32(t5, t6);
+    __m256i z3 = _mm256_add_epi32(t4, t6);
+    __m256i z4 = _mm256_add_epi32(t5, t7);
+    __m256i z5 = avx_mulc(_mm256_add_epi32(z3, z4), 9633);
+    t4 = avx_mulc(t4, 2446);
+    t5 = avx_mulc(t5, 16819);
+    t6 = avx_mulc(t6, 25172);
+    t7 = avx_mulc(t7, 12299);
+    z1 = avx_mulc(z1, -7373);
+    z2 = avx_mulc(z2, -20995);
+    z3 = _mm256_add_epi32(avx_mulc(z3, -16069), z5);
+    z4 = _mm256_add_epi32(avx_mulc(z4, -3196), z5);
+    d[7] = avx_descale(_mm256_add_epi32(_mm256_add_epi32(t4, z1), z3), shift);
+    d[5] = avx_descale(_mm256_add_epi32(_mm256_add_epi32(t5, z2), z4), shift);
+    d[3] = avx_descale(_mm256_add_epi32(_mm256_add_epi32(t6, z2), z3), shift);
+    d[1] = avx_descale(_mm256_add_epi32(_mm256_add_epi32(t7, z1), z4), shift);
+}
+
+// Fused islow FDCT + exact quantize, one 8x8 block from an int16 plane
+// (stride in elements). q4v/q8fv: per-row constants (see caller).
+static void fdct8_quant_avx2(const int16_t* p, int64_t stride,
+                             const __m256i* q4v, const __m256* q8fv,
+                             const __m256i* q8iv, int16_t* out) {
+    __m256i v[8];
+    for (int y = 0; y < 8; ++y)
+        v[y] = _mm256_cvtepi16_epi32(
+            _mm_loadu_si128((const __m128i*)(p + y * stride)));
+    // Row pass needs vectors indexed by x with lanes = y.
+    avx_transpose8x8(v);
+    avx_fdct_pass(v, 0);
+    // Column pass needs vectors indexed by y with lanes = u.
+    avx_transpose8x8(v);
+    avx_fdct_pass(v, 1);
+    // v[w] now holds coefficient row w (lanes = x-frequency).
+    for (int w = 0; w < 8; ++w) {
+        __m256i c = v[w];
+        __m256i mag = _mm256_abs_epi32(c);
+        __m256i num = _mm256_add_epi32(mag, q4v[w]);
+        __m256 quotf = _mm256_floor_ps(
+            _mm256_div_ps(_mm256_cvtepi32_ps(num), q8fv[w]));
+        __m256i quot = _mm256_cvttps_epi32(quotf);
+        // Exact integer floor-correction (TPU-parity semantics; a no-op
+        // for IEEE division but keeps every tier's definition identical).
+        __m256i rem = _mm256_sub_epi32(num, _mm256_mullo_epi32(quot, q8iv[w]));
+        __m256i neg = _mm256_srai_epi32(rem, 31);  // rem < 0 -> all ones
+        __m256i geq = _mm256_or_si256(
+            _mm256_cmpgt_epi32(rem, q8iv[w]),
+            _mm256_cmpeq_epi32(rem, q8iv[w]));
+        quot = _mm256_add_epi32(quot, neg);                       // -1 where rem<0
+        quot = _mm256_sub_epi32(quot, geq);                       // +1 where rem>=den
+        __m256i sign = _mm256_srai_epi32(c, 31);
+        quot = _mm256_sub_epi32(_mm256_xor_si256(quot, sign), sign);
+        __m128i lo = _mm256_castsi256_si128(quot);
+        __m128i hi = _mm256_extracti128_si256(quot, 1);
+        _mm_storeu_si128((__m128i*)(out + w * 8), _mm_packs_epi32(lo, hi));
+    }
+}
+#endif
+
 void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                          const int32_t* lq, const int32_t* cq,
                          int16_t* yout, int16_t* cbout, int16_t* crout) {
@@ -684,6 +805,20 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         l8f[i] = (float)(8 * lq[i]);
         c8f[i] = (float)(8 * cq[i]);
     }
+#ifdef __AVX2__
+    __m256i l4v[8], c4v[8], l8iv[8], c8iv[8];
+    __m256 l8fv[8], c8fv[8];
+    for (int r = 0; r < 8; ++r) {
+        l4v[r] = _mm256_loadu_si256((const __m256i*)(l4 + r * 8));
+        c4v[r] = _mm256_loadu_si256((const __m256i*)(c4 + r * 8));
+        l8fv[r] = _mm256_loadu_ps(l8f + r * 8);
+        c8fv[r] = _mm256_loadu_ps(c8f + r * 8);
+        int32_t li[8], ci[8];
+        for (int k = 0; k < 8; ++k) { li[k] = 8 * lq[r * 8 + k]; ci[k] = 8 * cq[r * 8 + k]; }
+        l8iv[r] = _mm256_loadu_si256((const __m256i*)li);
+        c8iv[r] = _mm256_loadu_si256((const __m256i*)ci);
+    }
+#endif
     int64_t bx = w / 8;
     // Strip-at-a-time: convert 8 interleaved RGBA rows into three planar
     // (8, w) int16 buffers (level-shifted) with one contiguous sweep
@@ -706,13 +841,26 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         }
         for (int64_t sx = 0; sx < bx; ++sx) {
             int64_t blkidx = sy * bx + sx;
+#ifdef __AVX2__
+            const struct { const int16_t* plane; const __m256i* q4v;
+                           const __m256* q8fv; const __m256i* q8iv;
+                           int16_t* out; } jobs[3] = {
+                {yp, l4v, l8fv, l8iv, yout + blkidx * 64},
+                {cbp, c4v, c8fv, c8iv, cbout + blkidx * 64},
+                {crp, c4v, c8fv, c8iv, crout + blkidx * 64}};
+#else
             const struct { const int16_t* plane; const int32_t* q4;
                            const float* q8f; int16_t* out; } jobs[3] = {
                 {yp, l4, l8f, yout + blkidx * 64},
                 {cbp, c4, c8f, cbout + blkidx * 64},
                 {crp, c4, c8f, crout + blkidx * 64}};
+#endif
             for (int j = 0; j < 3; ++j) {
                 const int16_t* p = jobs[j].plane + sx * 8;
+#ifdef __AVX2__
+                fdct8_quant_avx2(p, w, jobs[j].q4v, jobs[j].q8fv,
+                                 jobs[j].q8iv, jobs[j].out);
+#else
                 for (int yy = 0; yy < 8; ++yy)
                     for (int xx = 0; xx < 8; ++xx)
                         blk[yy * 8 + xx] = p[yy * w + xx];
@@ -731,6 +879,7 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                     else if (rem >= den) quot += 1;
                     o[i] = (int16_t)(c < 0 ? -quot : quot);
                 }
+#endif
             }
         }
     }
