@@ -365,10 +365,18 @@ class StreamingJpegEncoder:
                 yield data
 
     def encode_band(self, band: np.ndarray) -> Iterator[bytes]:
-        """Consume an (h, W, 4) uint8 band; yields encoded bytes."""
+        """Consume an (h, W, 4) uint8 band; yields encoded bytes.
+
+        Accepts a device-resident (jax) array when the device encoder is
+        active: the fused positioned path hands the composited band over
+        without a host round trip, and all band bookkeeping (pending
+        concat, edge padding, carry rows) stays on-device as lazy ops.
+        """
         if self._finished:
             raise StitchError("JPEG encoder already finished")
-        band = np.asarray(band, dtype=np.uint8)
+        is_device = not isinstance(band, np.ndarray)
+        if not is_device:
+            band = np.asarray(band, dtype=np.uint8)
         if band.shape[1] != self.width:
             raise StitchError(
                 f"Band width {band.shape[1]} != encoder width {self.width}"
@@ -377,8 +385,21 @@ class StreamingJpegEncoder:
             self._header_emitted = True
             yield self._header_bytes()
         if self._pending is not None:
-            band = np.concatenate([self._pending, band], axis=0)
+            if is_device or not isinstance(self._pending, np.ndarray):
+                import jax.numpy as jnp
+
+                band = jnp.concatenate(
+                    [jnp.asarray(self._pending), jnp.asarray(band)], axis=0
+                )
+                is_device = True
+            else:
+                band = np.concatenate([self._pending, band], axis=0)
             self._pending = None
+        xp = np
+        if is_device:
+            import jax.numpy as jnp
+
+            xp = jnp
         # Fused device path with restarts: submit whole restart groups only
         # (groups pack independently on device; a shorter group is legal only
         # as the image tail, handled in finish()).
@@ -394,8 +415,8 @@ class StreamingJpegEncoder:
                 # band (device computes + packs bits), emit the previous
                 # band's bytes meanwhile.
                 if self._pad_w:
-                    full = np.concatenate(
-                        [full, np.repeat(full[:, -1:, :], self._pad_w, axis=1)],
+                    full = xp.concatenate(
+                        [full, xp.repeat(full[:, -1:, :], self._pad_w, axis=1)],
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(full)
@@ -410,9 +431,10 @@ class StreamingJpegEncoder:
                 yield from self._emit_blocks(yb, cbb, crb)
         rest = band[n_full * self._mcu_h :]
         if rest.shape[0]:
-            self._pending = rest.copy()
+            # Device arrays are immutable: keep the lazy slice as-is.
+            self._pending = rest.copy() if not is_device else rest
         if band.shape[0]:
-            self._last_row = band[-1:].copy()
+            self._last_row = band[-1:].copy() if not is_device else band[-1:]
 
     def encode_strip_bytes(self, strip_rgba: bytes | np.ndarray) -> Iterator[bytes]:
         """Reference-shaped API: raw RGBA strip bytes of <=8 rows
@@ -432,23 +454,28 @@ class StreamingJpegEncoder:
             self._header_emitted = True
             out += self._header_bytes()
         part = None
+        part_xp = np
         if self._pending is not None and self._pending.shape[0]:
             part = self._pending
             self._pending = None
+            if not isinstance(part, np.ndarray):
+                import jax.numpy as jnp
+
+                part_xp = jnp
             # Pending may exceed one MCU strip in restart mode (group-aligned
             # holdback); pad to the next MCU-height multiple.
             pad_rows = (-part.shape[0]) % self._mcu_h
             if pad_rows:
-                part = np.concatenate(
-                    [part, np.repeat(part[-1:], pad_rows, axis=0)], axis=0
+                part = part_xp.concatenate(
+                    [part, part_xp.repeat(part[-1:], pad_rows, axis=0)], axis=0
                 )
         if self._dev_encoder is not None:
             # Drain the fused device pipeline; the padded partial strip goes
             # through the same device path so the carry chain stays on device.
             if part is not None:
                 if self._pad_w:
-                    part = np.concatenate(
-                        [part, np.repeat(part[:, -1:, :], self._pad_w, axis=1)],
+                    part = part_xp.concatenate(
+                        [part, part_xp.repeat(part[:, -1:, :], self._pad_w, axis=1)],
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(part)

@@ -661,7 +661,17 @@ class CoreStreamingConcatenator:
                 for seg in segs:
                     seg_rows.append(pull_seg(seg))
             if compositor is not None and seg_rows:
-                blended = compositor.composite_band(canvas, seg_rows)
+                # Device handoff: the blended band stays resident on the
+                # accelerator and flows straight into the encode program
+                # (filter-select / JPEG quantize+entropy) — one h2d (the
+                # segment pixels) and one d2h (the encoded output) per
+                # band, instead of round-tripping the canvas twice
+                # (VERDICT r2 item 5). The compositor only exists when the
+                # encode side resolves to the jax backend, so the device
+                # array is always consumed by a device program.
+                blended = compositor.composite_band(
+                    canvas, seg_rows, return_device=True
+                )
                 if blended is not None:
                     yield blended
                     continue
@@ -720,12 +730,18 @@ class CoreStreamingConcatenator:
         # + async readback), then deflate band N-1 on the host. The filter
         # carry (previous raw row) is input data, so submission never waits
         # on device results.
-        prev_row: np.ndarray | None = None
+        prev_row = None
         pending = None
         for canvas in bands:
             self.stats.record_band(canvas.shape[0], canvas.shape[1])
             handle = backend.png_filter_band_async(canvas, prev_row)
-            prev_row = band_to_bytes(canvas[-1:])[0]
+            if isinstance(canvas, np.ndarray):
+                prev_row = band_to_bytes(canvas[-1:])[0]
+            else:
+                # Device-resident band (fused positioned path): slice the
+                # carry row on-device — uint8 only (the device compositor
+                # never hands off 16-bit bands).
+                prev_row = canvas[-1:].reshape(-1)
             if pending is not None:
                 yield from emit(pending)
             pending = handle

@@ -72,15 +72,26 @@ def _alpha_over_window_u8(dest: jax.Array, src: jax.Array, valid: jax.Array):
     return out, tie
 
 
-def _composite_band_trace(canvas: jax.Array, srcs: jax.Array, metas: jax.Array):
-    """Blend S z-ordered segments into a padded band canvas.
+def _composite_band_trace(bg: jax.Array, srcs: jax.Array, metas: jax.Array,
+                          hp: int, wp: int, mesh=None):
+    """Blend S z-ordered segments into a padded band canvas built on-device.
 
-    canvas: (Hp, Wp, 4) uint8, padded by (hmax, wmax) bottom/right so every
-    window slice is in bounds. srcs: (S, hmax, wmax, 4) uint8 (padding rows/
-    cols have alpha 0 = no-op). metas: (S, 4) int32 rows (y0, x0, h, w).
-    Returns (canvas, tie_count).
+    bg: (4,) uint8 uniform background pixel — the canvas is constructed
+    INSIDE the program (positioned bands always start from a background
+    fill), so no canvas bytes ever cross the host->device link; only the
+    segment pixels do. hp/wp: static padded canvas dims (canvas + hmax/
+    wmax so every window slice is in bounds). srcs: (S, hmax, wmax, 4)
+    uint8 (padding rows/cols have alpha 0 = no-op). metas: (S, 4) int32
+    rows (y0, x0, h, w). Returns (canvas (hp, wp, 4), tie_count).
     """
     s_count, hmax, wmax, _ = srcs.shape
+    canvas = jnp.broadcast_to(bg, (hp, wp, 4)).astype(jnp.uint8)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        canvas = jax.lax.with_sharding_constraint(
+            canvas, NamedSharding(mesh, P("band", "x", None))
+        )
     rows = jnp.arange(hmax, dtype=jnp.int32)[:, None]
     cols = jnp.arange(wmax, dtype=jnp.int32)[None, :]
 
@@ -102,20 +113,13 @@ def _composite_band_trace(canvas: jax.Array, srcs: jax.Array, metas: jax.Array):
 
 @functools.lru_cache(maxsize=64)
 def _composite_jit(mesh=None):
-    if mesh is None:
-        return jax.jit(_composite_band_trace)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     # Segments run in z-order (sequential scan); parallelism is spatial:
-    # canvas rows over 'band', columns over 'x'. XLA inserts the halo/
-    # gather collectives for the dynamic window slices.
+    # canvas rows over 'band', columns over 'x' (constraint inside the
+    # trace). XLA inserts the halo/gather collectives for the dynamic
+    # window slices.
     return jax.jit(
-        _composite_band_trace,
-        in_shardings=(
-            NamedSharding(mesh, P("band", "x", None)),
-            NamedSharding(mesh, P()),
-            NamedSharding(mesh, P()),
-        ),
+        functools.partial(_composite_band_trace, mesh=mesh),
+        static_argnames=("hp", "wp"),
     )
 
 
@@ -132,13 +136,19 @@ class DeviceCompositor:
         self.bands_fallback = 0
 
     def composite_band(
-        self, canvas: np.ndarray, segments: list[tuple[np.ndarray, int, int]]
-    ) -> np.ndarray | None:
+        self, canvas: np.ndarray, segments: list[tuple[np.ndarray, int, int]],
+        return_device: bool = False,
+    ):
         """Blend ``segments`` = [(rows (h, w, 4) uint8, band_y0, start_x)]
-        (z-sorted, back to front) into ``canvas`` (H, W, 4) uint8.
+        (z-sorted, back to front) into ``canvas`` (H, W, 4) uint8. The
+        canvas must be a uniform background fill (positioned bands always
+        are — core fills bg before compositing); only its corner pixel and
+        shape are read, the fill itself happens on-device.
 
-        Returns the blended band, or None when this band must take the host
-        oracle (16-bit, or an exact rational tie was detected).
+        Returns the blended band — a DEVICE array when ``return_device``
+        (the fused positioned->encode path consumes it without a host
+        round trip) — or None when this band must take the host oracle
+        (16-bit, or an exact rational tie was detected).
         """
         if canvas.dtype != np.uint8 or not segments:
             return None
@@ -152,13 +162,15 @@ class DeviceCompositor:
         for i, (rows, y0, x0) in enumerate(segments):
             srcs[i, : rows.shape[0], : rows.shape[1]] = rows
             metas[i] = (y0, x0, rows.shape[0], rows.shape[1])
-        padded = np.zeros((h_canvas + hmax, w_canvas + wmax, 4), dtype=np.uint8)
-        padded[:h_canvas, :w_canvas] = canvas
-        out, ties = _composite_jit(self._mesh)(padded, srcs, metas)
+        bg = np.ascontiguousarray(canvas[0, 0])
+        out, ties = _composite_jit(self._mesh)(
+            bg, srcs, metas, hp=h_canvas + hmax, wp=w_canvas + wmax
+        )
         if int(ties):
             # Exact rational tie: float64 rounding may differ — replay the
             # band through the host oracle (see module docstring).
             self.bands_fallback += 1
             return None
         self.bands_on_device += 1
-        return np.asarray(out)[:h_canvas, :w_canvas]
+        result = out[:h_canvas, :w_canvas]
+        return result if return_device else np.asarray(result)

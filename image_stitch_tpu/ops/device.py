@@ -328,8 +328,16 @@ class JaxBackend:
             if pad:
                 # Edge replication keeps the 'last raw row' output exact.
                 raw = jnp.concatenate([raw, jnp.repeat(raw[-1:], pad, axis=0)])
-            if raw.shape[1] % nx:
+            rows_only = bool(raw.shape[1] % nx)
+            if rows_only:
                 fjit = self._filter_jit_rows_only
+            if not isinstance(canvas, np.ndarray):
+                # Device-resident band (fused positioned handoff): committed
+                # arrays must match the jit's in_sharding — reshard lazily.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P("band", None) if rows_only else P("band", "x")
+                raw = jax.device_put(raw, NamedSharding(self._mesh, spec))
         out = fjit(raw, prev, bpp)
         _start_host_copy(out)
         return (out, h) if self._mesh is not None else out
@@ -352,16 +360,22 @@ class JaxBackend:
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ):
         qjit = self._quantize_jit
-        if self._mesh is not None and (
+        divisible = self._mesh is not None and not (
             band.shape[0] % self._mesh.shape["band"]
             or band.shape[1] % self._mesh.shape["x"]
-        ):
+        )
+        if self._mesh is not None and not divisible:
             # Indivisible band: run unsharded (padding would add MCUs and
             # change the encoded stream).
             qjit = _jpeg_quantize_jit
-        out = qjit(
-            jnp.asarray(band), jnp.asarray(luma_q), jnp.asarray(chroma_q)
-        )
+        band_j = jnp.asarray(band)
+        if divisible and not isinstance(band, np.ndarray):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            band_j = jax.device_put(
+                band_j, NamedSharding(self._mesh, P("band", "x", None))
+            )
+        out = qjit(band_j, jnp.asarray(luma_q), jnp.asarray(chroma_q))
         _start_host_copy(out)
         return out
 

@@ -953,7 +953,16 @@ class DeviceJpegEncoder:
             n_groups = (mcu_rows - tail_rows) // ri
             px_per_group = ri * mcu_px * band.shape[1]
             cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
-            out = self._groups_jit_for(main.shape)(
+            jit_g = self._groups_jit_for(main.shape)
+            if jit_g is self._jit_groups and self._mesh is not None:
+                # Committed device arrays (fused positioned handoff) must
+                # match the sharded jit's in_sharding — reshard lazily.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                main = jax.device_put(
+                    main, NamedSharding(self._mesh, P("band", "x", None))
+                )
+            out = jit_g(
                 main, self._lq, self._cq, self._luts, n_groups, cap_words,
                 self._use_pallas, self._sampling, self._local_words,
             )
