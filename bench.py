@@ -179,9 +179,15 @@ def build_config(backend: str):
                 )
             )
         opts = {**base, "inputs": inputs, "layout": {"width": side, "height": side}}
-        warm = {**base, "inputs": inputs[:3], "layout": {"width": side, "height": side}}
+        fmt = os.environ.get("BENCH_FORMAT", "png")
+        if fmt == "jpeg":
+            # Fused positioned->JPEG: composite + quantize + entropy all
+            # on-device; only compressed bits cross the link back.
+            opts.update({"outputFormat": "jpeg", "jpegQuality": QUALITY})
+        warm = {**opts, "inputs": inputs[:3]}
         mp = side * side / 1e6
-        name = f"positioned: background + 50 alpha sprites ({side}px) -> PNG"
+        name = (f"positioned: background + 50 alpha sprites ({side}px) "
+                f"-> {fmt.upper()}")
     elif CONFIG == "pngsuite":
         suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tests", "fixtures", "pngsuite")

@@ -72,20 +72,25 @@ def _alpha_over_window_u8(dest: jax.Array, src: jax.Array, valid: jax.Array):
     return out, tie
 
 
-def _composite_band_trace(bg: jax.Array, srcs: jax.Array, metas: jax.Array,
-                          hp: int, wp: int, mesh=None):
-    """Blend S z-ordered segments into a padded band canvas built on-device.
+def _composite_run_trace(canvas: jax.Array, srcs: jax.Array, metas: jax.Array,
+                         mesh=None):
+    """Blend one RUN of z-ordered, same-size-bucket segments into the band.
 
-    bg: (4,) uint8 uniform background pixel — the canvas is constructed
-    INSIDE the program (positioned bands always start from a background
-    fill), so no canvas bytes ever cross the host->device link; only the
-    segment pixels do. hp/wp: static padded canvas dims (canvas + hmax/
-    wmax so every window slice is in bounds). srcs: (S, hmax, wmax, 4)
+    canvas: (H, W, 4) uint8 (unpadded; padded inside by the run's window
+    dims so every dynamic slice is in bounds). srcs: (S, hmax, wmax, 4)
     uint8 (padding rows/cols have alpha 0 = no-op). metas: (S, 4) int32
-    rows (y0, x0, h, w). Returns (canvas (hp, wp, 4), tie_count).
+    rows (y0, x0, h, w). Returns (canvas (H, W, 4), tie_count).
+
+    Segments are grouped into runs by size bucket BEFORE this program
+    (DeviceCompositor.composite_band): padding every segment to the
+    band-wide maximum made a background-plus-sprites scene upload ~64x
+    the real pixels (measured 0.5 MP/s end-to-end); per-run buckets keep
+    the upload proportional to actual segment area while the z-order is
+    preserved run to run.
     """
     s_count, hmax, wmax, _ = srcs.shape
-    canvas = jnp.broadcast_to(bg, (hp, wp, 4)).astype(jnp.uint8)
+    h_canvas, w_canvas = canvas.shape[:2]
+    canvas = jnp.pad(canvas, ((0, hmax), (0, wmax), (0, 0)))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -108,18 +113,34 @@ def _composite_band_trace(bg: jax.Array, srcs: jax.Array, metas: jax.Array,
     (canvas, ties), _ = jax.lax.scan(
         step, (canvas, jnp.int32(0)), (srcs, metas)
     )
-    return canvas, ties
+    return canvas[:h_canvas, :w_canvas], ties
 
 
-@functools.lru_cache(maxsize=64)
+def _bg_canvas_trace(bg: jax.Array, h: int, w: int, mesh=None):
+    """Build the uniform background canvas on-device (no canvas h2d)."""
+    canvas = jnp.broadcast_to(bg, (h, w, 4)).astype(jnp.uint8)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        canvas = jax.lax.with_sharding_constraint(
+            canvas, NamedSharding(mesh, P("band", "x", None))
+        )
+    return canvas
+
+
+@functools.lru_cache(maxsize=8)
 def _composite_jit(mesh=None):
     # Segments run in z-order (sequential scan); parallelism is spatial:
-    # canvas rows over 'band', columns over 'x' (constraint inside the
-    # trace). XLA inserts the halo/gather collectives for the dynamic
-    # window slices.
+    # canvas rows over 'band', columns over 'x'. XLA inserts the halo/
+    # gather collectives for the dynamic window slices.
+    return jax.jit(functools.partial(_composite_run_trace, mesh=mesh))
+
+
+@functools.lru_cache(maxsize=8)
+def _bg_canvas_jit(mesh=None):
     return jax.jit(
-        functools.partial(_composite_band_trace, mesh=mesh),
-        static_argnames=("hp", "wp"),
+        functools.partial(_bg_canvas_trace, mesh=mesh),
+        static_argnames=("h", "w"),
     )
 
 
@@ -153,24 +174,35 @@ class DeviceCompositor:
         if canvas.dtype != np.uint8 or not segments:
             return None
         h_canvas, w_canvas = canvas.shape[:2]
-        s_cap = _next_pow2(len(segments))
-        hmax = _next_pow2(max(r.shape[0] for r, _, _ in segments))
-        wmax = _next_pow2(max(r.shape[1] for r, _, _ in segments))
-        # Shape buckets keep the compile count logarithmic in scene size.
-        srcs = np.zeros((s_cap, hmax, wmax, 4), dtype=np.uint8)
-        metas = np.zeros((s_cap, 4), dtype=np.int32)
-        for i, (rows, y0, x0) in enumerate(segments):
-            srcs[i, : rows.shape[0], : rows.shape[1]] = rows
-            metas[i] = (y0, x0, rows.shape[0], rows.shape[1])
+        # Split the z-sorted list into consecutive runs of the same size
+        # bucket (pow2 of h and w): z-order is preserved across runs, and
+        # each run's upload is proportional to its real segment area
+        # instead of the band-wide maximum (a background + 50 sprites
+        # scene was uploading ~64x its pixels before this split).
+        runs: list[tuple[tuple[int, int], list]] = []
+        for seg in segments:
+            key = (_next_pow2(seg[0].shape[0]), _next_pow2(seg[0].shape[1]))
+            if runs and runs[-1][0] == key:
+                runs[-1][1].append(seg)
+            else:
+                runs.append((key, [seg]))
+
         bg = np.ascontiguousarray(canvas[0, 0])
-        out, ties = _composite_jit(self._mesh)(
-            bg, srcs, metas, hp=h_canvas + hmax, wp=w_canvas + wmax
-        )
-        if int(ties):
+        dev_canvas = _bg_canvas_jit(self._mesh)(bg, h=h_canvas, w=w_canvas)
+        tie_counts = []
+        for (hmax, wmax), run in runs:
+            s_cap = _next_pow2(len(run))
+            srcs = np.zeros((s_cap, hmax, wmax, 4), dtype=np.uint8)
+            metas = np.zeros((s_cap, 4), dtype=np.int32)
+            for i, (rows, y0, x0) in enumerate(run):
+                srcs[i, : rows.shape[0], : rows.shape[1]] = rows
+                metas[i] = (y0, x0, rows.shape[0], rows.shape[1])
+            dev_canvas, ties = _composite_jit(self._mesh)(dev_canvas, srcs, metas)
+            tie_counts.append(ties)
+        if sum(int(t) for t in tie_counts):
             # Exact rational tie: float64 rounding may differ — replay the
             # band through the host oracle (see module docstring).
             self.bands_fallback += 1
             return None
         self.bands_on_device += 1
-        result = out[:h_canvas, :w_canvas]
-        return result if return_device else np.asarray(result)
+        return dev_canvas if return_device else np.asarray(dev_canvas)

@@ -267,13 +267,13 @@ class JaxBackend:
 
     def __init__(self, mesh=None):
         self._mesh = mesh
-        # Pallas kernels (VMEM-resident filter candidates / MXU DCT tiles):
-        # opt-in via STITCH_TPU_PALLAS=1 on a real TPU; bit-exact vs the XLA
-        # traces (tested in interpret mode on CPU). Mesh path stays on the
-        # sharded XLA programs.
+        # Pallas filter kernel (VMEM-resident candidates): opt-in via
+        # STITCH_TPU_PALLAS=1 on a real TPU; bit-exact vs the XLA traces
+        # (tested in interpret mode on CPU). With a mesh it runs SPMD via
+        # shard_map over the 'band' axis (VERDICT r2 item 5).
         from .pallas_kernels import pallas_enabled
 
-        self._pallas = mesh is None and pallas_enabled()
+        self._pallas = pallas_enabled()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -316,7 +316,7 @@ class JaxBackend:
         if self._pallas:
             from .pallas_kernels import filter_select_pallas
 
-            out = filter_select_pallas(raw, prev, bpp)
+            out = filter_select_pallas(raw, prev, bpp, mesh=self._mesh)
             _start_host_copy(out)
             return out
         h = raw.shape[0]

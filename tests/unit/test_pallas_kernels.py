@@ -40,3 +40,24 @@ def test_pallas_enabled_gate(monkeypatch):
     monkeypatch.setenv("STITCH_TPU_PALLAS", "1")
     # CPU platform in the test suite: stays off (interpret mode is test-only).
     assert not pallas_enabled()
+
+
+@pytest.mark.parametrize("shape", [(64, 512), (37, 260)])
+def test_filter_select_pallas_sharded_matches_oracle(shape):
+    """The Pallas kernel in the mesh path (shard_map over 'band', VERDICT
+    r2 item 5): bit-identical to the host oracle on the CPU test mesh in
+    interpret mode. The row halo is materialized before the shard
+    boundary, so each shard's kernel is purely local."""
+    from image_stitch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(shape[0])
+    raw = rng.integers(0, 256, shape, dtype=np.uint8)
+    prev = rng.integers(0, 256, shape[1], dtype=np.uint8)
+    types, filtered, last = filter_select_pallas(
+        raw, prev, 4, interpret=True, mesh=mesh
+    )
+    exp_types, exp_filtered = filter_select_band(raw, prev, 4)
+    np.testing.assert_array_equal(np.asarray(types), exp_types)
+    np.testing.assert_array_equal(np.asarray(filtered), exp_filtered)
+    np.testing.assert_array_equal(np.asarray(last), raw[-1])
