@@ -34,9 +34,11 @@ GRID = int(os.environ.get("BENCH_GRID", "8"))
 TILE = int(os.environ.get("BENCH_TILE", "1024"))
 if CONFIG == "northstar":
     # BASELINE.md config 5: 16x16 grid of 4K tiles -> JPEG q85 streaming,
-    # O(canvas_width) memory asserted during the run.
+    # O(canvas_width) memory asserted during the run. 4K = 3840 (UHD):
+    # 16 x 4096 would be 65536 px, one past JPEG's 16-bit SOF dimension
+    # cap (T.81 B.2.2), so the spec'd config is only encodable at UHD.
     GRID = int(os.environ.get("BENCH_GRID", "16"))
-    TILE = int(os.environ.get("BENCH_TILE", "4096"))
+    TILE = int(os.environ.get("BENCH_TILE", "3840"))
 QUALITY = 85
 TARGET_MPPS = 1000.0  # 1 GP/s/chip north-star
 

@@ -18,6 +18,10 @@ from ..utils import PNG_SIGNATURE
 
 MAGIC_BYTES_LENGTH = 32
 
+# Path inputs at or below this size are read whole and decoded from the
+# buffer path (see read_magic_and_source); larger files stream from the fd.
+SMALL_FILE_SLURP_BYTES = 1 << 20
+
 HEIC_BRANDS = {
     # reference: format-detection.ts:44-55
     b"heic", b"heix", b"hevc", b"hevx",
@@ -105,6 +109,19 @@ def read_magic_and_source(source: Any) -> tuple[bytes, Any]:
     if isinstance(source, np.ndarray):
         return source.tobytes()[:MAGIC_BYTES_LENGTH], source
     if isinstance(source, (str, os.PathLike)):
+        try:
+            size = os.path.getsize(source)
+        except OSError:
+            size = -1
+        if 0 <= size <= SMALL_FILE_SLURP_BYTES:
+            # Slurp small files into one buffer: the chunked file path
+            # costs ~20 tiny reads + an extra open per image, which
+            # dominates many-small-tile configs (pngsuite: ~12% of the
+            # whole pipeline). Pixels are identical either way; large
+            # files keep the streaming fd path (O(band) memory).
+            with open(source, "rb") as f:
+                data = f.read()
+            return data[:MAGIC_BYTES_LENGTH], data
         with open(source, "rb") as f:
             return f.read(MAGIC_BYTES_LENGTH), source
     if hasattr(source, "read"):

@@ -58,11 +58,17 @@ class PngDecoder:
         self._band_height = band_height or DEFAULT_BAND_HEIGHT
         self._closed = False
         self._owns_stream = False
+        self._buf: memoryview | None = None
         if isinstance(source, (bytes, bytearray, memoryview, np.ndarray)):
             if isinstance(source, np.ndarray):
                 source = source.tobytes()
-            self._stream: io.BufferedIOBase = io.BytesIO(bytes(source))
-            self._owns_stream = True
+            data = bytes(source)
+            self._buf = memoryview(data)
+            # Buffer sources never touch the stream machinery (_walk_buffer
+            # handles the whole chunk walk); a None placeholder avoids a
+            # BytesIO copy per decoder (visible on many-tiny-tile loads).
+            self._stream: io.BufferedIOBase | None = None
+            self._owns_stream = False
         elif isinstance(source, (str, os.PathLike)):
             self._stream = open(source, "rb")
             self._owns_stream = True
@@ -99,11 +105,106 @@ class PngDecoder:
                 f"expected {expected:#010x}, got {computed:#010x}"
             )
 
+    def _walk_buffer(self) -> None:
+        """Single-pass chunk walk over an in-memory source: captures IHDR/
+        PLTE/tRNS and the IDAT payload spans with pure offset arithmetic.
+        The stream-based walk costs thousands of tiny read() calls on
+        many-chunk files (pngsuite tiles average ~8 chunks); this is one
+        function call per image. Same validation and error text."""
+        buf = self._buf
+        assert buf is not None
+        n = len(buf)
+        validate_signature(bytes(buf[:8]) if n >= 8 else bytes(buf))
+        pos = 8
+        spans: list[memoryview] = []
+        idat_started = False
+        while True:
+            if pos + 8 > n:
+                if idat_started:
+                    break  # tolerate missing IEND like a stream EOF
+                raise StitchError(
+                    f"Truncated PNG: expected 8 bytes, got {max(0, n - pos)}"
+                )
+            length = int.from_bytes(buf[pos : pos + 4], "big")
+            ctype = bytes(buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = data_start + length
+            if ctype == b"IDAT":
+                # IDAT-phase problems (truncation, bad CRC) are deferred
+                # to scan time, like the streaming walk — pass 1 (headers)
+                # must not fail on pixel-phase corruption, so the
+                # orchestrator can attribute the error to its input.
+                if data_end > n:
+                    idat_started = True
+                    self._idat_defer = StitchError(
+                        "Truncated PNG: IDAT data incomplete"
+                    )
+                    break
+                if data_end + 4 > n:
+                    idat_started = True
+                    if length:
+                        spans.append(buf[data_start:data_end])
+                    self._idat_defer = StitchError(
+                        f"Truncated PNG: expected 4 bytes, got {n - data_end}"
+                    )
+                    break
+                idat_started = True
+                if length:
+                    spans.append(buf[data_start:data_end])
+                if self._verify_crc:
+                    try:
+                        self._check_crc(
+                            ctype, bytes(buf[data_start:data_end]),
+                            bytes(buf[data_end : data_end + 4]),
+                        )
+                    except StitchError as exc:
+                        self._idat_defer = exc
+                        break
+                pos = data_end + 4
+                continue
+            if idat_started:
+                break  # first non-IDAT chunk ends the scan data
+            if data_end > n:
+                raise StitchError(
+                    f"Truncated PNG: expected {length} bytes, got {n - data_start}"
+                )
+            if data_end + 4 > n:
+                raise StitchError(
+                    f"Truncated PNG: expected 4 bytes, got {n - data_end}"
+                )
+            data = bytes(buf[data_start:data_end])
+            if self._verify_crc:
+                self._check_crc(ctype, data, bytes(buf[data_end : data_end + 4]))
+            if ctype == b"IHDR":
+                self._header = parse_header_chunk(data)
+            elif ctype == b"PLTE":
+                if len(data) % 3 != 0:
+                    raise StitchError(f"PLTE length {len(data)} not a multiple of 3")
+                self._palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).copy()
+            elif ctype == b"tRNS":
+                self._trns = np.frombuffer(data, dtype=np.uint8).copy()
+            elif ctype == b"IEND":
+                raise StitchError("PNG has no IDAT chunk")
+            pos = data_end + 4
+        if not idat_started:
+            raise StitchError("PNG has no IDAT chunk")
+        if self._header is None:
+            raise StitchError("PNG missing IHDR chunk")
+        self._idat_started = True
+        self._idat_spans: list[memoryview] | None = spans
+        self._pre_idat_done = True
+
+    _idat_defer: StitchError | None = None
+
     def _read_pre_idat(self) -> None:
         """Walk chunks up to (not including) the first IDAT, capturing IHDR,
         PLTE and tRNS. Leaves the stream positioned at the first IDAT header."""
         if self._pre_idat_done:
             return
+        if self._buf is not None:
+            self._walk_buffer()
+            return
+        self._idat_spans = None
         validate_signature(self._read_exact(8))
         while True:
             head = self._read_exact(8)
@@ -163,6 +264,11 @@ class PngDecoder:
         self._read_pre_idat()
         if not self._idat_started:
             return
+        if getattr(self, "_idat_spans", None) is not None:
+            yield from self._idat_spans
+            if self._idat_defer is not None:
+                raise self._idat_defer
+            return
         (length,) = self._pending_idat_header
         import zlib as _zlib
 
@@ -208,9 +314,39 @@ class PngDecoder:
         if header.interlace_method == 1:
             # Interlaced: full inflate then Adam7 (reference: png-decoder.ts:73-90).
             inflator = StreamingInflator(strict=self._verify_crc)
-            parts = [inflator.push(c) for c in self._iter_idat()]
-            parts.append(inflator.finish())
-            raw = deinterlace_adam7(b"".join(parts), header)
+            if hasattr(inflator, "drain_into"):
+                # One-shot: the total decompressed size is known from the
+                # pass layout, so feed everything and decode straight into
+                # one buffer (no per-fragment bytes churn — interlaced
+                # images are small by construction of this path).
+                from ...ops.adam7 import ADAM7_PASSES, get_pass_dimensions
+
+                total = 0
+                for p in ADAM7_PASSES:
+                    pw, ph = get_pass_dimensions(header.width, header.height, p)
+                    if pw and ph:
+                        total += ph * (1 + scanline_byte_length(
+                            pw, header.bit_depth, header.color_type))
+                out = np.empty(total + 1, dtype=np.uint8)
+                for c in self._iter_idat():
+                    inflator.feed(c)
+                fill = 0
+                while True:
+                    n = inflator.drain_into(out[fill:])
+                    if n == 0:
+                        break
+                    fill += n
+                inflator.verify_finished()
+                if fill != total:
+                    raise StitchError(
+                        f"Interlaced PNG decompressed to {fill} bytes; "
+                        f"expected {total}"
+                    )
+                raw = deinterlace_adam7(out[:total], header)
+            else:
+                parts = [inflator.push(c) for c in self._iter_idat()]
+                parts.append(inflator.finish())
+                raw = deinterlace_adam7(b"".join(parts), header)
             for y0 in range(0, header.height, band_height):
                 yield raw[y0 : y0 + band_height]
             return
@@ -250,8 +386,14 @@ class PngDecoder:
                 return band
 
             try:
+                # Single-band images feed every fragment first and drain
+                # once below; draining per fragment costs a ctypes round
+                # trip each on multi-IDAT files (pngsuite-style tiles).
+                small = header.height <= band_height
                 for fragment in self._iter_idat():
                     inflator.feed(fragment)
+                    if small or inflator.finished:
+                        continue
                     while True:
                         n = inflator.drain_into(scratch[fill:])
                         fill += n
@@ -263,6 +405,19 @@ class PngDecoder:
                             # rows are complete and the stream still produces
                             # decompressed data (reference residual check,
                             # png-decoder.ts:218-228).
+                            raise StitchError(
+                                f"Unexpected residual decompressed bytes "
+                                f"after {rows_done} scanlines"
+                            )
+                        yield band
+                while True:
+                    n = inflator.drain_into(scratch[fill:])
+                    if n == 0:
+                        break
+                    fill += n
+                    if fill >= cap:
+                        band = emit(final=False)
+                        if band is None:
                             raise StitchError(
                                 f"Unexpected residual decompressed bytes "
                                 f"after {rows_done} scanlines"
@@ -339,7 +494,7 @@ class PngDecoder:
     def close(self) -> None:
         if not self._closed:
             self._closed = True
-            if self._owns_stream:
+            if self._owns_stream and self._stream is not None:
                 self._stream.close()
 
 

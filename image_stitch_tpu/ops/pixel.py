@@ -267,6 +267,19 @@ def convert_band(
     h = raw.shape[0]
     out_dtype = np.uint16 if target_bit_depth == 16 else np.uint8
     max_a = 0xFFFF if target_bit_depth == 16 else 0xFF
+
+    if bit_depth == 8 and target_bit_depth == 8 and trns is None:
+        # Identity fast paths (the overwhelmingly common tile formats):
+        # one copy instead of the generic read/scale/assign chain — worth
+        # ~10% on many-tiny-tile configs where numpy call overhead rules.
+        if color_type == 6:
+            return np.array(raw[:, : width * 4].reshape(h, width, 4))
+        if color_type == 2:
+            out = np.empty((h, width, 4), dtype=np.uint8)
+            out[:, :, :3] = raw[:, : width * 3].reshape(h, width, 3)
+            out[:, :, 3] = 255
+            return out
+
     out = np.empty((h, width, 4), dtype=out_dtype)
 
     if color_type == 0:  # grayscale
