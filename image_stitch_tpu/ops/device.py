@@ -344,11 +344,15 @@ class JaxBackend:
 
     @staticmethod
     def png_filter_band_wait(pending) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        from .jpeg_entropy_device import _delete_arrays
+
         if isinstance(pending, tuple) and len(pending) == 2 and isinstance(pending[1], int):
             out, h = pending
             choice, filtered, last = jax.device_get(out)
+            _delete_arrays(*out)
             return choice[:h].astype(np.uint8), filtered[:h], last
         choice, filtered, last = jax.device_get(pending)
+        _delete_arrays(*pending)
         return choice.astype(np.uint8), filtered, last
 
     def png_filter_band(
@@ -381,7 +385,11 @@ class JaxBackend:
 
     @staticmethod
     def jpeg_quantize_band_wait(pending):
-        return jax.device_get(pending)
+        from .jpeg_entropy_device import _delete_arrays
+
+        out = jax.device_get(pending)
+        _delete_arrays(*pending)
+        return out
 
     def jpeg_quantize_band(
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray

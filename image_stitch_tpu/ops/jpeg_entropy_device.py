@@ -814,6 +814,23 @@ def jpeg_encode_band_groups_trace(
     return dense, group_bits, max_block_bits, max_overlap, yb, cbb, crb
 
 
+def _delete_arrays(*arrs) -> None:
+    """Explicitly free device buffers the pipeline is done with.
+
+    The tunneled TPU backend's completion tracking is ack-only
+    (CLAUDE.md): execution records can hold output buffers (and their
+    host-side mirrors) alive indefinitely, so relying on Python GC leaks
+    ~25 MB per band (measured: the northstar device run peaked at 11.7 GB
+    host RSS vs 0.8 GB for the host backend). Deleting after the wait is
+    safe — the dependent fetch has already synchronized the execution.
+    """
+    for a in arrs:
+        try:
+            a.delete()
+        except Exception:  # already deleted / non-deletable tracer
+            pass
+
+
 class DeviceJpegEncoder:
     """Streaming fused device encoder with device-resident carry chain.
 
@@ -1017,6 +1034,7 @@ class DeviceJpegEncoder:
                         MAX_CAP_BITS_PER_PX, self._cap_bits_per_px * 2
                     )
                 out += self._host_fallback_groups((yb, cbb, crb), n_groups)
+                _delete_arrays(dense, bits, max_bb, max_ov, yb, cbb, crb)
                 continue
             used = (bits_h + 31) // 32
             offs = np.concatenate([[0], np.cumsum(used)[:-1]])
@@ -1026,6 +1044,7 @@ class DeviceJpegEncoder:
                 -(-total_used // self._FETCH_BUCKET_WORDS) * self._FETCH_BUCKET_WORDS,
             )
             dense_h = np.asarray(dense[:fetch]) if fetch else np.empty(0, np.uint32)
+            _delete_arrays(dense, bits, max_bb, max_ov, yb, cbb, crb)
             for g in range(n_groups):
                 if self._groups_emitted:
                     out += self._rst_marker()
@@ -1105,9 +1124,12 @@ class DeviceJpegEncoder:
                 self._cap_bits_per_px = min(
                     MAX_CAP_BITS_PER_PX, self._cap_bits_per_px * 2
                 )
-            return self._host_fallback_blocks(blocks, prev_dc_in)
+            out = self._host_fallback_blocks(blocks, prev_dc_in)
+            _delete_arrays(words, max_bb, max_ov, *blocks)
+            return out
         n_words = (total_bits + 31) // 32
         host_words = np.asarray(words[:n_words]).astype(">u4")
+        _delete_arrays(words, max_bb, max_ov, *blocks)
         data = bytearray(host_words.tobytes())
         # The band started at (previous total % 8); that's exactly the number
         # of carry bits the host holds in _carry_val.
@@ -1195,6 +1217,7 @@ class DeviceEntropyPacker:
         self._prev_dc = new_dc
         n_words = (total_bits + 31) // 32
         host_words = np.asarray(words[:n_words]).astype(">u4")
+        _delete_arrays(words)
         data = bytearray(host_words.tobytes())
         if self._carry_n:
             data[0] |= (self._carry_val << (8 - self._carry_n)) & 0xFF

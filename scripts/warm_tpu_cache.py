@@ -51,7 +51,11 @@ def main() -> None:
         build_entropy_luts, jpeg_encode_band_groups_trace, jpeg_encode_band_trace,
     )
 
-    band = S((BAND_H, CANVAS_W, 4), jnp.uint8)
+    # The device encoder strips alpha before submit (DeviceJpegEncoder.
+    # _strip_alpha), so the production entropy programs see (H, W, 3);
+    # the quantize-only backend path sees (H, W, 4). Warm both.
+    band = S((BAND_H, CANVAS_W, 3), jnp.uint8)
+    band4 = S((BAND_H, CANVAS_W, 4), jnp.uint8)
     qt = S((64,), jnp.int32)
     dc_l = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
     ac_l = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
@@ -106,13 +110,13 @@ def main() -> None:
         .compile(),
     )
 
-    # 4. Quantize-only trace (device quantize + host entropy path)
+    # 4. Quantize-only trace (device quantize + host entropy path, RGBA)
     timed(
         f"quantize ({BAND_H}x{CANVAS_W})",
-        lambda: jax.jit(dev.jpeg_quantize_trace).lower(band, qt, qt).compile(),
+        lambda: jax.jit(dev.jpeg_quantize_trace).lower(band4, qt, qt).compile(),
     )
 
-    # 5. Pallas kernels (Mosaic compiles)
+    # 5. Pallas filter kernel (Mosaic compile)
     from image_stitch_tpu.ops.pallas_kernels import filter_select_pallas
 
     timed(
@@ -121,29 +125,6 @@ def main() -> None:
             lambda r, p: filter_select_pallas(r, p, 4)
         )
         .lower(raw, prev)
-        .compile(),
-    )
-    timed(
-        "fused band pallas-quantize",
-        lambda: jax.jit(
-            jpeg_encode_band_trace, static_argnames=("cap_words", "use_pallas")
-        )
-        .lower(
-            band, qt, qt, lut_specs, prev_dc, bit_base,
-            cap_words=cap_full, use_pallas=True,
-        )
-        .compile(),
-    )
-    timed(
-        "groups ri=1 pallas-quantize",
-        lambda: jax.jit(
-            jpeg_encode_band_groups_trace,
-            static_argnames=("n_groups", "cap_words", "use_pallas"),
-        )
-        .lower(
-            band, qt, qt, lut_specs, BAND_H // 8,
-            max(64, (8 * CANVAS_W * 3 + 31) // 32), True,
-        )
         .compile(),
     )
     log("warm complete")

@@ -148,8 +148,10 @@ def test_fused_encoder_overflow_falls_back_to_host():
     enc = DeviceJpegEncoder(lq, cq, DC_L, AC_L, DC_C, AC_C)
     h = enc.submit(band)
     forced = (h[0], h[1], h[2], jnp.int32(10_000), h[4], h[5], h[6], h[7])
-    out = enc.wait(forced) + enc.flush()
+    # Fetch before wait(): the encoder explicitly deletes consumed device
+    # buffers there (the tunneled backend leaks them otherwise).
     blocks = tuple(np.asarray(b) for b in h[5])
+    out = enc.wait(forced) + enc.flush()
     expected = host_encode([blocks])
     assert out == expected
 
