@@ -141,9 +141,8 @@ def filter_select_pallas(
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
-        fn = shard_map(
+        fn = jax.shard_map(
             functools.partial(
                 _filter_select_call, bpp=bpp, n_valid=int(n),
                 interpret=interpret,
@@ -153,7 +152,7 @@ def filter_select_pallas(
             out_specs=(P("band", None), P("band", None)),
             # pallas_call's ShapeDtypeStructs carry no replication/vma
             # metadata; the kernel is manifestly per-shard local.
-            check_rep=False,
+            check_vma=False,
         )
         raw_p = jax.device_put(raw_p, NamedSharding(mesh, P("band", None)))
         up_p = jax.device_put(up_p, NamedSharding(mesh, P("band", None)))
