@@ -207,9 +207,13 @@ def _probe_link_blocking() -> LinkProfile | None:
 def probe_link_profile() -> LinkProfile | None:
     """Run the blocking probe under a hard wall-clock budget.
 
-    The budget (STITCH_TPU_PROBE_BUDGET_S, default 20 s) matters because a
+    The budget (STITCH_TPU_PROBE_BUDGET_S, default 45 s) matters because a
     degraded link makes the probe itself arbitrarily slow — observed ~500 s
-    through a bad tunnel window, all charged to the user's first stream. A
+    through a bad tunnel window, all charged to the user's first stream.
+    The default must also ABSORB one-time session setup: this environment's
+    tunnel charges ~24 s to the very first transfer of a process, which is
+    exactly what the probe child pays — a 20 s budget timed out on a
+    perfectly healthy link and benched the device for the session. A
     blown budget IS the measurement: if moving a few MB takes that long, no
     cost model will pick the device, so the caller gets an immediate
     slow-link verdict. jax transfers can't be interrupted in-thread (and an
@@ -221,7 +225,7 @@ def probe_link_profile() -> LinkProfile | None:
     import subprocess
     import sys
 
-    budget_s = float(os.environ.get("STITCH_TPU_PROBE_BUDGET_S", "20"))
+    budget_s = float(os.environ.get("STITCH_TPU_PROBE_BUDGET_S", "45"))
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         return _probe_link_blocking()  # virtual CPU devices: instant, no link
     code = (
@@ -295,7 +299,14 @@ def get_link_profile() -> LinkProfile | None:
     try:
         with open(path) as f:
             d = json.load(f)
-        if d.get("platform") == platform and d.get("v") == 2:
+        # Sentinel-grade entries (no real link measures <1 MB/s) can only be
+        # a blown-budget verdict persisted by an old version; never trust
+        # them from disk — re-probe instead.
+        if (
+            d.get("platform") == platform
+            and d.get("v") == 2
+            and d["h2d_mbps"] >= 1.0
+        ):
             _LINK_PROFILE = LinkProfile(
                 d["h2d_mbps"], d["latency_ms"], d.get("d2h_mbps")
             )

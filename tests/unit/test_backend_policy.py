@@ -118,6 +118,33 @@ def test_probe_timeout_sentinel_stays_session_local(monkeypatch, tmp_path):
     assert saved == []
 
 
+def test_stale_persisted_sentinel_is_reprobed(monkeypatch, tmp_path):
+    """A sentinel-grade profile (h2d < 1 MB/s — no real link measures that)
+    persisted to disk by an old version must not be trusted on load; the
+    loader re-probes instead of pinning every future session to the host.
+    (Observed in-env: a pre-fix cache file with h2d=0.01 made bench.py skip
+    the device row in a healthy tunnel window.)"""
+    import json
+    import os
+
+    cache_dir = tmp_path / "image_stitch_tpu"
+    cache_dir.mkdir()
+    (cache_dir / "link_profile.json").write_text(json.dumps({
+        "v": 2, "platform": "cpu",
+        "h2d_mbps": 0.01, "latency_ms": 20000.0, "d2h_mbps": 0.01,
+    }))
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.delenv("STITCH_TPU_LINK_PROFILE", raising=False)
+    fresh = B.LinkProfile(h2d_mbps=500.0, latency_ms=1.0, d2h_mbps=500.0)
+    monkeypatch.setattr(B, "probe_link_profile", lambda: fresh)
+    monkeypatch.setattr(B, "_LINK_PROBED", False)
+    monkeypatch.setattr(B, "_LINK_PROFILE", None)
+    assert B.get_link_profile() is fresh
+    # (On a real accelerator the healthy measurement then replaces the
+    # sentinel on disk via _save_link_profile; that path early-outs on the
+    # cpu platform this test runs under.)
+
+
 def test_probe_child_crash_returns_none_not_blocking(monkeypatch):
     """A crashed probe child (garbage stdout) must NOT fall back to the
     unbudgeted in-process probe — that reintroduces the unbounded stall
