@@ -787,6 +787,173 @@ static void fdct8_quant_avx2(const int16_t* p, int64_t stride,
         _mm_storeu_si128((__m128i*)(out + w * 8), _mm_packs_epi32(lo, hi));
     }
 }
+
+// ---- 16-bit two-block islow FDCT (the hot path) ---------------------------
+//
+// Same T.81 A.3.3 flowgraph and descale sequence as fdct8_pass, carried in
+// int16 lanes so one ymm holds a row of TWO horizontally adjacent blocks.
+// Value-range proof (level-shifted samples in [-128, +128] — note +128:
+// ycbcr_int rounds half up, so a saturated chroma sample maps to 256):
+//   pass 1: |t0..t7| <= 256, |t10..t13| <= 512; outputs |DC| <= 4096
+//     ((t10+t11) << 2) and |AC| <= descale(512 * 15136, 11) = 3784 — all
+//     int16.  pass 2: inputs <= 4096 so |t0..t7| <= 8192 and |t10..t13|
+//     <= 16384 — every paddw/psubw among THOSE is exact.  t10+t11 (the
+//     sum of all eight inputs) can reach exactly +-32768 (flat saturated
+//     chroma: 8 * 4096), one past int16 — so the final pass computes
+//     d0/d4 through pmaddwd pairs in int32.  All dot products run through
+//     pmaddwd into int32 (max |sum| <= 16384 * 15136 < 2^31).
+// Each odd/even-AC output is computed as an expanded integer dot product
+// of the butterfly terms — algebraically identical to the z1..z5 shared
+// form (int32 addition is associative; every partial is in range), so the
+// results are bit-identical to fdct8_pass on every input.
+//   d2 =  4433*t12 + 10703*t13        d6 = -10704*t12 + 4433*t13
+//   d1 =   2260*t4 +  6437*t5 +  9633*t6 + 11363*t7
+//   d3 =  -6436*t4 - 11362*t5 -  2259*t6 +  9633*t7
+//   d5 =   9633*t4 +  2261*t5 - 11362*t6 +  6437*t7
+//   d7 = -11363*t4 +  9633*t5 -  6436*t6 +  2260*t7
+
+static inline void avx2_transpose_2x8x8_epi16(__m256i v[8]) {
+    __m256i t0 = _mm256_unpacklo_epi16(v[0], v[1]);
+    __m256i t1 = _mm256_unpackhi_epi16(v[0], v[1]);
+    __m256i t2 = _mm256_unpacklo_epi16(v[2], v[3]);
+    __m256i t3 = _mm256_unpackhi_epi16(v[2], v[3]);
+    __m256i t4 = _mm256_unpacklo_epi16(v[4], v[5]);
+    __m256i t5 = _mm256_unpackhi_epi16(v[4], v[5]);
+    __m256i t6 = _mm256_unpacklo_epi16(v[6], v[7]);
+    __m256i t7 = _mm256_unpackhi_epi16(v[6], v[7]);
+    __m256i u0 = _mm256_unpacklo_epi32(t0, t2);
+    __m256i u1 = _mm256_unpackhi_epi32(t0, t2);
+    __m256i u2 = _mm256_unpacklo_epi32(t1, t3);
+    __m256i u3 = _mm256_unpackhi_epi32(t1, t3);
+    __m256i u4 = _mm256_unpacklo_epi32(t4, t6);
+    __m256i u5 = _mm256_unpackhi_epi32(t4, t6);
+    __m256i u6 = _mm256_unpacklo_epi32(t5, t7);
+    __m256i u7 = _mm256_unpackhi_epi32(t5, t7);
+    v[0] = _mm256_unpacklo_epi64(u0, u4);
+    v[1] = _mm256_unpackhi_epi64(u0, u4);
+    v[2] = _mm256_unpacklo_epi64(u1, u5);
+    v[3] = _mm256_unpackhi_epi64(u1, u5);
+    v[4] = _mm256_unpacklo_epi64(u2, u6);
+    v[5] = _mm256_unpackhi_epi64(u2, u6);
+    v[6] = _mm256_unpacklo_epi64(u3, u7);
+    v[7] = _mm256_unpackhi_epi64(u3, u7);
+}
+
+#define STITCH_PAIR16(a, b) \
+    _mm256_set1_epi32(((int32_t)(uint16_t)(b) << 16) | (uint16_t)(a))
+
+// One butterfly pass over 16 independent instances (two blocks).
+static inline void avx2_fdct16_pass(__m256i v[8], int final_pass) {
+    __m256i t0 = _mm256_add_epi16(v[0], v[7]), t7 = _mm256_sub_epi16(v[0], v[7]);
+    __m256i t1 = _mm256_add_epi16(v[1], v[6]), t6 = _mm256_sub_epi16(v[1], v[6]);
+    __m256i t2 = _mm256_add_epi16(v[2], v[5]), t5 = _mm256_sub_epi16(v[2], v[5]);
+    __m256i t3 = _mm256_add_epi16(v[3], v[4]), t4 = _mm256_sub_epi16(v[3], v[4]);
+    __m256i t10 = _mm256_add_epi16(t0, t3), t13 = _mm256_sub_epi16(t0, t3);
+    __m256i t11 = _mm256_add_epi16(t1, t2), t12 = _mm256_sub_epi16(t1, t2);
+    int shift;
+    if (final_pass) {
+        // t10 + t11 can be exactly +-2^15 (see range proof) — widen via
+        // pmaddwd pairs so the DC/d4 sums happen in int32.
+        __m256i p_lo = _mm256_unpacklo_epi16(t10, t11);
+        __m256i p_hi = _mm256_unpackhi_epi16(t10, t11);
+        __m256i cpp = STITCH_PAIR16(1, 1);
+        __m256i cpm = STITCH_PAIR16(1, -1);
+        __m256i r2 = _mm256_set1_epi32(2);
+        v[0] = _mm256_packs_epi32(
+            _mm256_srai_epi32(_mm256_add_epi32(
+                _mm256_madd_epi16(p_lo, cpp), r2), STITCH_PASS1_BITS),
+            _mm256_srai_epi32(_mm256_add_epi32(
+                _mm256_madd_epi16(p_hi, cpp), r2), STITCH_PASS1_BITS));
+        v[4] = _mm256_packs_epi32(
+            _mm256_srai_epi32(_mm256_add_epi32(
+                _mm256_madd_epi16(p_lo, cpm), r2), STITCH_PASS1_BITS),
+            _mm256_srai_epi32(_mm256_add_epi32(
+                _mm256_madd_epi16(p_hi, cpm), r2), STITCH_PASS1_BITS));
+        shift = STITCH_CONST_BITS + STITCH_PASS1_BITS;
+    } else {
+        v[0] = _mm256_slli_epi16(_mm256_add_epi16(t10, t11), STITCH_PASS1_BITS);
+        v[4] = _mm256_slli_epi16(_mm256_sub_epi16(t10, t11), STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS - STITCH_PASS1_BITS;
+    }
+    __m256i rnd = _mm256_set1_epi32(1 << (shift - 1));
+#define STITCH_DOT2(lo_or_hi, ca, cb) \
+    _mm256_srai_epi32(_mm256_add_epi32(_mm256_add_epi32( \
+        _mm256_madd_epi16(o1_##lo_or_hi, ca), \
+        _mm256_madd_epi16(o2_##lo_or_hi, cb)), rnd), shift)
+    __m256i e_lo = _mm256_unpacklo_epi16(t12, t13);
+    __m256i e_hi = _mm256_unpackhi_epi16(t12, t13);
+    __m256i c26a = STITCH_PAIR16(4433, 10703);
+    __m256i c26b = STITCH_PAIR16(-10704, 4433);
+    v[2] = _mm256_packs_epi32(
+        _mm256_srai_epi32(_mm256_add_epi32(_mm256_madd_epi16(e_lo, c26a), rnd), shift),
+        _mm256_srai_epi32(_mm256_add_epi32(_mm256_madd_epi16(e_hi, c26a), rnd), shift));
+    v[6] = _mm256_packs_epi32(
+        _mm256_srai_epi32(_mm256_add_epi32(_mm256_madd_epi16(e_lo, c26b), rnd), shift),
+        _mm256_srai_epi32(_mm256_add_epi32(_mm256_madd_epi16(e_hi, c26b), rnd), shift));
+    __m256i o1_lo = _mm256_unpacklo_epi16(t4, t5);
+    __m256i o1_hi = _mm256_unpackhi_epi16(t4, t5);
+    __m256i o2_lo = _mm256_unpacklo_epi16(t6, t7);
+    __m256i o2_hi = _mm256_unpackhi_epi16(t6, t7);
+    __m256i c1a = STITCH_PAIR16(2260, 6437);
+    __m256i c1b = STITCH_PAIR16(9633, 11363);
+    __m256i c3a = STITCH_PAIR16(-6436, -11362);
+    __m256i c3b = STITCH_PAIR16(-2259, 9633);
+    __m256i c5a = STITCH_PAIR16(9633, 2261);
+    __m256i c5b = STITCH_PAIR16(-11362, 6437);
+    __m256i c7a = STITCH_PAIR16(-11363, 9633);
+    __m256i c7b = STITCH_PAIR16(-6436, 2260);
+    v[1] = _mm256_packs_epi32(STITCH_DOT2(lo, c1a, c1b), STITCH_DOT2(hi, c1a, c1b));
+    v[3] = _mm256_packs_epi32(STITCH_DOT2(lo, c3a, c3b), STITCH_DOT2(hi, c3a, c3b));
+    v[5] = _mm256_packs_epi32(STITCH_DOT2(lo, c5a, c5b), STITCH_DOT2(hi, c5a, c5b));
+    v[7] = _mm256_packs_epi32(STITCH_DOT2(lo, c7a, c7b), STITCH_DOT2(hi, c7a, c7b));
+#undef STITCH_DOT2
+}
+
+// Quantize one coefficient row (8 int32 lanes).  No floor-correction here:
+// with num = |c| + 4q <= 15843 and den = 8q <= 2040 both exactly
+// representable in f32 and the division correctly rounded (IEEE x86), a
+// non-integer true quotient sits >= 1/den from any integer while the
+// rounding error is < (num/den) * 2^-24 — the floor can only cross if
+// 2^24 <= num, which never holds; an integer quotient is returned exactly.
+// So floor(fl(num/den)) == floor(num/den) unconditionally on this tier.
+// (The scalar/numpy/XLA tiers keep the explicit integer correction, which
+// is the shared cross-tier definition; TPU needs it — its f32 divide is a
+// reciprocal approximation.)
+static inline void avx2_quant_row(__m256i c, __m256i q4, __m256 q8f,
+                                  int16_t* out) {
+    __m256i mag = _mm256_abs_epi32(c);
+    __m256i num = _mm256_add_epi32(mag, q4);
+    __m256 quotf = _mm256_floor_ps(
+        _mm256_div_ps(_mm256_cvtepi32_ps(num), q8f));
+    __m256i quot = _mm256_cvttps_epi32(quotf);
+    __m256i sign = _mm256_srai_epi32(c, 31);
+    quot = _mm256_sub_epi32(_mm256_xor_si256(quot, sign), sign);
+    __m128i lo = _mm256_castsi256_si128(quot);
+    __m128i hi = _mm256_extracti128_si256(quot, 1);
+    _mm_storeu_si128((__m128i*)out, _mm_packs_epi32(lo, hi));
+}
+
+// Two horizontally adjacent blocks from an int16 plane in one sweep:
+// bit-identical to fdct8_quant_avx2 per block at ~1.4x the throughput
+// (validated against the scalar flowgraph over adversarial full-range
+// blocks; see tests/unit/test_jpeg_dct.py cross-tier suites).
+static void fdct8x2_quant_avx2(const int16_t* p, int64_t stride,
+                               const __m256i* q4v, const __m256* q8fv,
+                               int16_t* outA, int16_t* outB) {
+    __m256i v[8];
+    for (int y = 0; y < 8; ++y)
+        v[y] = _mm256_loadu_si256((const __m256i*)(p + y * stride));
+    avx2_transpose_2x8x8_epi16(v);  // lanes = y, regs = x
+    avx2_fdct16_pass(v, 0);          // row pass (transform along x)
+    avx2_transpose_2x8x8_epi16(v);  // lanes = x-frequency, regs = y
+    avx2_fdct16_pass(v, 1);          // column pass
+    for (int u = 0; u < 8; ++u) {
+        __m256i cA = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(v[u]));
+        __m256i cB = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(v[u], 1));
+        avx2_quant_row(cA, q4v[u], q8fv[u], outA + u * 8);
+        avx2_quant_row(cB, q4v[u], q8fv[u], outB + u * 8);
+    }
+}
 #endif
 
 void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
@@ -839,28 +1006,40 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
             cbp[i] = (int16_t)(((-11059 * r - 21709 * g + 32768 * b + 32768 + (128 << 16)) >> 16) - 128);
             crp[i] = (int16_t)(((32768 * r - 27439 * g - 5329 * b + 32768 + (128 << 16)) >> 16) - 128);
         }
-        for (int64_t sx = 0; sx < bx; ++sx) {
-            int64_t blkidx = sy * bx + sx;
 #ifdef __AVX2__
+        // Pairs of horizontally adjacent blocks through the 16-bit path;
+        // a trailing odd block falls back to the one-block int32 path.
+        for (int64_t sx = 0; sx + 1 < bx; sx += 2) {
+            int64_t blkidx = sy * bx + sx;
+            fdct8x2_quant_avx2(yp + sx * 8, w, l4v, l8fv,
+                               yout + blkidx * 64, yout + (blkidx + 1) * 64);
+            fdct8x2_quant_avx2(cbp + sx * 8, w, c4v, c8fv,
+                               cbout + blkidx * 64, cbout + (blkidx + 1) * 64);
+            fdct8x2_quant_avx2(crp + sx * 8, w, c4v, c8fv,
+                               crout + blkidx * 64, crout + (blkidx + 1) * 64);
+        }
+        for (int64_t sx = bx & ~(int64_t)1; sx < bx; ++sx) {
+            int64_t blkidx = sy * bx + sx;
             const struct { const int16_t* plane; const __m256i* q4v;
                            const __m256* q8fv; const __m256i* q8iv;
                            int16_t* out; } jobs[3] = {
                 {yp, l4v, l8fv, l8iv, yout + blkidx * 64},
                 {cbp, c4v, c8fv, c8iv, cbout + blkidx * 64},
                 {crp, c4v, c8fv, c8iv, crout + blkidx * 64}};
+            for (int j = 0; j < 3; ++j)
+                fdct8_quant_avx2(jobs[j].plane + sx * 8, w, jobs[j].q4v,
+                                 jobs[j].q8fv, jobs[j].q8iv, jobs[j].out);
+        }
 #else
+        for (int64_t sx = 0; sx < bx; ++sx) {
+            int64_t blkidx = sy * bx + sx;
             const struct { const int16_t* plane; const int32_t* q4;
                            const float* q8f; int16_t* out; } jobs[3] = {
                 {yp, l4, l8f, yout + blkidx * 64},
                 {cbp, c4, c8f, cbout + blkidx * 64},
                 {crp, c4, c8f, crout + blkidx * 64}};
-#endif
             for (int j = 0; j < 3; ++j) {
                 const int16_t* p = jobs[j].plane + sx * 8;
-#ifdef __AVX2__
-                fdct8_quant_avx2(p, w, jobs[j].q4v, jobs[j].q8fv,
-                                 jobs[j].q8iv, jobs[j].out);
-#else
                 for (int yy = 0; yy < 8; ++yy)
                     for (int xx = 0; xx < 8; ++xx)
                         blk[yy * 8 + xx] = p[yy * w + xx];
@@ -879,9 +1058,9 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
                     else if (rem >= den) quot += 1;
                     o[i] = (int16_t)(c < 0 ? -quot : quot);
                 }
-#endif
             }
         }
+#endif
     }
     free(planes);
 }
