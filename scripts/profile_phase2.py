@@ -130,6 +130,31 @@ def main() -> None:
             acc = acc | rows[:, k % AW]
         return jnp.sum(acc)
 
+    def p_segsum(aligned, starts, block_bits):
+        # Scatter-add formulation: phase 1 pre-aligns blocks to their
+        # global bit positions, so no two blocks share a BIT in any word
+        # — uint32 addition is exactly OR. Column c of every block lands
+        # at wstart + c (nondecreasing => sorted segment_sum fast path),
+        # and any per-word overlap count is handled naturally (no K cap).
+        wstart = (starts >> 5).astype(jnp.int32)
+        acc = jnp.zeros((CAP,), jnp.uint32)
+        for c in range(AW):
+            acc = acc + jax.ops.segment_sum(
+                aligned[:, c], jnp.clip(wstart + c, 0, CAP - 1),
+                num_segments=CAP, indices_are_sorted=True)
+        return jnp.sum(acc)
+
+    def p_segsum_flat(aligned, starts, block_bits):
+        # Single unsorted segment_sum over all nb*AW contributions.
+        wstart = (starts >> 5).astype(jnp.int32)
+        ids = jnp.clip(
+            wstart[:, None] + jnp.arange(AW, dtype=jnp.int32)[None, :],
+            0, CAP - 1).ravel()
+        return jnp.sum(jax.ops.segment_sum(
+            aligned.ravel(), ids, num_segments=CAP))
+
+    timeit("segsum merge (14 sorted cols)", p_segsum, aligned, starts, block_bits)
+    timeit("segsum merge (flat unsorted)", p_segsum_flat, aligned, starts, block_bits)
     timeit("hist + j_lo only", p_hist, starts, block_bits)
     timeit("gathers only (no extract)", p_gather_only, aligned, starts, block_bits)
     timeit("merge width15 select", p_merge(0, False), aligned, starts, block_bits)
