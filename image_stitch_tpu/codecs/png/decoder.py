@@ -47,6 +47,10 @@ class PngDecoder:
     """Decodes PNG from a byte buffer or a readable binary stream."""
 
     format = "png"
+    # Every yielded band is a fresh array (defilter allocates per call) or a
+    # never-mutated slice (interlaced full-frame decode), so RowSource may
+    # alias bands instead of copying (core.py RowSource._pull).
+    bands_are_owned = True
 
     def __init__(self, source, band_height: int | None = None,
                  verify_crc: bool = False):

@@ -135,6 +135,12 @@ class RowSource:
         self._iter = decoder.bands(band_height) if hasattr(decoder, "bands") else None
         if self._iter is None:
             self._iter = _bands_from_rows(decoder.scanlines(), band_height)
+        # Decoders that guarantee each yielded band is a fresh (or never
+        # mutated) array set ``bands_are_owned``; for those the RGBA8
+        # identity conversion may alias the band instead of copying.
+        # Injected custom decoders default to the safe copying path — they
+        # may legally reuse a scratch buffer between yields.
+        self._bands_owned = bool(getattr(decoder, "bands_are_owned", False))
         self._expected_row_bytes = scanline_byte_length(
             header.width, header.bit_depth, header.color_type
         )
@@ -182,6 +188,9 @@ class RowSource:
                 f"{format_pixels(actual_w)} ({raw.shape[1]} raw bytes)."
             )
         try:
+            # copy=False (owned bands only): ``raw`` is a freshly
+            # defiltered band and every take() consumer copies into a
+            # canvas — the RGBA8 identity conversion can be a view.
             converted = convert_band(
                 raw,
                 self.header.width,
@@ -190,6 +199,7 @@ class RowSource:
                 self._target_depth,
                 palette=self._meta.get("palette"),
                 trns=self._meta.get("trns"),
+                copy=not self._bands_owned,
             )
         except StitchError:
             raise

@@ -256,12 +256,18 @@ def convert_band(
     palette: np.ndarray | None = None,
     trns: np.ndarray | None = None,
     allow_palette: bool = True,
+    copy: bool = True,
 ) -> np.ndarray:
     """Convert a band of raw scanlines to RGBA (reference: convertScanline,
     pixel-ops.ts:496-744, lifted from per-pixel loops to whole-band ops).
 
     ``raw``: (H, row_bytes) uint8 in source format. Returns (H, width, 4) in
     the target dtype (uint8 or uint16, native order).
+
+    ``copy=False`` lets the RGBA8 identity path return a zero-copy VIEW of
+    ``raw`` — only for callers that own ``raw`` (a freshly defiltered band)
+    and treat the result as read-only; it deletes a full band-sized memcpy
+    from the grid hot loop.
     """
     raw = np.atleast_2d(np.asarray(raw, dtype=np.uint8))
     h = raw.shape[0]
@@ -273,7 +279,8 @@ def convert_band(
         # one copy instead of the generic read/scale/assign chain — worth
         # ~10% on many-tiny-tile configs where numpy call overhead rules.
         if color_type == 6:
-            return np.array(raw[:, : width * 4].reshape(h, width, 4))
+            view = raw[:, : width * 4].reshape(h, width, 4)
+            return view if not copy else np.array(view)
         if color_type == 2:
             out = np.empty((h, width, 4), dtype=np.uint8)
             out[:, :, :3] = raw[:, : width * 3].reshape(h, width, 3)
