@@ -954,6 +954,153 @@ static void fdct8x2_quant_avx2(const int16_t* p, int64_t stride,
         avx2_quant_row(cB, q4v[u], q8fv[u], outB + u * 8);
     }
 }
+
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+// ---- 16-bit FOUR-block islow FDCT (AVX-512) -------------------------------
+//
+// One zmm row spans four horizontally adjacent blocks (32 int16 lanes).
+// Every operation below (unpack, madd, packs, add/sub/slli) is local to a
+// 128-bit lane, so this is the exact per-lane op sequence of
+// avx2_fdct16_pass / avx2_transpose_2x8x8_epi16 run over four blocks at
+// once — bit-identical per block by construction (same value-range proof).
+
+static inline void avx512_transpose_4x8x8_epi16(__m512i v[8]) {
+    __m512i t0 = _mm512_unpacklo_epi16(v[0], v[1]);
+    __m512i t1 = _mm512_unpackhi_epi16(v[0], v[1]);
+    __m512i t2 = _mm512_unpacklo_epi16(v[2], v[3]);
+    __m512i t3 = _mm512_unpackhi_epi16(v[2], v[3]);
+    __m512i t4 = _mm512_unpacklo_epi16(v[4], v[5]);
+    __m512i t5 = _mm512_unpackhi_epi16(v[4], v[5]);
+    __m512i t6 = _mm512_unpacklo_epi16(v[6], v[7]);
+    __m512i t7 = _mm512_unpackhi_epi16(v[6], v[7]);
+    __m512i u0 = _mm512_unpacklo_epi32(t0, t2);
+    __m512i u1 = _mm512_unpackhi_epi32(t0, t2);
+    __m512i u2 = _mm512_unpacklo_epi32(t1, t3);
+    __m512i u3 = _mm512_unpackhi_epi32(t1, t3);
+    __m512i u4 = _mm512_unpacklo_epi32(t4, t6);
+    __m512i u5 = _mm512_unpackhi_epi32(t4, t6);
+    __m512i u6 = _mm512_unpacklo_epi32(t5, t7);
+    __m512i u7 = _mm512_unpackhi_epi32(t5, t7);
+    v[0] = _mm512_unpacklo_epi64(u0, u4);
+    v[1] = _mm512_unpackhi_epi64(u0, u4);
+    v[2] = _mm512_unpacklo_epi64(u1, u5);
+    v[3] = _mm512_unpackhi_epi64(u1, u5);
+    v[4] = _mm512_unpacklo_epi64(u2, u6);
+    v[5] = _mm512_unpackhi_epi64(u2, u6);
+    v[6] = _mm512_unpacklo_epi64(u3, u7);
+    v[7] = _mm512_unpackhi_epi64(u3, u7);
+}
+
+#define STITCH_PAIR16_Z(a, b) \
+    _mm512_set1_epi32(((int32_t)(uint16_t)(b) << 16) | (uint16_t)(a))
+
+// One butterfly pass over 32 independent instances (four blocks).
+static inline void avx512_fdct32_pass(__m512i v[8], int final_pass) {
+    __m512i t0 = _mm512_add_epi16(v[0], v[7]), t7 = _mm512_sub_epi16(v[0], v[7]);
+    __m512i t1 = _mm512_add_epi16(v[1], v[6]), t6 = _mm512_sub_epi16(v[1], v[6]);
+    __m512i t2 = _mm512_add_epi16(v[2], v[5]), t5 = _mm512_sub_epi16(v[2], v[5]);
+    __m512i t3 = _mm512_add_epi16(v[3], v[4]), t4 = _mm512_sub_epi16(v[3], v[4]);
+    __m512i t10 = _mm512_add_epi16(t0, t3), t13 = _mm512_sub_epi16(t0, t3);
+    __m512i t11 = _mm512_add_epi16(t1, t2), t12 = _mm512_sub_epi16(t1, t2);
+    int shift;
+    if (final_pass) {
+        __m512i p_lo = _mm512_unpacklo_epi16(t10, t11);
+        __m512i p_hi = _mm512_unpackhi_epi16(t10, t11);
+        __m512i cpp = STITCH_PAIR16_Z(1, 1);
+        __m512i cpm = STITCH_PAIR16_Z(1, -1);
+        __m512i r2 = _mm512_set1_epi32(2);
+        v[0] = _mm512_packs_epi32(
+            _mm512_srai_epi32(_mm512_add_epi32(
+                _mm512_madd_epi16(p_lo, cpp), r2), STITCH_PASS1_BITS),
+            _mm512_srai_epi32(_mm512_add_epi32(
+                _mm512_madd_epi16(p_hi, cpp), r2), STITCH_PASS1_BITS));
+        v[4] = _mm512_packs_epi32(
+            _mm512_srai_epi32(_mm512_add_epi32(
+                _mm512_madd_epi16(p_lo, cpm), r2), STITCH_PASS1_BITS),
+            _mm512_srai_epi32(_mm512_add_epi32(
+                _mm512_madd_epi16(p_hi, cpm), r2), STITCH_PASS1_BITS));
+        shift = STITCH_CONST_BITS + STITCH_PASS1_BITS;
+    } else {
+        v[0] = _mm512_slli_epi16(_mm512_add_epi16(t10, t11), STITCH_PASS1_BITS);
+        v[4] = _mm512_slli_epi16(_mm512_sub_epi16(t10, t11), STITCH_PASS1_BITS);
+        shift = STITCH_CONST_BITS - STITCH_PASS1_BITS;
+    }
+    __m512i rnd = _mm512_set1_epi32(1 << (shift - 1));
+#define STITCH_DOT2_Z(lo_or_hi, ca, cb) \
+    _mm512_srai_epi32(_mm512_add_epi32(_mm512_add_epi32( \
+        _mm512_madd_epi16(o1_##lo_or_hi, ca), \
+        _mm512_madd_epi16(o2_##lo_or_hi, cb)), rnd), shift)
+    __m512i e_lo = _mm512_unpacklo_epi16(t12, t13);
+    __m512i e_hi = _mm512_unpackhi_epi16(t12, t13);
+    __m512i c26a = STITCH_PAIR16_Z(4433, 10703);
+    __m512i c26b = STITCH_PAIR16_Z(-10704, 4433);
+    v[2] = _mm512_packs_epi32(
+        _mm512_srai_epi32(_mm512_add_epi32(_mm512_madd_epi16(e_lo, c26a), rnd), shift),
+        _mm512_srai_epi32(_mm512_add_epi32(_mm512_madd_epi16(e_hi, c26a), rnd), shift));
+    v[6] = _mm512_packs_epi32(
+        _mm512_srai_epi32(_mm512_add_epi32(_mm512_madd_epi16(e_lo, c26b), rnd), shift),
+        _mm512_srai_epi32(_mm512_add_epi32(_mm512_madd_epi16(e_hi, c26b), rnd), shift));
+    __m512i o1_lo = _mm512_unpacklo_epi16(t4, t5);
+    __m512i o1_hi = _mm512_unpackhi_epi16(t4, t5);
+    __m512i o2_lo = _mm512_unpacklo_epi16(t6, t7);
+    __m512i o2_hi = _mm512_unpackhi_epi16(t6, t7);
+    __m512i c1a = STITCH_PAIR16_Z(2260, 6437);
+    __m512i c1b = STITCH_PAIR16_Z(9633, 11363);
+    __m512i c3a = STITCH_PAIR16_Z(-6436, -11362);
+    __m512i c3b = STITCH_PAIR16_Z(-2259, 9633);
+    __m512i c5a = STITCH_PAIR16_Z(9633, 2261);
+    __m512i c5b = STITCH_PAIR16_Z(-11362, 6437);
+    __m512i c7a = STITCH_PAIR16_Z(-11363, 9633);
+    __m512i c7b = STITCH_PAIR16_Z(-6436, 2260);
+    v[1] = _mm512_packs_epi32(STITCH_DOT2_Z(lo, c1a, c1b), STITCH_DOT2_Z(hi, c1a, c1b));
+    v[3] = _mm512_packs_epi32(STITCH_DOT2_Z(lo, c3a, c3b), STITCH_DOT2_Z(hi, c3a, c3b));
+    v[5] = _mm512_packs_epi32(STITCH_DOT2_Z(lo, c5a, c5b), STITCH_DOT2_Z(hi, c5a, c5b));
+    v[7] = _mm512_packs_epi32(STITCH_DOT2_Z(lo, c7a, c7b), STITCH_DOT2_Z(hi, c7a, c7b));
+#undef STITCH_DOT2_Z
+}
+
+// Quantize coefficient row u of two blocks (16 int32 lanes: 8 coeffs of
+// block A then 8 of B; q4/q8f carry the 8 per-row constants duplicated).
+// Same no-correction IEEE-division argument as avx2_quant_row. (A
+// reciprocal-multiply + integer-fixup variant measured 0.91x of this on
+// Sapphire Rapids — the 512-bit divider is fast and vpmulld's 2 uops plus
+// the fixup dependency chain cost more than the divide; don't retry.)
+static inline void avx512_quant_row16(__m512i c, __m512i q4, __m512 q8f,
+                                      int16_t* outA, int16_t* outB, int u) {
+    __m512i mag = _mm512_abs_epi32(c);
+    __m512i num = _mm512_add_epi32(mag, q4);
+    __m512 quotf = _mm512_roundscale_ps(
+        _mm512_div_ps(_mm512_cvtepi32_ps(num), q8f),
+        _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+    __m512i quot = _mm512_cvttps_epi32(quotf);
+    __m512i sign = _mm512_srai_epi32(c, 31);
+    quot = _mm512_sub_epi32(_mm512_xor_si512(quot, sign), sign);
+    __m256i r = _mm512_cvtsepi32_epi16(quot);  // in-order signed saturate
+    _mm_storeu_si128((__m128i*)(outA + u * 8), _mm256_castsi256_si128(r));
+    _mm_storeu_si128((__m128i*)(outB + u * 8), _mm256_extracti128_si256(r, 1));
+}
+
+// Four horizontally adjacent blocks in one sweep; bit-identical to
+// fdct8x2_quant_avx2 per block (same lane-local op sequence).
+static void fdct8x4_quant_avx512(const int16_t* p, int64_t stride,
+                                 const __m512i* q4z, const __m512* q8fz,
+                                 int16_t* outA, int16_t* outB,
+                                 int16_t* outC, int16_t* outD) {
+    __m512i v[8];
+    for (int y = 0; y < 8; ++y)
+        v[y] = _mm512_loadu_si512((const void*)(p + y * stride));
+    avx512_transpose_4x8x8_epi16(v);  // lanes = y, regs = x
+    avx512_fdct32_pass(v, 0);          // row pass
+    avx512_transpose_4x8x8_epi16(v);  // lanes = x-frequency, regs = y
+    avx512_fdct32_pass(v, 1);          // column pass
+    for (int u = 0; u < 8; ++u) {
+        __m512i cAB = _mm512_cvtepi16_epi32(_mm512_castsi512_si256(v[u]));
+        __m512i cCD = _mm512_cvtepi16_epi32(_mm512_extracti64x4_epi64(v[u], 1));
+        avx512_quant_row16(cAB, q4z[u], q8fz[u], outA, outB, u);
+        avx512_quant_row16(cCD, q4z[u], q8fz[u], outC, outD, u);
+    }
+}
+#endif  // __AVX512BW__ && __AVX512DQ__
 #endif
 
 void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
@@ -985,6 +1132,16 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         l8iv[r] = _mm256_loadu_si256((const __m256i*)li);
         c8iv[r] = _mm256_loadu_si256((const __m256i*)ci);
     }
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+    __m512i l4z[8], c4z[8];
+    __m512 l8fz[8], c8fz[8];
+    for (int r = 0; r < 8; ++r) {
+        l4z[r] = _mm512_broadcast_i32x8(l4v[r]);
+        c4z[r] = _mm512_broadcast_i32x8(c4v[r]);
+        l8fz[r] = _mm512_broadcast_f32x8(l8fv[r]);
+        c8fz[r] = _mm512_broadcast_f32x8(c8fv[r]);
+    }
+#endif
 #endif
     int64_t bx = w / 8;
     // Strip-at-a-time: convert 8 interleaved RGBA rows into three planar
@@ -998,7 +1155,57 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
     for (int64_t sy = 0; sy < h / 8; ++sy) {
         const uint8_t* src = rgba + sy * 8 * w * 4;
         int64_t n = 8 * w;
-        for (int64_t i = 0; i < n; ++i) {
+        int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+        {
+            // vpshufb + vpmaddwd formulation of the same integer formulas:
+            // the oversized Y green coefficient splits exactly
+            // (38470 = 19235 + 19235 across the [R,G] and [G,B] pairs) and
+            // the +-32768 coefficients become shifts, so every sum is the
+            // identical int32 the scalar code computes. The -128 level
+            // shift folds into the bias (-128*2^16 is shift-exact).
+            const __m512i shuf_rg = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                0, -1, 1, -1, 4, -1, 5, -1, 8, -1, 9, -1, 12, -1, 13, -1));
+            const __m512i shuf_gb = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                1, -1, 2, -1, 5, -1, 6, -1, 9, -1, 10, -1, 13, -1, 14, -1));
+            const __m512i shuf_r = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                0, -1, -1, -1, 4, -1, -1, -1, 8, -1, -1, -1, 12, -1, -1, -1));
+            const __m512i shuf_b = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                2, -1, -1, -1, 6, -1, -1, -1, 10, -1, -1, -1, 14, -1, -1, -1));
+            const __m512i cy_rg = STITCH_PAIR16_Z(19595, 19235);
+            const __m512i cy_gb = STITCH_PAIR16_Z(19235, 7471);
+            const __m512i ccb_rg = STITCH_PAIR16_Z(-11059, -21709);
+            const __m512i ccr_gb = STITCH_PAIR16_Z(-27439, -5329);
+            const __m512i bias_y = _mm512_set1_epi32(32768 - (128 << 16));
+            const __m512i bias_c = _mm512_set1_epi32(32768);
+            for (; i + 16 <= n; i += 16) {
+                __m512i v = _mm512_loadu_si512((const void*)(src + i * 4));
+                __m512i rg = _mm512_shuffle_epi8(v, shuf_rg);
+                __m512i gb = _mm512_shuffle_epi8(v, shuf_gb);
+                __m512i r32 = _mm512_shuffle_epi8(v, shuf_r);
+                __m512i b32 = _mm512_shuffle_epi8(v, shuf_b);
+                __m512i ys = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(rg, cy_rg),
+                                     _mm512_madd_epi16(gb, cy_gb)),
+                    bias_y);
+                __m512i cbs = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(rg, ccb_rg),
+                                     _mm512_slli_epi32(b32, 15)),
+                    bias_c);
+                __m512i crs = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(gb, ccr_gb),
+                                     _mm512_slli_epi32(r32, 15)),
+                    bias_c);
+                _mm256_storeu_si256((__m256i*)(yp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(ys, 16)));
+                _mm256_storeu_si256((__m256i*)(cbp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(cbs, 16)));
+                _mm256_storeu_si256((__m256i*)(crp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(crs, 16)));
+            }
+        }
+#endif
+        for (; i < n; ++i) {
             int32_t r = src[i * 4 + 0];
             int32_t g = src[i * 4 + 1];
             int32_t b = src[i * 4 + 2];
@@ -1007,9 +1214,26 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
             crp[i] = (int16_t)(((32768 * r - 27439 * g - 5329 * b + 32768 + (128 << 16)) >> 16) - 128);
         }
 #ifdef __AVX2__
-        // Pairs of horizontally adjacent blocks through the 16-bit path;
-        // a trailing odd block falls back to the one-block int32 path.
-        for (int64_t sx = 0; sx + 1 < bx; sx += 2) {
+        // Quads of horizontally adjacent blocks through the AVX-512 path
+        // when available, pairs through the 16-bit AVX2 path, and a
+        // trailing odd block through the one-block int32 path — all three
+        // bit-identical per block.
+        int64_t sx0 = 0;
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+        for (; sx0 + 3 < bx; sx0 += 4) {
+            int64_t blkidx = sy * bx + sx0;
+            fdct8x4_quant_avx512(yp + sx0 * 8, w, l4z, l8fz,
+                                 yout + blkidx * 64, yout + (blkidx + 1) * 64,
+                                 yout + (blkidx + 2) * 64, yout + (blkidx + 3) * 64);
+            fdct8x4_quant_avx512(cbp + sx0 * 8, w, c4z, c8fz,
+                                 cbout + blkidx * 64, cbout + (blkidx + 1) * 64,
+                                 cbout + (blkidx + 2) * 64, cbout + (blkidx + 3) * 64);
+            fdct8x4_quant_avx512(crp + sx0 * 8, w, c4z, c8fz,
+                                 crout + blkidx * 64, crout + (blkidx + 1) * 64,
+                                 crout + (blkidx + 2) * 64, crout + (blkidx + 3) * 64);
+        }
+#endif
+        for (int64_t sx = sx0; sx + 1 < bx; sx += 2) {
             int64_t blkidx = sy * bx + sx;
             fdct8x2_quant_avx2(yp + sx * 8, w, l4v, l8fv,
                                yout + blkidx * 64, yout + (blkidx + 1) * 64);
@@ -1018,7 +1242,7 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
             fdct8x2_quant_avx2(crp + sx * 8, w, c4v, c8fv,
                                crout + blkidx * 64, crout + (blkidx + 1) * 64);
         }
-        for (int64_t sx = bx & ~(int64_t)1; sx < bx; ++sx) {
+        for (int64_t sx = sx0 + ((bx - sx0) & ~(int64_t)1); sx < bx; ++sx) {
             int64_t blkidx = sy * bx + sx;
             const struct { const int16_t* plane; const __m256i* q4v;
                            const __m256* q8fv; const __m256i* q8iv;
