@@ -380,6 +380,32 @@ static int kNatToZigInit = 0;
 
 static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
                          const HuffTable* t, int comp) {
+#if defined(__AVX512BW__)
+    // vpermi2w materializes all 64 coefficients in ZIGZAG order in two ops
+    // (the 6-bit selector is exactly kZigzag[k] across the two source
+    // registers), and test_epi16_mask yields the nonzero mask directly in
+    // zigzag order — no per-set-bit natural->zigzag permute loop at all.
+    // The 128-byte zz staging store stays in L1 and replaces the
+    // blk[kZigzag[k]] indirection in the emission loop.
+    static const int16_t kZzIdx[64] = {
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+    __m512i a = _mm512_loadu_si512((const void*)blk);
+    __m512i b = _mm512_loadu_si512((const void*)(blk + 32));
+    __m512i z0 = _mm512_permutex2var_epi16(
+        a, _mm512_loadu_si512((const void*)kZzIdx), b);
+    __m512i z1 = _mm512_permutex2var_epi16(
+        a, _mm512_loadu_si512((const void*)(kZzIdx + 32)), b);
+    uint64_t m = (((uint64_t)_mm512_test_epi16_mask(z0, z0)) |
+                  ((uint64_t)_mm512_test_epi16_mask(z1, z1) << 32)) &
+                 ~1ull;  // zigzag-order AC mask
+    alignas(64) int16_t zz[64];
+    _mm512_store_si512((void*)zz, z0);
+    _mm512_store_si512((void*)(zz + 32), z1);
+#define STITCH_ZZ_COEF(k) zz[k]
+#else
     // Nonzero bitmask in NATURAL order (one AVX2 sweep), permuted bitwise
     // into zigzag order — only the ~dozen set bits pay the permutation and
     // only their coefficients are ever loaded. The old dense zigzag gather
@@ -395,6 +421,8 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
         m_nat &= m_nat - 1;
         m |= 1ull << kNatToZig[k];
     }
+#define STITCH_ZZ_COEF(k) blk[kZigzag[k]]
+#endif
 
     int32_t dc = blk[0];
     int32_t diff = dc - st->prev_dc[comp];
@@ -419,7 +447,7 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
             put_bits(st, outp, t->ac_code[0xF0], t->ac_len[0xF0]);
             run -= 16;
         }
-        int32_t v = blk[kZigzag[k]];
+        int32_t v = STITCH_ZZ_COEF(k);
         int size = bit_size(v);
         int sym = (run << 4) | size;
         uint32_t vb = (uint32_t)(v < 0 ? v + (1 << size) - 1 : v);
@@ -431,6 +459,7 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
         last_nz = k;
     }
     if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
+#undef STITCH_ZZ_COEF
 }
 
 // Structural worst case per encoded block: DC (16-bit code + 17 magnitude
