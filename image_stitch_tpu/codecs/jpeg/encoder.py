@@ -303,8 +303,35 @@ class StreamingJpegEncoder:
             codes, lens = interleave_mcus([(yc, yl), (cbc, cbl), (crc, crl)])
         return self._packer.pack(codes, lens)
 
+    def _fused_native_band(self, band) -> bytes | None:
+        """Fused native convert+FDCT+quantize+entropy for a whole band (one
+        DRAM pass; blocks stay strip-local in L2). Applies only on the host
+        4:4:4 path with no restart markers to interleave; byte stream
+        identical to the split quantize->entropy path. None = inapplicable."""
+        if (
+            self._native_coder is None
+            or self._device is not None
+            or self.sampling != "444"
+            or self._restart_rows
+            or not isinstance(band, np.ndarray)
+        ):
+            return None
+        if self._pad_w:
+            band = np.concatenate(
+                [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
+            )
+        data = self._native_coder.encode_rgba_band(band, self.luma_q, self.chroma_q)
+        if data is None:
+            return None
+        self._rows_consumed += band.shape[0]
+        self._mcu_rows_done += band.shape[0] // MCU_HEIGHT
+        return data
+
     def _encode_strip(self, strip: np.ndarray) -> bytes:
         """Encode one full MCU strip to entropy-coded bytes."""
+        data = self._fused_native_band(strip)
+        if data is not None:
+            return data
         yb, cbb, crb = self._quantize_band(strip)
         return b"".join(self._emit_blocks(yb, cbb, crb))
 
@@ -427,8 +454,12 @@ class StreamingJpegEncoder:
                     if data:
                         yield data
             else:
-                yb, cbb, crb = self._quantize_band(full)
-                yield from self._emit_blocks(yb, cbb, crb)
+                data = self._fused_native_band(full)
+                if data is not None:
+                    yield data
+                else:
+                    yb, cbb, crb = self._quantize_band(full)
+                    yield from self._emit_blocks(yb, cbb, crb)
         rest = band[n_full * self._mcu_h :]
         if rest.shape[0]:
             # Device arrays are immutable: keep the lazy slice as-is.

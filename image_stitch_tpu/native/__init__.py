@@ -151,6 +151,13 @@ def get_native_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.jpeg_quant_entropy_band_444.restype = ctypes.c_int64
+    lib.jpeg_quant_entropy_band_444.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
+        ctypes.POINTER(EntropyStateC), ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.owned_inflate.restype = ctypes.c_int64
     lib.owned_inflate.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -456,6 +463,43 @@ class NativeEntropyCoder:
             ctypes.byref(self._state),
             out.ctypes.data_as(ctypes.c_void_p),
             cap,
+        )
+        if n < 0:
+            from ..errors import StitchError
+
+            raise StitchError("JPEG entropy output buffer capacity exhausted")
+        return out[:n].tobytes()
+
+    def encode_rgba_band(
+        self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+    ) -> bytes | None:
+        """Fused convert+FDCT+quantize+entropy over an (h, w, 4) uint8 band
+        (4:4:4 only, h%8 == w%8 == 0): one DRAM pass, strip-local blocks.
+        Byte-identical to jpeg_quant_band_native -> encode. None when the
+        fused tier is unavailable (caller uses the split path)."""
+        lib = get_native_lib()
+        if lib is None or self._fn_name != "jpeg_entropy_encode_444":
+            return None
+        band = np.ascontiguousarray(band, dtype=np.uint8)
+        h, w = band.shape[:2]
+        if h % 8 or w % 8:
+            return None
+        lq = np.ascontiguousarray(luma_q, dtype=np.int32)
+        cq = np.ascontiguousarray(chroma_q, dtype=np.int32)
+        blocks_total = 3 * (h // 8) * (w // 8)
+        cap = int(blocks_total * 528 + 1024)
+        if self._out is None or self._out.size < cap:
+            self._out = np.empty(max(cap, 1 << 20), dtype=np.uint8)
+        out = self._out
+        n = lib.jpeg_quant_entropy_band_444(
+            band.ctypes.data_as(ctypes.c_void_p), h, w,
+            lq.ctypes.data_as(ctypes.c_void_p),
+            cq.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(self._luma),
+            ctypes.byref(self._chroma),
+            ctypes.byref(self._state),
+            out.ctypes.data_as(ctypes.c_void_p),
+            out.size,
         )
         if n < 0:
             from ..errors import StitchError

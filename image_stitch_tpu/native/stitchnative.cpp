@@ -1132,9 +1132,20 @@ static void fdct8x4_quant_avx512(const int16_t* p, int64_t stride,
 #endif  // __AVX512BW__ && __AVX512DQ__
 #endif
 
-void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
-                         const int32_t* lq, const int32_t* cq,
-                         int16_t* yout, int16_t* cbout, int16_t* crout) {
+// Core convert+FDCT+quantize sweep. Two modes:
+//  - split (out == NULL): write all blocks to yout/cbout/crout (band-major),
+//    the historical jpeg_quant_band_444 contract.
+//  - fused (out != NULL): blocks land in a strip-local scratch that stays
+//    L2-resident and are entropy-coded immediately (luma/chroma/st), so the
+//    ~6 MB of block arrays per strip-band never round-trip DRAM between the
+//    quant and entropy stages. Returns bytes written, or -1 if capacity
+//    would be exceeded. Byte stream identical to quant-then-encode.
+static int64_t quant_entropy_core_444(
+    const uint8_t* rgba, int64_t h, int64_t w,
+    const int32_t* lq, const int32_t* cq,
+    int16_t* yout, int16_t* cbout, int16_t* crout,
+    const HuffTable* luma, const HuffTable* chroma,
+    EntropyState* st, uint8_t* out, int64_t capacity) {
     // Per-coefficient quantizer constants: floor((|c| + 4q) / (8q)) via
     // an f32 divide + exact integer floor-correction (mirrors
     // ops/jpeg_dct.quantize_islow: TPU divides via reciprocal
@@ -1175,13 +1186,25 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
     int64_t bx = w / 8;
     // Strip-at-a-time: convert 8 interleaved RGBA rows into three planar
     // (8, w) int16 buffers (level-shifted) with one contiguous sweep
-    // (auto-vectorizes), then FDCT+quantize each 8x8 block.
-    int16_t* planes = (int16_t*)malloc((size_t)(3 * 8 * w) * sizeof(int16_t));
+    // (auto-vectorizes), then FDCT+quantize each 8x8 block. Fused mode adds
+    // a strip-local block scratch (3 * bx * 64 int16).
+    size_t plane_elems = (size_t)(3 * 8 * w);
+    size_t scratch_elems = out ? (size_t)(3 * bx * 64) : 0;
+    int16_t* planes = (int16_t*)malloc(
+        (plane_elems + scratch_elems) * sizeof(int16_t));
     int16_t* yp = planes;
     int16_t* cbp = planes + 8 * w;
     int16_t* crp = planes + 16 * w;
+    int16_t* ystrip = planes + plane_elems;
+    int16_t* cbstrip = ystrip + bx * 64;
+    int16_t* crstrip = cbstrip + bx * 64;
+    uint8_t* p = out;
+    const uint8_t* pend = out ? out + capacity : NULL;
     int32_t blk[64];
     for (int64_t sy = 0; sy < h / 8; ++sy) {
+        int16_t* ybase = out ? ystrip : yout + sy * bx * 64;
+        int16_t* cbbase = out ? cbstrip : cbout + sy * bx * 64;
+        int16_t* crbase = out ? crstrip : crout + sy * bx * 64;
         const uint8_t* src = rgba + sy * 8 * w * 4;
         int64_t n = 8 * w;
         int64_t i = 0;
@@ -1250,47 +1273,43 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
         int64_t sx0 = 0;
 #if defined(__AVX512BW__) && defined(__AVX512DQ__)
         for (; sx0 + 3 < bx; sx0 += 4) {
-            int64_t blkidx = sy * bx + sx0;
             fdct8x4_quant_avx512(yp + sx0 * 8, w, l4z, l8fz,
-                                 yout + blkidx * 64, yout + (blkidx + 1) * 64,
-                                 yout + (blkidx + 2) * 64, yout + (blkidx + 3) * 64);
+                                 ybase + sx0 * 64, ybase + (sx0 + 1) * 64,
+                                 ybase + (sx0 + 2) * 64, ybase + (sx0 + 3) * 64);
             fdct8x4_quant_avx512(cbp + sx0 * 8, w, c4z, c8fz,
-                                 cbout + blkidx * 64, cbout + (blkidx + 1) * 64,
-                                 cbout + (blkidx + 2) * 64, cbout + (blkidx + 3) * 64);
+                                 cbbase + sx0 * 64, cbbase + (sx0 + 1) * 64,
+                                 cbbase + (sx0 + 2) * 64, cbbase + (sx0 + 3) * 64);
             fdct8x4_quant_avx512(crp + sx0 * 8, w, c4z, c8fz,
-                                 crout + blkidx * 64, crout + (blkidx + 1) * 64,
-                                 crout + (blkidx + 2) * 64, crout + (blkidx + 3) * 64);
+                                 crbase + sx0 * 64, crbase + (sx0 + 1) * 64,
+                                 crbase + (sx0 + 2) * 64, crbase + (sx0 + 3) * 64);
         }
 #endif
         for (int64_t sx = sx0; sx + 1 < bx; sx += 2) {
-            int64_t blkidx = sy * bx + sx;
             fdct8x2_quant_avx2(yp + sx * 8, w, l4v, l8fv,
-                               yout + blkidx * 64, yout + (blkidx + 1) * 64);
+                               ybase + sx * 64, ybase + (sx + 1) * 64);
             fdct8x2_quant_avx2(cbp + sx * 8, w, c4v, c8fv,
-                               cbout + blkidx * 64, cbout + (blkidx + 1) * 64);
+                               cbbase + sx * 64, cbbase + (sx + 1) * 64);
             fdct8x2_quant_avx2(crp + sx * 8, w, c4v, c8fv,
-                               crout + blkidx * 64, crout + (blkidx + 1) * 64);
+                               crbase + sx * 64, crbase + (sx + 1) * 64);
         }
         for (int64_t sx = sx0 + ((bx - sx0) & ~(int64_t)1); sx < bx; ++sx) {
-            int64_t blkidx = sy * bx + sx;
             const struct { const int16_t* plane; const __m256i* q4v;
                            const __m256* q8fv; const __m256i* q8iv;
                            int16_t* out; } jobs[3] = {
-                {yp, l4v, l8fv, l8iv, yout + blkidx * 64},
-                {cbp, c4v, c8fv, c8iv, cbout + blkidx * 64},
-                {crp, c4v, c8fv, c8iv, crout + blkidx * 64}};
+                {yp, l4v, l8fv, l8iv, ybase + sx * 64},
+                {cbp, c4v, c8fv, c8iv, cbbase + sx * 64},
+                {crp, c4v, c8fv, c8iv, crbase + sx * 64}};
             for (int j = 0; j < 3; ++j)
                 fdct8_quant_avx2(jobs[j].plane + sx * 8, w, jobs[j].q4v,
                                  jobs[j].q8fv, jobs[j].q8iv, jobs[j].out);
         }
 #else
         for (int64_t sx = 0; sx < bx; ++sx) {
-            int64_t blkidx = sy * bx + sx;
             const struct { const int16_t* plane; const int32_t* q4;
                            const float* q8f; int16_t* out; } jobs[3] = {
-                {yp, l4, l8f, yout + blkidx * 64},
-                {cbp, c4, c8f, cbout + blkidx * 64},
-                {crp, c4, c8f, crout + blkidx * 64}};
+                {yp, l4, l8f, ybase + sx * 64},
+                {cbp, c4, c8f, cbbase + sx * 64},
+                {crp, c4, c8f, crbase + sx * 64}};
             for (int j = 0; j < 3; ++j) {
                 const int16_t* p = jobs[j].plane + sx * 8;
                 for (int yy = 0; yy < 8; ++yy)
@@ -1314,8 +1333,40 @@ void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
             }
         }
 #endif
+        if (out) {
+            // Entropy-code this strip's MCUs while the blocks are L2-hot.
+            for (int64_t sx = 0; sx < bx; ++sx) {
+                if (pend - p < 3 * kMaxBlockBytes) { free(planes); return -1; }
+                encode_block(st, &p, ybase + sx * 64, luma, 0);
+                encode_block(st, &p, cbbase + sx * 64, chroma, 1);
+                encode_block(st, &p, crbase + sx * 64, chroma, 2);
+            }
+        }
     }
     free(planes);
+    return out ? (int64_t)(p - out) : 0;
+}
+
+void jpeg_quant_band_444(const uint8_t* rgba, int64_t h, int64_t w,
+                         const int32_t* lq, const int32_t* cq,
+                         int16_t* yout, int16_t* cbout, int16_t* crout) {
+    quant_entropy_core_444(rgba, h, w, lq, cq, yout, cbout, crout,
+                           NULL, NULL, NULL, NULL, 0);
+}
+
+// Fused convert+FDCT+quantize+entropy over a whole 4:4:4 band: one DRAM
+// pass over the RGBA input, blocks stay strip-local. Byte stream identical
+// to jpeg_quant_band_444 -> jpeg_entropy_encode_444. Returns bytes written
+// or -1 when `capacity` would be exceeded (caller falls back to the split
+// path). Replaces the reference's per-strip WASM encode_strip
+// (jpeg-encoder.ts:162) at band granularity.
+int64_t jpeg_quant_entropy_band_444(
+    const uint8_t* rgba, int64_t h, int64_t w,
+    const int32_t* lq, const int32_t* cq,
+    const HuffTable* luma, const HuffTable* chroma,
+    EntropyState* state, uint8_t* out, int64_t capacity) {
+    return quant_entropy_core_444(rgba, h, w, lq, cq, NULL, NULL, NULL,
+                                  luma, chroma, state, out, capacity);
 }
 
 // Flush remaining buffered bits (up to 57 with deferred flushing), final
