@@ -259,6 +259,14 @@ class StreamingJpegEncoder:
                 [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
             )
         if self.sampling == "420":
+            try:
+                from ...native import jpeg_quant_band_420_native
+
+                native = jpeg_quant_band_420_native(band, self.luma_q, self.chroma_q)
+                if native is not None:
+                    return native
+            except Exception:
+                pass
             return _band_to_blocks_numpy_420(band, self.luma_q, self.chroma_q)
         if self._device is not None:
             return self._device.jpeg_quantize_band(band, self.luma_q, self.chroma_q)
@@ -311,7 +319,6 @@ class StreamingJpegEncoder:
         if (
             self._native_coder is None
             or self._device is not None
-            or self.sampling != "444"
             or self._restart_rows
             or not isinstance(band, np.ndarray)
         ):
@@ -324,7 +331,7 @@ class StreamingJpegEncoder:
         if data is None:
             return None
         self._rows_consumed += band.shape[0]
-        self._mcu_rows_done += band.shape[0] // MCU_HEIGHT
+        self._mcu_rows_done += band.shape[0] // self._mcu_h
         return data
 
     def _encode_strip(self, strip: np.ndarray) -> bytes:

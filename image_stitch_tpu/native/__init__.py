@@ -151,13 +151,17 @@ def get_native_lib():
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    lib.jpeg_quant_entropy_band_444.restype = ctypes.c_int64
-    lib.jpeg_quant_entropy_band_444.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
-        ctypes.POINTER(EntropyStateC), ctypes.c_void_p, ctypes.c_int64,
-    ]
+    lib.jpeg_quant_band_420.restype = None
+    lib.jpeg_quant_band_420.argtypes = lib.jpeg_quant_band_444.argtypes
+    for name in ("jpeg_quant_entropy_band_444", "jpeg_quant_entropy_band_420"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(HuffTableC), ctypes.POINTER(HuffTableC),
+            ctypes.POINTER(EntropyStateC), ctypes.c_void_p, ctypes.c_int64,
+        ]
     lib.owned_inflate.restype = ctypes.c_int64
     lib.owned_inflate.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -422,6 +426,36 @@ def jpeg_quant_band_native(
     return yo, cbo, cro
 
 
+def jpeg_quant_band_420_native(
+    band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Fused YCbCr+2x2 subsample+DCT+quantize (C++ tier); None if
+    unavailable. band_rgba: (h, w, 4) uint8 with h%16==0, w%16==0. Returns
+    (y (4n, 64) in MCU order [TL,TR,BL,BR], cb (n, 64), cr (n, 64)) —
+    bit-identical to ops/jpeg_dct.band_to_blocks_islow_420."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    band = np.ascontiguousarray(band_rgba, dtype=np.uint8)
+    h, w = band.shape[:2]
+    if h % 16 or w % 16:
+        return None
+    n = (h // 16) * (w // 16)
+    lq = np.ascontiguousarray(luma_q, dtype=np.int32)
+    cq = np.ascontiguousarray(chroma_q, dtype=np.int32)
+    yo = np.empty((4 * n, 64), dtype=np.int16)
+    cbo = np.empty((n, 64), dtype=np.int16)
+    cro = np.empty((n, 64), dtype=np.int16)
+    lib.jpeg_quant_band_420(
+        band.ctypes.data_as(ctypes.c_void_p), h, w,
+        lq.ctypes.data_as(ctypes.c_void_p), cq.ctypes.data_as(ctypes.c_void_p),
+        yo.ctypes.data_as(ctypes.c_void_p),
+        cbo.ctypes.data_as(ctypes.c_void_p),
+        cro.ctypes.data_as(ctypes.c_void_p),
+    )
+    return yo, cbo, cro
+
+
 class NativeEntropyCoder:
     """Streaming JPEG entropy coder over the native library."""
 
@@ -474,24 +508,29 @@ class NativeEntropyCoder:
         self, band: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
     ) -> bytes | None:
         """Fused convert+FDCT+quantize+entropy over an (h, w, 4) uint8 band
-        (4:4:4 only, h%8 == w%8 == 0): one DRAM pass, strip-local blocks.
-        Byte-identical to jpeg_quant_band_native -> encode. None when the
-        fused tier is unavailable (caller uses the split path)."""
+        (h%mcu == w%mcu == 0 for the coder's sampling): one DRAM pass,
+        strip-local blocks. Byte-identical to the split quantize -> encode
+        path. None when the fused tier is unavailable (caller falls back)."""
         lib = get_native_lib()
-        if lib is None or self._fn_name != "jpeg_entropy_encode_444":
+        if lib is None:
             return None
+        is_420 = self._fn_name == "jpeg_entropy_encode_420"
+        mcu = 16 if is_420 else 8
         band = np.ascontiguousarray(band, dtype=np.uint8)
         h, w = band.shape[:2]
-        if h % 8 or w % 8:
+        if h % mcu or w % mcu:
             return None
         lq = np.ascontiguousarray(luma_q, dtype=np.int32)
         cq = np.ascontiguousarray(chroma_q, dtype=np.int32)
-        blocks_total = 3 * (h // 8) * (w // 8)
+        blocks_total = 3 * (h // 8) * (w // 8) if not is_420 else (
+            6 * (h // 16) * (w // 16))
         cap = int(blocks_total * 528 + 1024)
         if self._out is None or self._out.size < cap:
             self._out = np.empty(max(cap, 1 << 20), dtype=np.uint8)
         out = self._out
-        n = lib.jpeg_quant_entropy_band_444(
+        fused = (lib.jpeg_quant_entropy_band_420 if is_420
+                 else lib.jpeg_quant_entropy_band_444)
+        n = fused(
             band.ctypes.data_as(ctypes.c_void_p), h, w,
             lq.ctypes.data_as(ctypes.c_void_p),
             cq.ctypes.data_as(ctypes.c_void_p),

@@ -1369,6 +1369,284 @@ int64_t jpeg_quant_entropy_band_444(
                                   luma, chroma, state, out, capacity);
 }
 
+// --- 4:2:0 ---------------------------------------------------------------
+//
+// Native mirror of ops/jpeg_dct.band_to_blocks_islow_420: full-res Y (MCU
+// block order TL,TR,BL,BR), chroma 2x2 box-averaged with (sum+2)>>2.
+// Averaging LEVEL-SHIFTED samples is exact: subtracting 4*128 = 512 (a
+// multiple of 4) commutes with the floored divide-by-4, so
+// (sum_shifted+2)>>2 == ((sum_unshifted+2)>>2) - 128 — the same integers
+// the numpy tier computes, hence bit-identical quantized blocks.
+
+// FDCT+quantize one plane row of blocks into per-block out pointers.
+static inline void quant_plane_row(
+    const int16_t* plane, int64_t stride, int64_t bx,
+    int16_t* base, int64_t idx0, int64_t idx_step_pattern,
+#ifdef __AVX2__
+    const __m256i* q4v, const __m256* q8fv, const __m256i* q8iv,
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+    const __m512i* q4z, const __m512* q8fz,
+#endif
+#endif
+    const int32_t* q4, const float* q8f,
+    int16_t* (*slot)(int16_t* base, int64_t sx, void* ctx), void* ctx) {
+    (void)idx0; (void)idx_step_pattern;
+    int64_t sx = 0;
+#ifdef __AVX2__
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+    for (; sx + 3 < bx; sx += 4)
+        fdct8x4_quant_avx512(plane + sx * 8, stride, q4z, q8fz,
+                             slot(base, sx, ctx), slot(base, sx + 1, ctx),
+                             slot(base, sx + 2, ctx), slot(base, sx + 3, ctx));
+#endif
+    for (; sx + 1 < bx; sx += 2)
+        fdct8x2_quant_avx2(plane + sx * 8, stride, q4v, q8fv,
+                           slot(base, sx, ctx), slot(base, sx + 1, ctx));
+    for (; sx < bx; ++sx)
+        fdct8_quant_avx2(plane + sx * 8, stride, q4v, q8fv, q8iv,
+                         slot(base, sx, ctx));
+    (void)q4; (void)q8f;
+#else
+    int32_t blk[64];
+    for (; sx < bx; ++sx) {
+        const int16_t* p = plane + sx * 8;
+        for (int yy = 0; yy < 8; ++yy)
+            for (int xx = 0; xx < 8; ++xx)
+                blk[yy * 8 + xx] = p[yy * stride + xx];
+        fdct8_islow(blk);
+        int16_t* o = slot(base, sx, ctx);
+        for (int i = 0; i < 64; ++i) {
+            int32_t c = blk[i];
+            int32_t mag = c < 0 ? -c : c;
+            int32_t num = mag + q4[i];
+            int32_t den = (int32_t)q8f[i];
+            int32_t quot = (int32_t)__builtin_floorf((float)num / q8f[i]);
+            int32_t rem = num - quot * den;
+            if (rem < 0) quot -= 1;
+            else if (rem >= den) quot += 1;
+            o[i] = (int16_t)(c < 0 ? -quot : quot);
+        }
+    }
+#endif
+}
+
+static int16_t* slot_raster(int16_t* base, int64_t sx, void* ctx) {
+    (void)ctx;
+    return base + sx * 64;
+}
+// Y block order inside a 420 MCU row: block column sx of half-row `half`
+// lands at MCU (sx>>1), slot half*2 + (sx&1).
+static int16_t* slot_mcu_y(int16_t* base, int64_t sx, void* ctx) {
+    int64_t half = *(int64_t*)ctx;
+    return base + (((sx >> 1) * 4) + half * 2 + (sx & 1)) * 64;
+}
+
+static int64_t quant_entropy_core_420(
+    const uint8_t* rgba, int64_t h, int64_t w,
+    const int32_t* lq, const int32_t* cq,
+    int16_t* yout, int16_t* cbout, int16_t* crout,
+    const HuffTable* luma, const HuffTable* chroma,
+    EntropyState* st, uint8_t* out, int64_t capacity) {
+    int32_t l4[64], c4[64];
+    float l8f[64], c8f[64];
+    for (int i = 0; i < 64; ++i) {
+        l4[i] = 4 * lq[i];
+        c4[i] = 4 * cq[i];
+        l8f[i] = (float)(8 * lq[i]);
+        c8f[i] = (float)(8 * cq[i]);
+    }
+#ifdef __AVX2__
+    __m256i l4v[8], c4v[8], l8iv[8], c8iv[8];
+    __m256 l8fv[8], c8fv[8];
+    for (int r = 0; r < 8; ++r) {
+        l4v[r] = _mm256_loadu_si256((const __m256i*)(l4 + r * 8));
+        c4v[r] = _mm256_loadu_si256((const __m256i*)(c4 + r * 8));
+        l8fv[r] = _mm256_loadu_ps(l8f + r * 8);
+        c8fv[r] = _mm256_loadu_ps(c8f + r * 8);
+        int32_t li[8], ci[8];
+        for (int k = 0; k < 8; ++k) { li[k] = 8 * lq[r * 8 + k]; ci[k] = 8 * cq[r * 8 + k]; }
+        l8iv[r] = _mm256_loadu_si256((const __m256i*)li);
+        c8iv[r] = _mm256_loadu_si256((const __m256i*)ci);
+    }
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+    __m512i l4z[8], c4z[8];
+    __m512 l8fz[8], c8fz[8];
+    for (int r = 0; r < 8; ++r) {
+        l4z[r] = _mm512_broadcast_i32x8(l4v[r]);
+        c4z[r] = _mm512_broadcast_i32x8(c4v[r]);
+        l8fz[r] = _mm512_broadcast_f32x8(l8fv[r]);
+        c8fz[r] = _mm512_broadcast_f32x8(c8fv[r]);
+    }
+#endif
+#endif
+    int64_t bxl = w / 8;    // luma blocks per 8-row half
+    int64_t bxc = w / 16;   // chroma blocks == MCUs per strip row
+    int64_t wc = w / 2;     // chroma plane width
+    // planes: y/cb/cr (16, w) + subsampled cbs/crs (8, w/2); fused mode
+    // adds strip-local blocks (4+1+1) * bxc.
+    size_t plane_elems = (size_t)(3 * 16 * w + 2 * 8 * wc);
+    size_t scratch_elems = out ? (size_t)(6 * bxc * 64) : 0;
+    int16_t* planes = (int16_t*)malloc(
+        (plane_elems + scratch_elems) * sizeof(int16_t));
+    int16_t* yp = planes;
+    int16_t* cbp = planes + 16 * w;
+    int16_t* crp = planes + 32 * w;
+    int16_t* cbs = planes + 48 * w;
+    int16_t* crs = cbs + 8 * wc;
+    int16_t* ystrip = planes + plane_elems;
+    int16_t* cbstrip = ystrip + 4 * bxc * 64;
+    int16_t* crstrip = cbstrip + bxc * 64;
+    uint8_t* p = out;
+    const uint8_t* pend = out ? out + capacity : NULL;
+    for (int64_t sy = 0; sy < h / 16; ++sy) {
+        int16_t* ybase = out ? ystrip : yout + sy * bxc * 4 * 64;
+        int16_t* cbbase = out ? cbstrip : cbout + sy * bxc * 64;
+        int16_t* crbase = out ? crstrip : crout + sy * bxc * 64;
+        const uint8_t* src = rgba + sy * 16 * w * 4;
+        int64_t n = 16 * w;
+        int64_t i = 0;
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+        {
+            // Same shufb+maddwd integer convert as the 444 core.
+            const __m512i shuf_rg = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                0, -1, 1, -1, 4, -1, 5, -1, 8, -1, 9, -1, 12, -1, 13, -1));
+            const __m512i shuf_gb = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                1, -1, 2, -1, 5, -1, 6, -1, 9, -1, 10, -1, 13, -1, 14, -1));
+            const __m512i shuf_r = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                0, -1, -1, -1, 4, -1, -1, -1, 8, -1, -1, -1, 12, -1, -1, -1));
+            const __m512i shuf_b = _mm512_broadcast_i32x4(_mm_setr_epi8(
+                2, -1, -1, -1, 6, -1, -1, -1, 10, -1, -1, -1, 14, -1, -1, -1));
+            const __m512i cy_rg = STITCH_PAIR16_Z(19595, 19235);
+            const __m512i cy_gb = STITCH_PAIR16_Z(19235, 7471);
+            const __m512i ccb_rg = STITCH_PAIR16_Z(-11059, -21709);
+            const __m512i ccr_gb = STITCH_PAIR16_Z(-27439, -5329);
+            const __m512i bias_y = _mm512_set1_epi32(32768 - (128 << 16));
+            const __m512i bias_c = _mm512_set1_epi32(32768);
+            for (; i + 16 <= n; i += 16) {
+                __m512i v = _mm512_loadu_si512((const void*)(src + i * 4));
+                __m512i rg = _mm512_shuffle_epi8(v, shuf_rg);
+                __m512i gb = _mm512_shuffle_epi8(v, shuf_gb);
+                __m512i r32 = _mm512_shuffle_epi8(v, shuf_r);
+                __m512i b32 = _mm512_shuffle_epi8(v, shuf_b);
+                __m512i ys = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(rg, cy_rg),
+                                     _mm512_madd_epi16(gb, cy_gb)),
+                    bias_y);
+                __m512i cbsv = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(rg, ccb_rg),
+                                     _mm512_slli_epi32(b32, 15)),
+                    bias_c);
+                __m512i crsv = _mm512_add_epi32(
+                    _mm512_add_epi32(_mm512_madd_epi16(gb, ccr_gb),
+                                     _mm512_slli_epi32(r32, 15)),
+                    bias_c);
+                _mm256_storeu_si256((__m256i*)(yp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(ys, 16)));
+                _mm256_storeu_si256((__m256i*)(cbp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(cbsv, 16)));
+                _mm256_storeu_si256((__m256i*)(crp + i),
+                    _mm512_cvtepi32_epi16(_mm512_srai_epi32(crsv, 16)));
+            }
+        }
+#endif
+        for (; i < n; ++i) {
+            int32_t r = src[i * 4 + 0];
+            int32_t g = src[i * 4 + 1];
+            int32_t b = src[i * 4 + 2];
+            yp[i] = (int16_t)(((19595 * r + 38470 * g + 7471 * b + 32768) >> 16) - 128);
+            cbp[i] = (int16_t)(((-11059 * r - 21709 * g + 32768 * b + 32768 + (128 << 16)) >> 16) - 128);
+            crp[i] = (int16_t)(((32768 * r - 27439 * g - 5329 * b + 32768 + (128 << 16)) >> 16) - 128);
+        }
+        // 2x2 box-average chroma ((sum+2)>>2 on level-shifted samples).
+        for (int row = 0; row < 8; ++row) {
+            const int16_t* pr0;
+            const int16_t* pr1;
+            int16_t* o;
+            for (int c = 0; c < 2; ++c) {
+                const int16_t* plane = c ? crp : cbp;
+                pr0 = plane + (int64_t)(2 * row) * w;
+                pr1 = plane + (int64_t)(2 * row + 1) * w;
+                o = (c ? crs : cbs) + (int64_t)row * wc;
+                int64_t j = 0;
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+                {
+                    const __m512i ones = _mm512_set1_epi16(1);
+                    const __m512i two = _mm512_set1_epi32(2);
+                    for (; j + 32 <= w; j += 32) {
+                        __m512i a = _mm512_loadu_si512((const void*)(pr0 + j));
+                        __m512i b = _mm512_loadu_si512((const void*)(pr1 + j));
+                        __m512i s = _mm512_add_epi32(
+                            _mm512_add_epi32(_mm512_madd_epi16(a, ones),
+                                             _mm512_madd_epi16(b, ones)),
+                            two);
+                        _mm256_storeu_si256((__m256i*)(o + j / 2),
+                            _mm512_cvtepi32_epi16(_mm512_srai_epi32(s, 2)));
+                    }
+                }
+#endif
+                for (; j < w; j += 2)
+                    o[j / 2] = (int16_t)(
+                        (pr0[j] + pr0[j + 1] + pr1[j] + pr1[j + 1] + 2) >> 2);
+            }
+        }
+        // Y: two 8-row halves, MCU [TL,TR,BL,BR] block order.
+        for (int64_t half = 0; half < 2; ++half) {
+            quant_plane_row(yp + half * 8 * w, w, bxl, ybase, 0, 0,
+#ifdef __AVX2__
+                            l4v, l8fv, l8iv,
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+                            l4z, l8fz,
+#endif
+#endif
+                            l4, l8f, slot_mcu_y, &half);
+        }
+        // Chroma blocks, raster order.
+        quant_plane_row(cbs, wc, bxc, cbbase, 0, 0,
+#ifdef __AVX2__
+                        c4v, c8fv, c8iv,
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+                        c4z, c8fz,
+#endif
+#endif
+                        c4, c8f, slot_raster, NULL);
+        quant_plane_row(crs, wc, bxc, crbase, 0, 0,
+#ifdef __AVX2__
+                        c4v, c8fv, c8iv,
+#if defined(__AVX512BW__) && defined(__AVX512DQ__)
+                        c4z, c8fz,
+#endif
+#endif
+                        c4, c8f, slot_raster, NULL);
+        if (out) {
+            for (int64_t m = 0; m < bxc; ++m) {
+                if (pend - p < 6 * kMaxBlockBytes) { free(planes); return -1; }
+                for (int64_t j = 0; j < 4; ++j)
+                    encode_block(st, &p, ybase + (m * 4 + j) * 64, luma, 0);
+                encode_block(st, &p, cbbase + m * 64, chroma, 1);
+                encode_block(st, &p, crbase + m * 64, chroma, 2);
+            }
+        }
+    }
+    free(planes);
+    return out ? (int64_t)(p - out) : 0;
+}
+
+void jpeg_quant_band_420(const uint8_t* rgba, int64_t h, int64_t w,
+                         const int32_t* lq, const int32_t* cq,
+                         int16_t* yout, int16_t* cbout, int16_t* crout) {
+    quant_entropy_core_420(rgba, h, w, lq, cq, yout, cbout, crout,
+                           NULL, NULL, NULL, NULL, 0);
+}
+
+int64_t jpeg_quant_entropy_band_420(
+    const uint8_t* rgba, int64_t h, int64_t w,
+    const int32_t* lq, const int32_t* cq,
+    const HuffTable* luma, const HuffTable* chroma,
+    EntropyState* state, uint8_t* out, int64_t capacity) {
+    return quant_entropy_core_420(rgba, h, w, lq, cq, NULL, NULL, NULL,
+                                  luma, chroma, state, out, capacity);
+}
+
 // Flush remaining buffered bits (up to 57 with deferred flushing), final
 // partial byte padded with 1s. Returns bytes written (0..16).
 int64_t jpeg_entropy_flush(EntropyState* state, uint8_t* out) {

@@ -117,3 +117,50 @@ def test_fused_matches_numpy_tier():
     out = b"".join(enc.encode_band(arr))
     out += b"".join(enc.finish())
     assert fused == out
+
+
+@pytest.mark.skipif(not native_available(), reason="native tier unavailable")
+def test_native_420_quant_matches_numpy():
+    from image_stitch_tpu.codecs.jpeg.encoder import _band_to_blocks_numpy_420
+    from image_stitch_tpu.native import jpeg_quant_band_420_native
+    from image_stitch_tpu.codecs.jpeg.tables import quality_scaled_tables
+
+    rng = np.random.default_rng(13)
+    for q in (50, 85, 95):
+        lq, cq = quality_scaled_tables(q)
+        for h, w in [(16, 16), (32, 64), (64, 128)]:
+            band = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            nat = jpeg_quant_band_420_native(band, lq, cq)
+            ref = _band_to_blocks_numpy_420(band, lq, cq)
+            for a, b in zip(nat, ref):
+                assert np.array_equal(a, b)
+
+
+@pytest.mark.skipif(not native_available(), reason="native tier unavailable")
+@pytest.mark.parametrize("shape", [(32, 64), (48, 100), (20, 30)])
+def test_420_fused_split_numpy_bytes_equal(shape):
+    from image_stitch_tpu.codecs.jpeg.encoder import (
+        _band_to_blocks_numpy_420,
+    )
+
+    h, w = shape
+    rng = np.random.default_rng(h * 100 + w)
+    band = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+
+    def enc(stub_fused, numpy_quant):
+        e = StreamingJpegEncoder(w, h, 85, sampling="420")
+        if stub_fused:
+            e._fused_native_band = lambda b: None
+        if numpy_quant:
+            e._quantize_band = lambda b: _band_to_blocks_numpy_420(
+                np.concatenate(
+                    [b, np.repeat(b[:, -1:, :], e._pad_w, axis=1)], axis=1
+                ) if e._pad_w else b,
+                e.luma_q, e.chroma_q,
+            )
+        out = b"".join(e.encode_band(band))
+        out += b"".join(e.finish())
+        return out
+
+    fused, split, numpy_tier = enc(False, False), enc(True, False), enc(True, True)
+    assert fused == split == numpy_tier
