@@ -11,6 +11,7 @@ plugin (:143-193). ``create_decoders`` builds all decoders up front
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterable, Mapping, Sequence
 
 from ..errors import StitchError
@@ -186,6 +187,11 @@ def create_decoder(
 
     from .detect import read_magic_and_source
 
+    # Path sources were never identity-cacheable and must stay that way:
+    # the small-file slurp below turns a path into a FRESH bytes object per
+    # call, so routing it into the id()-keyed input cache would retain one
+    # fully-decoded entry per call with zero dedup benefit.
+    was_path = isinstance(source, (str, os.PathLike))
     magic, source = read_magic_and_source(source)
     fmt = detect_image_format(magic)
     if fmt is None:
@@ -194,13 +200,14 @@ def create_decoder(
         )
     for plugin in plugins:
         if plugin.format == fmt:
-            from .input_cache import cached_decoder_for
+            if not was_path:
+                from .input_cache import cached_decoder_for
 
-            cached = cached_decoder_for(
-                source, lambda: plugin.create(source, options)
-            )
-            if cached is not None:
-                return cached
+                cached = cached_decoder_for(
+                    source, lambda: plugin.create(source, options)
+                )
+                if cached is not None:
+                    return cached
             return plugin.create(source, options)
     raise StitchError(
         f"No decoder plugin registered for format '{fmt}'. "

@@ -156,7 +156,6 @@ class StreamingJpegEncoder:
         self._finished = False
         self._rows_consumed = 0
         self._pending: np.ndarray | None = None  # buffered rows < mcu height
-        self._last_row: np.ndarray | None = None
         self._pad_w = (-width) % (16 if sampling == "420" else 8)
         self._device = None
         # Device pipeline depth: submissions in flight before the oldest is
@@ -408,7 +407,13 @@ class StreamingJpegEncoder:
         """
         if self._finished:
             raise StitchError("JPEG encoder already finished")
-        is_device = not isinstance(band, np.ndarray)
+        # Only treat the input as device-resident when a device pipeline is
+        # actually active AND it isn't a host ndarray; every other input
+        # (nested lists, any __array__ implementer) takes the historical
+        # np.asarray conversion.
+        is_device = not isinstance(band, np.ndarray) and (
+            self._device is not None or self._dev_encoder is not None
+        )
         if not is_device:
             band = np.asarray(band, dtype=np.uint8)
         if band.shape[1] != self.width:
@@ -471,8 +476,6 @@ class StreamingJpegEncoder:
         if rest.shape[0]:
             # Device arrays are immutable: keep the lazy slice as-is.
             self._pending = rest.copy() if not is_device else rest
-        if band.shape[0]:
-            self._last_row = band[-1:].copy() if not is_device else band[-1:]
 
     def encode_strip_bytes(self, strip_rgba: bytes | np.ndarray) -> Iterator[bytes]:
         """Reference-shaped API: raw RGBA strip bytes of <=8 rows

@@ -78,6 +78,12 @@ class ProgressTracker:
         # thread-safe even with host_threads > 1.
         self._cb_lock = threading.Lock()
         self._cb_next = 0  # next `completed` value to deliver
+        # Reentrancy guard: a callback that drives the tracker again (e.g.
+        # pulls more rows -> consumed() -> _deliver()) must not re-enter
+        # delivery on its own thread — the non-reentrant _cb_lock would
+        # self-deadlock. The outer delivery loop re-reads `completed` after
+        # each callback, so skipped reentrant deliveries are picked up.
+        self._delivering = threading.local()
         # Zero-height inputs complete immediately (reference :1417-1425).
         for i, h in enumerate(headers):
             if h.height == 0:
@@ -99,14 +105,20 @@ class ProgressTracker:
 
     def _deliver(self) -> None:
         """Deliver pending callbacks serially and in increasing order."""
-        while True:
-            with self._cb_lock:
-                with self._lock:
-                    if self._cb_next >= self.completed:
-                        return
-                    self._cb_next += 1
-                    value = self._cb_next
-                self.callback(value, self.total)
+        if getattr(self._delivering, "active", False):
+            return  # reentrant from our own callback; outer loop re-checks
+        self._delivering.active = True
+        try:
+            while True:
+                with self._cb_lock:
+                    with self._lock:
+                        if self._cb_next >= self.completed:
+                            return
+                        self._cb_next += 1
+                        value = self._cb_next
+                    self.callback(value, self.total)
+        finally:
+            self._delivering.active = False
 
 
 class RowSource:

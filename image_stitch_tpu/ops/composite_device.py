@@ -197,6 +197,16 @@ class DeviceCompositor:
                 runs.append((key, [seg]))
 
         bg = np.ascontiguousarray(canvas[0, 0])
+        # The canvas contract is a UNIFORM background fill (only the corner
+        # pixel is read; the fill is rebuilt on-device). Spot-check three
+        # more pixels so a future caller with pre-drawn content fails over
+        # to the exact host path instead of silently losing its pixels.
+        if not (
+            np.array_equal(canvas[-1, -1], bg)
+            and np.array_equal(canvas[0, -1], bg)
+            and np.array_equal(canvas[h_canvas // 2, w_canvas // 2], bg)
+        ):
+            return None
         dev_canvas = _bg_canvas_jit(self._mesh)(bg, h=h_canvas, w=w_canvas)
         tie_counts = []
         for (hmax, wmax), run in runs:

@@ -125,7 +125,11 @@ def fdct8_islow_plane(plane, xp):
 
 def ycbcr_int(band_rgba, xp):
     """(H, W, >=3) uint8 -> three (H, W) int32 planes, integer YCbCr
-    samples in [0, 255] (16-bit fixed-point JFIF constants, rounded)."""
+    samples (16-bit fixed-point JFIF constants, rounded). Y is in
+    [0, 255]; Cb/Cr reach 256 on saturated inputs (e.g. pure blue:
+    (32768*255 + half + 128<<16) >> 16 == 256 — round-half-up, no clamp).
+    Every downstream range proof (notably the int16 value-range argument
+    in stitchnative.cpp) must use [0, 256], not [0, 255]."""
     r = band_rgba[:, :, 0].astype(xp.int32)
     g = band_rgba[:, :, 1].astype(xp.int32)
     b = band_rgba[:, :, 2].astype(xp.int32)
