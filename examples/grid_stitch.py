@@ -10,7 +10,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from image_stitch_tpu import concat_to_file
 
-out, *inputs = sys.argv[1:]
+if len(sys.argv) >= 3:
+    out, *inputs = sys.argv[1:]
+else:
+    # Self-demo (no args): four noise tiles, stitched to /tmp.
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    out = "/tmp/grid_stitch_demo.jpg"
+    inputs = [
+        rng.integers(0, 256, (128, 128, 4), dtype=np.uint8) for _ in range(4)
+    ]  # raw pixel arrays are first-class inputs
 concat_to_file(
     {
         "inputs": inputs,

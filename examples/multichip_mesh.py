@@ -44,12 +44,14 @@ def main() -> None:
     host_png = concat_to_buffer({**png_opts, "backend": "numpy"})
     assert sharded_png == host_png, "sharded PNG must be byte-identical"
 
-    # JPEG: deterministic per mesh and pixel-equivalent everywhere; bytes
-    # can differ from other configs only at rare f32 round-half DCT ties
-    # (full-range noise like this; see ops/device.py exactness notes).
+    # JPEG: the exact integer DCT/quantize pipeline (ops/jpeg_dct) makes
+    # bytes bit-identical across numpy/C++/XLA and ANY mesh by
+    # construction — assert it, same as PNG.
     jpg_opts = {**png_opts, "outputFormat": "jpeg",
                 "jpeg_restart_interval_rows": 1}
     sharded_jpg = concat_to_buffer({**jpg_opts, "mesh": n_devices})
+    host_jpg = concat_to_buffer({**jpg_opts, "backend": "numpy"})
+    assert sharded_jpg == host_jpg, "sharded JPEG must be byte-identical"
     with open(out_path, "wb") as f:
         f.write(sharded_jpg)
     print(f"PNG byte-identical across {n_devices} devices; wrote {out_path} "

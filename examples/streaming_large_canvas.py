@@ -37,7 +37,7 @@ def make_tile(i: int):
     return ImageSource(width=512, height=512, factory=factory, format="png")
 
 
-out = sys.argv[1]
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/streaming_demo.png"
 core = CoreStreamingConcatenator(
     {
         "inputs": [make_tile(i) for i in range(64)],  # 4 x 16 grid, 2048x8192

@@ -84,6 +84,12 @@ class LinkProfile:
     # Sentinels stay session-local (never persisted): one degraded tunnel
     # window must not pin 'auto' to host for every future session.
     timed_out: bool = False
+    # Backend platform the measurement was taken on (reported by the probe
+    # child). Carried here so persisting the profile never has to call
+    # jax.devices() in the parent — backend INITIALIZATION itself can block
+    # unboundedly on a degraded tunnel (observed: pjrt client connect hung
+    # >500 s in C, uninterruptible).
+    platform: str | None = None
 
 
 def decide_auto_backend(
@@ -133,13 +139,11 @@ def _save_link_profile(profile: LinkProfile) -> None:
     import json
     import os
 
-    try:
-        import jax
-
-        platform = jax.devices()[0].platform
-    except Exception:
-        return
-    if platform == "cpu":
+    # The platform rides on the profile (probe-child-reported); never call
+    # jax.devices() here — initializing a tunneled backend can block
+    # unboundedly in the parent.
+    platform = profile.platform
+    if platform is None or platform == "cpu":
         return
     path = _link_profile_cache_path()
     try:
@@ -178,7 +182,8 @@ def _probe_link_blocking() -> LinkProfile | None:
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             # Virtual-CPU "device": no real link; model it as instant.
-            return LinkProfile(h2d_mbps=1e6, latency_ms=0.0, d2h_mbps=1e6)
+            return LinkProfile(h2d_mbps=1e6, latency_ms=0.0, d2h_mbps=1e6,
+                               platform="cpu")
         small = np.zeros(1 << 20, dtype=np.uint8)
         big = np.zeros(1 << 23, dtype=np.uint8)
 
@@ -199,7 +204,8 @@ def _probe_link_blocking() -> LinkProfile | None:
         t0 = time.perf_counter()
         np.asarray(x)
         d2h = len(big) / max(time.perf_counter() - t0, 1e-9) / 1e6
-        return LinkProfile(h2d_mbps=bw, latency_ms=latency, d2h_mbps=d2h)
+        return LinkProfile(h2d_mbps=bw, latency_ms=latency, d2h_mbps=d2h,
+                           platform=dev.platform)
     except Exception:
         return None
 
@@ -227,13 +233,28 @@ def probe_link_profile() -> LinkProfile | None:
 
     budget_s = float(os.environ.get("STITCH_TPU_PROBE_BUDGET_S", "45"))
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        return _probe_link_blocking()  # virtual CPU devices: instant, no link
+        # Virtual CPU devices make the blocking probe instant — but ONLY
+        # when the process backend really is cpu. The env var alone is not
+        # proof: this container's sitecustomize force-registers the
+        # tunneled backend over it (CLAUDE.md), and an in-process probe on
+        # a degraded tunnel blocks unboundedly (observed: a demo hung >500 s
+        # here). Trust the shortcut only when jax's own config pins cpu
+        # (tests do this via conftest); otherwise take the budget-safe
+        # subprocess below.
+        import sys as _sys
+
+        jaxmod = _sys.modules.get("jax")
+        try:
+            if jaxmod is not None and jaxmod.config.jax_platforms == "cpu":
+                return _probe_link_blocking()
+        except Exception:
+            pass
     code = (
         "import json\n"
         "from image_stitch_tpu.ops.backend import _probe_link_blocking\n"
         "p = _probe_link_blocking()\n"
         "print(json.dumps(None if p is None else "
-        "[p.h2d_mbps, p.latency_ms, p.d2h_mbps]))\n"
+        "[p.h2d_mbps, p.latency_ms, p.d2h_mbps, p.platform]))\n"
     )
     env = dict(os.environ)
     root = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -266,7 +287,10 @@ def probe_link_profile() -> LinkProfile | None:
         return None
     if vals is None:
         return None
-    return LinkProfile(h2d_mbps=vals[0], latency_ms=vals[1], d2h_mbps=vals[2])
+    return LinkProfile(
+        h2d_mbps=vals[0], latency_ms=vals[1], d2h_mbps=vals[2],
+        platform=vals[3] if len(vals) > 3 else None,
+    )
 
 
 def get_link_profile() -> LinkProfile | None:
@@ -286,24 +310,47 @@ def get_link_profile() -> LinkProfile | None:
             return _LINK_PROFILE
         except ValueError:
             pass
-    def _platform() -> str:
+    def _platform_if_initialized() -> str | None:
+        """Current backend platform WITHOUT forcing initialization: a
+        tunneled backend's pjrt client connect can block unboundedly in C
+        (observed >500 s), so jax.devices() is only safe once the backend
+        already exists (or jax's config explicitly pins cpu)."""
+        import sys
+
+        jaxmod = sys.modules.get("jax")
+        if jaxmod is None:
+            return None
         try:
-            import jax
-
-            return jax.devices()[0].platform
+            if jaxmod.config.jax_platforms == "cpu":
+                return "cpu"
         except Exception:
-            return "none"
+            pass
+        try:
+            from jax._src import xla_bridge
 
-    platform = _platform()
+            if getattr(xla_bridge, "_backends", None):
+                return jaxmod.devices()[0].platform
+        except Exception:
+            pass
+        return None
+
+    platform = _platform_if_initialized()
     path = _link_profile_cache_path()
     try:
         with open(path) as f:
             d = json.load(f)
         # Sentinel-grade entries (no real link measures <1 MB/s) can only be
         # a blown-budget verdict persisted by an old version; never trust
-        # them from disk — re-probe instead.
-        if (
+        # them from disk — re-probe instead. When the local platform is
+        # unknown (backend not yet initialized), accept any non-cpu entry:
+        # it was written by a prior session on this machine.
+        platform_ok = (
             d.get("platform") == platform
+            if platform is not None
+            else d.get("platform") not in (None, "cpu")
+        )
+        if (
+            platform_ok
             and d.get("v") == 2
             and d["h2d_mbps"] >= 1.0
         ):
