@@ -289,26 +289,27 @@ def main() -> None:
     if os.environ.get("BENCH_DUAL", "1") != "0" and backend == "numpy":
         from image_stitch_tpu.ops.backend import get_link_profile
 
-        try:
-            import jax
-
-            platform = jax.devices()[0].platform
-        except Exception:
-            platform = "none"
-        if platform in ("cpu", "none"):
+        # NEVER initialize the jax backend in this process: a degraded
+        # tunnel can hang pjrt client CONNECT itself, unboundedly and
+        # uninterruptibly (observed; same rationale as ops/backend.py).
+        # get_link_profile probes in a budget-killed subprocess and carries
+        # the child-reported platform on the profile.
+        profile = get_link_profile()
+        platform = profile.platform if profile is not None else None
+        if profile is None or profile.timed_out:
+            why = "link probe timed out" if profile else "link probe unavailable"
+            detail["backends"]["jax_restart"] = {"skipped": why}
+        elif platform in ("cpu", None):
             detail["backends"]["jax_restart"] = {
                 "skipped": f"no accelerator (platform={platform})"
             }
+        elif profile.h2d_mbps < 20:
+            detail["backends"]["jax_restart"] = {
+                "skipped": f"h2d {profile.h2d_mbps:.1f} MB/s < 20"
+            }
         else:
-            profile = get_link_profile()
-            if profile is None or profile.timed_out or profile.h2d_mbps < 20:
-                why = "link probe timed out" if (profile and profile.timed_out) \
-                    else f"h2d {profile.h2d_mbps:.1f} MB/s < 20" if profile \
-                    else "link probe unavailable"
-                detail["backends"]["jax_restart"] = {"skipped": why}
-            else:
-                budget = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "900"))
-                detail["backends"]["jax_restart"] = device_row_subprocess(budget)
+            budget = float(os.environ.get("BENCH_DEVICE_BUDGET_S", "900"))
+            detail["backends"]["jax_restart"] = device_row_subprocess(budget)
 
     result = {
         "metric": f"{name} (MP/s/chip, end-to-end)",

@@ -355,7 +355,8 @@ def get_link_profile() -> LinkProfile | None:
             and d["h2d_mbps"] >= 1.0
         ):
             _LINK_PROFILE = LinkProfile(
-                d["h2d_mbps"], d["latency_ms"], d.get("d2h_mbps")
+                d["h2d_mbps"], d["latency_ms"], d.get("d2h_mbps"),
+                platform=d.get("platform"),
             )
             return _LINK_PROFILE
     except Exception:
