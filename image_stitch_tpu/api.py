@@ -90,30 +90,21 @@ def concat_arrays(
     """Array-native convenience (stand-in for the browser concatCanvases,
     image-concat-browser.ts:287-323): stitch (H, W, 3|4) uint8 arrays.
 
-    ``output``: 'array' decodes the result back to an (H, W, 4) array;
-    'png'/'jpeg' return encoded bytes.
-
-    Arrays feed the pipeline directly (codecs/array_source.ArrayDecoder) —
-    no encode round-trip, matching canvases feeding concatCanvases.
+    ``output``: 'array' assembles the result directly into an (H, W, 4)
+    array — bands come straight from the compositing pipeline with NO
+    encode/decode round trip, matching concatCanvases rendering onto a
+    canvas; 'png'/'jpeg' return encoded bytes.
     """
     inputs = list(arrays)
     opts: dict[str, Any] = {"inputs": inputs, "layout": dict(layout or {})}
     if output == "jpeg":
         opts["output_format"] = "jpeg"
     opts.update(kwargs)
-    data = concat_to_buffer(opts)
     if output in ("png", "jpeg"):
-        return data
-    from .codecs.png.decoder import PngDecoder
-    from .ops.pixel import convert_band
+        return concat_to_buffer(opts)
+    from .core import CoreStreamingConcatenator
 
-    dec = PngDecoder(data)
-    header = dec.png_header
-    bands = [
-        convert_band(b, header.width, header.bit_depth, header.color_type, header.bit_depth)
-        for b in dec.bands()
-    ]
-    dec.close()
-    return np.vstack(bands)
+    core = CoreStreamingConcatenator(opts)
+    return np.vstack(list(core.stream_bands()))
 
 

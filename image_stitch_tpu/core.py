@@ -371,15 +371,64 @@ class CoreStreamingConcatenator:
                 except Exception:
                     pass
 
+    def stream_bands(self) -> Iterator[np.ndarray]:
+        """Yield the assembled (h, W, 4) canvas bands as HOST arrays, no
+        encode stage — the array-native output path (the reference's
+        concatCanvases renders onto a canvas without an encode round trip,
+        image-concat-browser.ts:287-323). Same decode/assembly/compositing
+        pipeline and exactness contracts as stream(); dtype is uint8 or
+        uint16 per the common input format."""
+        opts = self.options
+        inputs = opts.inputs
+        if not isinstance(inputs, (list, tuple)):
+            inputs = list(inputs)
+        inputs = list(inputs)
+        if len(inputs) == 0:
+            raise StitchError("At least one input image is required")
+
+        positioned_mode = has_positioned_images(inputs)
+        if positioned_mode:
+            validate_positioned_inputs(inputs)
+        plugins = (
+            list(opts.decoders) if opts.decoders is not None else get_default_decoder_plugins()
+        )
+        decoders = create_decoders(inputs, opts.decoder_options, plugins)
+        try:
+            image_headers: list[ImageHeader] = [d.get_header() for d in decoders]
+            headers = [image_header_to_png_header(h) for h in image_headers]
+            target_depth, _target_ct = determine_common_format(headers)
+            if positioned_mode:
+                bands, _hdr = self._positioned_band_pipeline(
+                    inputs, decoders, image_headers, headers, target_depth
+                )
+            else:
+                bands, _hdr = self._grid_band_pipeline(
+                    decoders, image_headers, headers, target_depth
+                )
+            for band in bands:
+                # The positioned device compositor may hand back a
+                # device-resident array; materialize on host.
+                yield band if isinstance(band, np.ndarray) else np.asarray(band)
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
+            for d in decoders:
+                try:
+                    d.close()
+                except Exception:
+                    pass
+
     # ---------------------------- grid mode --------------------------- #
 
-    def _stream_grid(
+    def _grid_band_pipeline(
         self,
         decoders: Sequence,
         image_headers: Sequence[ImageHeader],
         headers: Sequence[PngHeader],
         target_depth: int,
-    ) -> Iterator[bytes]:
+    ) -> tuple[Iterator[np.ndarray], PngHeader]:
+        """Shared grid setup: layout, sources, band assembly (no encode)."""
         opts = self.options
         layout = opts.layout
         if not (layout.columns or layout.rows or layout.width or layout.height):
@@ -389,8 +438,7 @@ class CoreStreamingConcatenator:
         self._check_canvas_dims(
             grid_layout.total_width, grid_layout.total_height
         )
-        out_format = opts.output_format
-        final_depth = 8 if out_format == "jpeg" else target_depth
+        final_depth = 8 if opts.output_format == "jpeg" else target_depth
 
         out_header = PngHeader(
             width=grid_layout.total_width,
@@ -414,9 +462,19 @@ class CoreStreamingConcatenator:
             )
             for i in range(len(decoders))
         ]
-        bands = self._grid_canvas_bands(grid_layout, sources, out_header)
+        return self._grid_canvas_bands(grid_layout, sources, out_header), out_header
 
-        if out_format == "jpeg":
+    def _stream_grid(
+        self,
+        decoders: Sequence,
+        image_headers: Sequence[ImageHeader],
+        headers: Sequence[PngHeader],
+        target_depth: int,
+    ) -> Iterator[bytes]:
+        bands, out_header = self._grid_band_pipeline(
+            decoders, image_headers, headers, target_depth
+        )
+        if self.options.output_format == "jpeg":
             yield from self._encode_jpeg(bands, out_header)
         else:
             yield PNG_SIGNATURE
@@ -527,14 +585,16 @@ class CoreStreamingConcatenator:
 
     # -------------------------- positioned mode ------------------------ #
 
-    def _stream_positioned(
+    def _positioned_band_pipeline(
         self,
         inputs: Sequence,
         decoders: Sequence,
         image_headers: Sequence[ImageHeader],
         headers: Sequence[PngHeader],
         target_depth: int,
-    ) -> Iterator[bytes]:
+    ) -> tuple[Iterator[np.ndarray], PngHeader]:
+        """Shared positioned setup: canvas size, clipping, sources, band
+        compositing (no encode)."""
         opts = self.options
         positions_raw = extract_positions(inputs)
         positions = []
@@ -584,8 +644,20 @@ class CoreStreamingConcatenator:
         bands = self._positioned_canvas_bands(
             placed, clip_by_idx, sources, out_header
         )
+        return bands, out_header
 
-        if out_format == "jpeg":
+    def _stream_positioned(
+        self,
+        inputs: Sequence,
+        decoders: Sequence,
+        image_headers: Sequence[ImageHeader],
+        headers: Sequence[PngHeader],
+        target_depth: int,
+    ) -> Iterator[bytes]:
+        bands, out_header = self._positioned_band_pipeline(
+            inputs, decoders, image_headers, headers, target_depth
+        )
+        if self.options.output_format == "jpeg":
             yield from self._encode_jpeg(bands, out_header)
         else:
             yield PNG_SIGNATURE

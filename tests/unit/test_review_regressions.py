@@ -93,3 +93,75 @@ def test_buffer_inputs_still_cache(tmp_path):
         assert len(input_cache._entries) == 1
     finally:
         input_cache.disable_input_cache()
+
+
+def _png_bytes(arr):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_stream_bands_matches_encoded_output_grid():
+    from PIL import Image
+
+    rng = np.random.default_rng(17)
+    tiles = [rng.integers(0, 256, (16, 16, 4), dtype=np.uint8) for _ in range(4)]
+    from image_stitch_tpu import concat_arrays, concat_to_buffer
+
+    arr = concat_arrays(tiles, layout={"columns": 2})
+    png = concat_to_buffer({"inputs": tiles, "layout": {"columns": 2}})
+    ref = np.array(Image.open(io.BytesIO(png)))
+    assert arr.shape == (32, 32, 4)
+    assert np.array_equal(arr, ref)
+
+
+def test_stream_bands_matches_encoded_output_positioned():
+    from PIL import Image
+
+    from image_stitch_tpu import PositionedImage
+    from image_stitch_tpu.core import CoreStreamingConcatenator
+
+    rng = np.random.default_rng(19)
+    bg = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    bg[:, :, 3] = 255
+    sprite = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    inputs = [
+        PositionedImage(x=0, y=0, source=_png_bytes(bg)),
+        PositionedImage(x=5, y=7, source=_png_bytes(sprite), z_index=2),
+    ]
+    opts = {"inputs": inputs, "layout": {}}
+    bands = list(CoreStreamingConcatenator(opts).stream_bands())
+    arr = np.vstack(bands)
+
+    png = b"".join(CoreStreamingConcatenator(opts).stream())
+    ref = np.array(Image.open(io.BytesIO(png)))
+    assert np.array_equal(arr, ref)
+
+
+def test_stream_bands_16bit_depth():
+    import zlib
+
+    from image_stitch_tpu import PngHeader, build_png
+    from image_stitch_tpu.core import CoreStreamingConcatenator
+
+    rng = np.random.default_rng(23)
+    a16 = rng.integers(0, 65536, (8, 8, 4), dtype=np.uint16)
+    raw = np.concatenate(
+        [
+            np.zeros((8, 1), np.uint8),
+            a16.astype(">u2").reshape(8, -1).view(np.uint8),
+        ],
+        axis=1,
+    )
+    png = build_png(
+        PngHeader(width=8, height=8, bit_depth=16, color_type=6),
+        zlib.compress(raw.tobytes()),
+    )
+    opts = {"inputs": [png] * 2, "layout": {"columns": 2}}
+    arr = np.vstack(list(CoreStreamingConcatenator(opts).stream_bands()))
+    assert arr.dtype == np.uint16 and arr.shape == (8, 16, 4)
+    assert np.array_equal(arr[:, :8], a16)
