@@ -190,6 +190,14 @@ def build_config(backend: str):
         mp = side * side / 1e6
         name = (f"positioned: background + 50 alpha sprites ({side}px) "
                 f"-> {fmt.upper()}")
+    elif CONFIG == "pair_png":
+        # BASELINE.md config 1: 2x1 grid of two 512px RGBA8 PNGs -> PNG via
+        # concat_to_buffer (the CPU reference path).
+        tiles = [make_tile_png(s, 512) for s in range(2)]
+        opts = {**base, "inputs": tiles, "layout": {"columns": 2}}
+        warm = dict(opts)
+        mp = 2 * 512 * 512 / 1e6
+        name = "pair: 2x1 grid of 512px PNG tiles -> PNG"
     elif CONFIG == "pngsuite":
         suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tests", "fixtures", "pngsuite")
