@@ -207,7 +207,20 @@ class DeviceCompositor:
             and np.array_equal(canvas[h_canvas // 2, w_canvas // 2], bg)
         ):
             return None
-        dev_canvas = _bg_canvas_jit(self._mesh)(bg, h=h_canvas, w=w_canvas)
+        # Bucket the canvas WIDTH (multiple of 256): the jit cache keys on
+        # shapes, so arbitrary per-canvas widths would each compile a fresh
+        # program — a mixed-size workload accumulated thousands of XLA CPU
+        # executables until LLVM hit OOM in a soak, and on real TPU each
+        # new width would pay a multi-second compile. Segment runs are
+        # already pow2-bucketed; the padded columns are background that the
+        # final crop discards (blending never reads them: valid masks stop
+        # at each segment's true extent).
+        w_bucket = -(-w_canvas // 256) * 256
+        # Height buckets too (pow2): the canvas height is usually the fixed
+        # band height, but mixed small-canvas workloads would otherwise
+        # compile one program per distinct height.
+        h_bucket = _next_pow2(max(8, h_canvas))
+        dev_canvas = _bg_canvas_jit(self._mesh)(bg, h=h_bucket, w=w_bucket)
         tie_counts = []
         for (hmax, wmax), run in runs:
             s_cap = _next_pow2(len(run))
@@ -224,4 +237,6 @@ class DeviceCompositor:
             self.bands_fallback += 1
             return None
         self.bands_on_device += 1
+        if w_bucket != w_canvas or h_bucket != h_canvas:
+            dev_canvas = dev_canvas[:h_canvas, :w_canvas]  # lazy pad crop
         return dev_canvas if return_device else np.asarray(dev_canvas)
