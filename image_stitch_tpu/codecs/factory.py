@@ -229,9 +229,38 @@ def create_decoders(
     inputs: Iterable[Any],
     options: DecoderOptions | None = None,
     plugins: Sequence[DecoderPlugin] | None = None,
+    pool=None,
 ) -> list:
     """Build decoders for every input (reference: createDecoders /
-    createDecodersFromIterable, decoder-factory.ts:216-283)."""
+    createDecodersFromIterable, decoder-factory.ts:216-283).
+
+    ``pool``: optional ``ThreadPoolExecutor`` — construction (magic-byte
+    probe, small-file slurp, header-adjacent IO) runs concurrently across
+    inputs, matching the reference's ``Promise.all`` fan-out
+    (decoder-factory.ts:222). Order is preserved; on any failure every
+    decoder that WAS built is closed before the first error re-raises."""
+    inputs = list(inputs)
+    if pool is not None and len(inputs) > 1:
+        futures = [
+            pool.submit(create_decoder, obj, options, plugins)
+            for obj in inputs
+        ]
+        created: list = []
+        first_err: Exception | None = None
+        for f in futures:
+            try:
+                created.append(f.result())
+            except Exception as exc:  # noqa: BLE001 - collected, re-raised
+                if first_err is None:
+                    first_err = exc
+        if first_err is not None:
+            for d in created:
+                try:
+                    d.close()
+                except Exception:
+                    pass
+            raise first_err
+        return created
     created = []
     try:
         for input_obj in inputs:

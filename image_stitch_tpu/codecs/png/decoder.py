@@ -53,12 +53,14 @@ class PngDecoder:
     bands_are_owned = True
 
     def __init__(self, source, band_height: int | None = None,
-                 verify_crc: bool = False):
-        # verify_crc: strict per-chunk CRC checking while streaming. Off by
-        # default for throughput (the reference's streaming decoder also
-        # skips CRC on the hot path; its parse paths verify,
-        # png-parser.ts:57-64).
-        self._verify_crc = verify_crc
+                 verify_crc: bool | None = None):
+        # verify_crc: strict per-chunk CRC checking while streaming.
+        # None = match the reference's per-source posture: buffer inputs
+        # verify (PngBufferDecoder routes through parsePngChunks, which
+        # CRC-checks every chunk — png-parser.ts:57-64, png-decoder.ts:359);
+        # file/stream inputs skip (its fd chunk scan also skips CRC) for
+        # throughput. Pass an explicit bool to override either default.
+        self._verify_crc = verify_crc  # resolved after source classification
         self._band_height = band_height or DEFAULT_BAND_HEIGHT
         self._closed = False
         self._owns_stream = False
@@ -80,6 +82,8 @@ class PngDecoder:
             self._stream = source
         else:
             raise StitchError(f"Unsupported PNG source type: {type(source).__name__}")
+        if self._verify_crc is None:
+            self._verify_crc = self._buf is not None
         self._header: PngHeader | None = None
         self._palette: np.ndarray | None = None
         self._trns: np.ndarray | None = None
@@ -531,6 +535,6 @@ def png_plugin():
         create=lambda source, options=None: PngDecoder(
             source,
             band_height=getattr(options, "band_height", None) if options else None,
-            verify_crc=bool(getattr(options, "verify_crc", False)) if options else False,
+            verify_crc=getattr(options, "verify_crc", None) if options else None,
         ),
     )

@@ -344,7 +344,9 @@ class CoreStreamingConcatenator:
         plugins = (
             list(opts.decoders) if opts.decoders is not None else get_default_decoder_plugins()
         )
-        decoders = create_decoders(inputs, opts.decoder_options, plugins)
+        decoders = create_decoders(
+            inputs, opts.decoder_options, plugins, pool=self._host_pool()
+        )
         try:
             image_headers: list[ImageHeader] = [d.get_header() for d in decoders]
             headers = [image_header_to_png_header(h) for h in image_headers]
@@ -392,7 +394,9 @@ class CoreStreamingConcatenator:
         plugins = (
             list(opts.decoders) if opts.decoders is not None else get_default_decoder_plugins()
         )
-        decoders = create_decoders(inputs, opts.decoder_options, plugins)
+        decoders = create_decoders(
+            inputs, opts.decoder_options, plugins, pool=self._host_pool()
+        )
         try:
             image_headers: list[ImageHeader] = [d.get_header() for d in decoders]
             headers = [image_header_to_png_header(h) for h in image_headers]

@@ -633,43 +633,76 @@ def _pack_blocks_aligned(codes, lens, starts, local_words: int):
     then only ORs whole words. Buffer is local_words + 2 words: the
     block-bit budget (local_words*32) plus up to 31 alignment bits.
 
+    Symbols are consumed in PAIRS: a pair is the bit-concatenation
+    ``V = code1·2^len2 + code2`` (≤ 56 bits: DC ≤ 16+12, AC ≤ 16+11),
+    placed in one step as a 3-word contribution. That halves the
+    sequential fori_loop chain (65 → 33 steps) and the whole-buffer OR
+    traffic per step relative to one-symbol-at-a-time packing, which is
+    where most of phase 1's time went (each step reads+writes the whole
+    (AW, nb) buffer; the per-lane math is trivial).
+
+    V is carried as a 24+32-bit (hi, lo) uint32 pair — TPU has no fast
+    u64 — and shifted to its word alignment as a 3-word (hi, mid, lo)
+    window: with sh = left-shift to align V's LSB to the end word's bit
+    boundary, word wE gets (V<<sh) mod 2^32, wE-1 the next 32 bits, wE-2
+    the top bits. Words below the pair's first word receive zeros (the
+    shifted value has no bits there), so clipped lane indices are inert.
+
     Returns aligned (nb, local_words + 2) uint32.
     """
     nb = codes.shape[0]
     n_aw = local_words + 2
-    codes_t = codes.T
-    lens_t = lens.T
+    n_sym = codes.shape[1]
+    if n_sym % 2:
+        # Pad to an even symbol count; zero-length symbols are inert.
+        codes = jnp.pad(codes, ((0, 0), (0, 1)))
+        lens = jnp.pad(lens, ((0, 0), (0, 1)))
+        n_sym += 1
+    # (n_pairs, 2, nb): one dynamic row-index pulls a whole pair.
+    codes_p = codes.T.reshape(n_sym // 2, 2, nb)
+    lens_p = lens.T.reshape(n_sym // 2, 2, nb)
     lane = jnp.arange(n_aw, dtype=jnp.int32)[:, None]  # (AW, 1)
 
     def step(s, state):
         local, off = state  # local: (AW, nb); off: (nb,) bit offsets
-        code = jax.lax.dynamic_index_in_dim(codes_t, s, axis=0, keepdims=False)
-        ln = jax.lax.dynamic_index_in_dim(lens_t, s, axis=0, keepdims=False)
-        end = off + ln
-        w0 = off >> 5
-        over = end - ((w0 + 1) << 5)
-        in_one = over <= 0
-        c32 = code.astype(jnp.uint32)
-        contrib0 = jnp.where(
-            in_one,
-            c32 << jnp.clip(-over, 0, 31).astype(jnp.uint32),
-            c32 >> jnp.clip(over, 0, 31).astype(jnp.uint32),
-        )
-        contrib1 = jnp.where(
-            in_one,
+        pair_c = jax.lax.dynamic_index_in_dim(codes_p, s, axis=0, keepdims=False)
+        pair_l = jax.lax.dynamic_index_in_dim(lens_p, s, axis=0, keepdims=False)
+        c1, c2 = pair_c[0], pair_c[1]
+        l1, l2 = pair_l[0], pair_l[1]
+        tl = l1 + l2
+        # V = c1·2^l2 | c2 as (hi ≤ 24 bits, lo 32 bits). l2 ≤ 28 < 32 so
+        # the in-word shift is legal; l2 == 0 needs the where (c1 >> 32 is
+        # undefined), and c2 < 2^l2 guarantees no carries into hi.
+        l2u = l2.astype(jnp.uint32)
+        v_lo = (c1 << l2u) | c2
+        v_hi = jnp.where(
+            l2 == 0,
             jnp.uint32(0),
-            c32 << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
+            c1 >> jnp.clip(32 - l2, 0, 31).astype(jnp.uint32),
         )
-        w1 = jnp.where(in_one, w0, w0 + 1)
-        w0c = jnp.clip(w0, 0, n_aw - 1)
-        w1c = jnp.clip(w1, 0, n_aw - 1)
-        local = local | jnp.where(lane == w0c[None, :], contrib0[None, :], 0)
-        local = local | jnp.where(lane == w1c[None, :], contrib1[None, :], 0)
+        end = off + tl
+        # Left-shift aligning V's LSB with the end of word wE.
+        sh = ((32 - (end & 31)) & 31).astype(jnp.uint32)
+        inv = jnp.clip(32 - sh.astype(jnp.int32), 0, 31).astype(jnp.uint32)
+        lo_spill = jnp.where(sh == 0, jnp.uint32(0), v_lo >> inv)
+        hi_spill = jnp.where(sh == 0, jnp.uint32(0), v_hi >> inv)
+        d_lo = v_lo << sh
+        d_mid = (v_hi << sh) | lo_spill
+        d_hi = hi_spill
+        w_e = (end - 1) >> 5  # -1 only when off == 0 and tl == 0 (V == 0)
+        w0c = jnp.clip(w_e, 0, n_aw - 1)
+        w1c = jnp.clip(w_e - 1, 0, n_aw - 1)
+        w2c = jnp.clip(w_e - 2, 0, n_aw - 1)
+        local = local | (
+            jnp.where(lane == w0c[None, :], d_lo[None, :], 0)
+            | jnp.where(lane == w1c[None, :], d_mid[None, :], 0)
+            | jnp.where(lane == w2c[None, :], d_hi[None, :], 0)
+        )
         return local, end
 
     local = jnp.zeros((n_aw, nb), dtype=jnp.uint32)
     off0 = (starts & 31).astype(jnp.int32)
-    local, _ = jax.lax.fori_loop(0, codes_t.shape[0], step, (local, off0))
+    local, _ = jax.lax.fori_loop(0, n_sym // 2, step, (local, off0))
     return local.T  # (nb, AW)
 
 

@@ -110,10 +110,13 @@ class DecoderOptions:
     force_owned: bool = False
     # Band height used by streaming decoders (rows per device transfer).
     band_height: int | None = None
-    # PNG: strict per-chunk CRC-32 + Adler-32 verification while streaming
-    # (off by default for throughput, matching the reference's streaming
-    # decoder; its parse paths verify, png-parser.ts:57-64).
-    verify_crc: bool = False
+    # PNG: strict per-chunk CRC-32 + Adler-32 verification while streaming.
+    # None = per-source default matching the reference: buffer inputs
+    # verify (PngBufferDecoder routes through the CRC-checking
+    # parsePngChunks, png-parser.ts:57-64, png-decoder.ts:359), file/stream
+    # inputs skip for throughput (its fd chunk scan also skips CRC).
+    # Explicit True/False overrides both.
+    verify_crc: bool | None = None
     # Dependency injection hook for tests (reference customConstructors DI,
     # src/decoders/types.ts:77-80): maps format name -> decode callable.
     custom_decoders: Mapping[str, Callable[..., Any]] | None = None

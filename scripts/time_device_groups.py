@@ -113,6 +113,20 @@ def main() -> None:
         f"pipelined x{n_pipe}: {min(tn)*1000:.0f} ms total -> "
         f"{marg*1000:.1f} ms/band marginal ({mp/marg:.1f} MP/s device-side)"
     )
+    if os.environ.get("TIME_JSON") == "1":
+        # Machine-readable last line for bench.py's device-resident row
+        # (VERDICT r3 item 1a: a device number must reach the artifact
+        # whenever the chip answers, even when the link blocks e2e).
+        import json
+
+        print(json.dumps({
+            "single_ms_per_band": round(t1 * 1e3, 2),
+            "single_mpps": round(mp / t1, 1),
+            "pipelined_ms_per_band": round(marg * 1e3, 2),
+            "pipelined_mpps": round(mp / marg, 1),
+            "band": [BAND_H, CANVAS_W],
+            "platform": dev.platform,
+        }), flush=True)
 
 
 if __name__ == "__main__":

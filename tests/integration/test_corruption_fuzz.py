@@ -150,18 +150,25 @@ def test_oversized_png_dimensions_rejected():
     StitchError at parse; spec-valid-but-huge canvases are capped by the
     maxCanvasDim option."""
     import struct
+    import zlib
+
+    def with_width(data: bytes, width: int) -> bytes:
+        # IHDR starts at offset 8 (len+type) + 8 = 16; width is bytes
+        # 16:20. Recompute the chunk CRC (type+data, bytes 12:29) so the
+        # buffer-default CRC check doesn't fire before the dims guard.
+        b = bytearray(data)
+        b[16:20] = struct.pack(">I", width)
+        b[29:33] = struct.pack(">I", zlib.crc32(bytes(b[12:29])))
+        return bytes(b)
 
     good = valid_png()
-    # IHDR starts at offset 8 (len+type) + 8 = 16; width is bytes 16:20.
-    huge = bytearray(good)
-    huge[16:20] = struct.pack(">I", 0xFF00FF28)  # > 2^31-1: spec-invalid
+    huge = with_width(good, 0xFF00FF28)  # > 2^31-1: spec-invalid
     with pytest.raises(StitchError, match="2\\^31|Invalid"):
-        concat_to_buffer({"inputs": [bytes(huge)], "layout": {"columns": 1}})
+        concat_to_buffer({"inputs": [huge], "layout": {"columns": 1}})
 
-    big = bytearray(good)
-    big[16:20] = struct.pack(">I", (1 << 20) + 1)  # spec-valid, over the cap
+    big = with_width(good, (1 << 20) + 1)  # spec-valid, over the cap
     with pytest.raises(StitchError, match="maxCanvasDim"):
-        concat_to_buffer({"inputs": [bytes(big)], "layout": {"columns": 1}})
+        concat_to_buffer({"inputs": [big], "layout": {"columns": 1}})
 
 
 def test_max_canvas_dim_raisable_and_unlimited():

@@ -23,9 +23,11 @@ def test_golden_outputs_stable(name_opts):
     if not native_available():
         # Goldens pin the native tier's (valid) byte streams: the owned
         # deflate emits different (smaller) PNG IDAT bytes than the zlib
-        # fallback, and the numpy-DCT tier rounds a few JPEG coefficients
-        # differently. Pixel equivalence is covered by the oracle suites.
-        pytest.skip("goldens pin the native-tier byte streams")
+        # fallback. (JPEG goldens would match — the exact integer DCT
+        # pipeline, ops/jpeg_dct.py, is bit-identical across numpy/C++/XLA
+        # tiers — but the PNG half forces a uniform skip.) Pixel
+        # equivalence is covered by the oracle suites.
+        pytest.skip("goldens pin the native-tier deflate byte streams")
     with open(path, "rb") as f:
         expected = f.read()
     with warnings.catch_warnings():

@@ -240,3 +240,35 @@ def test_non_seekable_stream_decodes():
     assert img.size == (32, 16)
     arr = _np.array(img.convert("RGBA"))
     assert (arr == 42).all()
+
+
+def test_create_decoders_parallel_pool_preserves_order_and_results():
+    """create_decoders(pool=...) fans construction out across threads
+    (reference Promise.all, decoder-factory.ts:222) with order preserved
+    and results identical to the serial path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tiles = [png_from_array(random_rgba(8, 8 + i, seed=i)) for i in range(12)]
+    serial = create_decoders(tiles)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parallel = create_decoders(tiles, pool=pool)
+    try:
+        assert len(parallel) == len(serial) == 12
+        for i, (a, b) in enumerate(zip(serial, parallel)):
+            ha, hb = a.get_header(), b.get_header()
+            assert (ha.width, ha.height) == (hb.width, hb.height) == (8, 8 + i)
+    finally:
+        for d in serial + parallel:
+            d.close()
+
+
+def test_create_decoders_parallel_pool_cleans_up_on_failure():
+    """A failing input mid-list must close every decoder that WAS built
+    and raise — same contract as the serial path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tiles = [png_from_array(random_rgba(8, 8, seed=s)) for s in range(4)]
+    bad = b"not an image at all"
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        with pytest.raises(StitchError):
+            create_decoders(tiles[:2] + [bad] + tiles[2:], pool=pool)
