@@ -1833,8 +1833,12 @@ extern "C" {
 #define INFL_LL_CAP ((1 << INFL_LL_ROOT) + 2048)
 #define INFL_D_CAP ((1 << INFL_D_ROOT) + 2048)
 
-// Table entry: bits 0-4 = code length (total, incl. root bits for subtable
-// entries); bits 5-7 = kind; bits 8-31 = payload. LIT/LIT2/LIT3 are kept
+// Table entry: bits 0-4 = consumed bits (code length — total incl. root
+// bits for subtable entries — plus, for LEN entries, the extra bits, so
+// the hot loop advances the bit buffer with one shift); bits 5-7 = kind;
+// bits 8-31 = payload (LEN: base(16) | code_len(5)<<16; the extra-bits
+// field is (saved >> code_len) & ((1 << (consumed-code_len)) - 1)).
+// LIT/LIT2/LIT3 are kept
 // contiguous from 0 so "kind <= INFL_K_LIT3" tests literal-ness and
 // "kind + 1" is the literal count; LIT2/LIT3 pack 2-3 whole literal codes
 // that fit together inside the root index (common on filtered-PNG streams,
@@ -1856,6 +1860,9 @@ extern "C" {
 // full code length; the caller must verify NBITS <= bitcount before trusting
 // it (prefix-code property), and treat BAD as conclusive only with >= 15
 // live bits.
+#define INFL_LIKELY(x) __builtin_expect(!!(x), 1)
+#define INFL_UNLIKELY(x) __builtin_expect(!!(x), 0)
+
 static inline uint32_t infl_lookup(const uint32_t* tbl, uint64_t bitbuf,
                                    int rootbits) {
     uint32_t e = tbl[bitbuf & ((1u << rootbits) - 1u)];
@@ -1964,22 +1971,28 @@ static int infl_build_table(const uint8_t* lens, int n, uint32_t* table,
         for (int b = 0; b < len; ++b)
             rev |= (uint32_t)((c >> b) & 1) << (len - 1 - b);
         uint32_t entry;
-        // LEN entries (both length and distance codes) pack base|extra<<16
-        // in the payload so the hot loop needs no kLenBase/kDistBase loads.
+        // LEN entries (both length and distance codes): NBITS holds the
+        // TOTAL consumed bits (code + extra, <= 20 for lengths, <= 28 for
+        // distances) so the hot loop advances the bit buffer with ONE
+        // shift per symbol; payload packs base(16) | code_len(5)<<16 —
+        // the extra-bits field is extracted off the critical chain from a
+        // saved copy as (saved >> code_len) & ((1 << (total-code_len))-1)
+        // (libdeflate-style; the old base|extra<<16 layout kept two
+        // dependent shifts plus the extract on the serial bb chain).
         if (!is_litlen) {
             if (sym >= 30) return -1;
-            entry = INFL_ENTRY(INFL_K_LEN, len,
+            entry = INFL_ENTRY(INFL_K_LEN, len + kDistExtra[sym],
                                (uint32_t)kDistBase[sym] |
-                                   ((uint32_t)kDistExtra[sym] << 16));
+                                   ((uint32_t)len << 16));
         } else if (sym < 256) {
             entry = INFL_ENTRY(INFL_K_LIT, len, sym);
         } else if (sym == 256) {
             entry = INFL_ENTRY(INFL_K_EOB, len, 0);
         } else {
             if (sym >= 286) return -1;
-            entry = INFL_ENTRY(INFL_K_LEN, len,
+            entry = INFL_ENTRY(INFL_K_LEN, len + kLenExtra[sym - 257],
                                (uint32_t)kLenBase[sym - 257] |
-                                   ((uint32_t)kLenExtra[sym - 257] << 16));
+                                   ((uint32_t)len << 16));
         }
         if (len <= rootbits) {
             for (uint32_t idx = rev; idx < (uint32_t)rootsize; idx += 1u << len)
@@ -2080,13 +2093,18 @@ static int infl_resolve_pending_dist(InflState* st, const uint8_t* in,
     infl_refill(st, in, in_len);
     uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
     if (INFL_KIND(de) == INFL_K_BAD && st->bitcount >= 15) { st->error = -8; return -8; }
-    int32_t dextra =
-        INFL_KIND(de) == INFL_K_BAD ? 13 : (int32_t)(INFL_PAYLOAD(de) >> 16);
+    // NBITS(de) is the TOTAL consume (code + extra); payload packs
+    // base(16) | code_len(5)<<16 (see infl_build_table).
     if (INFL_KIND(de) != INFL_K_BAD &&
-        st->bitcount >= (int32_t)INFL_NBITS(de) + dextra) {
-        infl_take(st, (int)INFL_NBITS(de));
-        int32_t dist = (int32_t)(INFL_PAYLOAD(de) & 0xFFFFu) +
-                       (int32_t)infl_take(st, dextra);
+        st->bitcount >= (int32_t)INFL_NBITS(de)) {
+        uint64_t saved = st->bitbuf;
+        uint32_t dtotal = INFL_NBITS(de);
+        uint32_t dp = INFL_PAYLOAD(de);
+        uint32_t dcl = dp >> 16;
+        infl_take(st, (int)dtotal);
+        int32_t dist =
+            (int32_t)(dp & 0xFFFFu) +
+            (int32_t)((saved >> dcl) & ((1ull << (dtotal - dcl)) - 1ull));
         if ((uint64_t)dist > st->total_out + (uint64_t)(*opp - out)) {
             st->error = -9;
             return -9;
@@ -2344,7 +2362,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
         st->in_pos = (int64_t)(ip - in); \
     } while (0)
             for (;;) {
-                if (in_left < 8 || oend - op < 300) break;
+                if (INFL_UNLIKELY(in_left < 8 || oend - op < 300)) break;
                 {   // branchless refill: bc >= 56 after
                     uint64_t w;
                     memcpy(&w, ip, 8);  // little-endian host
@@ -2369,8 +2387,35 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                 // NBITS check bounds bit use, and 8 iterations x 3 bytes +
                 // the 274-byte worst-case match overshoot = 298 stays
                 // inside the 300-byte output margin (4-byte stores incl.).
-                int lit_budget = 8;
                 int emitted = 0;
+                // First 1-3 literal sites are UNROLLED so each position
+                // gets its own branch PC: on lit/match-alternating streams
+                // (filtered photo content: one noise literal then a row
+                // match, per pixel) a single looped branch site is
+                // near-unpredictable while distinct sites are near-static.
+#define INFL_LIT_SITE()                                                  \
+    do {                                                                 \
+        if (kind <= INFL_K_LIT3 && bc >= (int32_t)INFL_NBITS(e)) {       \
+            uint32_t nb = INFL_NBITS(e);                                 \
+            bb >>= nb;                                                   \
+            bc -= (int32_t)nb;                                           \
+            uint32_t p = INFL_PAYLOAD(e);                                \
+            memcpy(op, &p, 4); /* one 32-bit store, margin-covered */    \
+            op += kind + 1;                                              \
+            ++emitted;                                                   \
+            e = lltab[bb & ((1u << INFL_LL_ROOT) - 1u)];                 \
+            if (INFL_KIND(e) == INFL_K_SUB)                              \
+                e = lltab[INFL_PAYLOAD(e) +                              \
+                          ((bb >> INFL_LL_ROOT) &                        \
+                           ((1u << INFL_NBITS(e)) - 1u))];               \
+            kind = INFL_KIND(e);                                         \
+        }                                                                \
+    } while (0)
+                INFL_LIT_SITE();
+                INFL_LIT_SITE();
+                INFL_LIT_SITE();
+#undef INFL_LIT_SITE
+                int lit_budget = 5;
                 while (kind <= INFL_K_LIT3 && bc >= (int32_t)INFL_NBITS(e) &&
                        lit_budget--) {
                     uint32_t nb = INFL_NBITS(e);
@@ -2388,40 +2433,47 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                     kind = INFL_KIND(e);
                 }
                 if (kind <= INFL_K_LIT3) continue;  // budget/bits: refill
-                if (kind != INFL_K_LEN) {
+                if (INFL_UNLIKELY(kind != INFL_K_LEN)) {
                     if (emitted) continue;  // re-enter with fresh bits first
                     break;  // EOB/BAD at full bits: general loop decides
                 }
-                // A whole match needs at most 15+5+15+13 = 48 bits; with a
-                // full reservoir it decodes refill-free. After a literal
-                // burst the reservoir may be low: re-enter for a top refill
-                // (nothing consumed yet).
-                if (bc < 48) continue;
+                // A whole match needs at most NBITS(e) (len code+extra,
+                // already loaded) + 28 (worst-case dist code+extra); with a
+                // full reservoir it decodes refill-free. The exact bound
+                // matters: a flat "bc < 48" sat on a knife edge after one
+                // literal (bc ~ 47..56) and mispredicted constantly, while
+                // ltot+28 (~36-41) is essentially always satisfied there.
+                if (INFL_UNLIKELY(bc < (int32_t)INFL_NBITS(e) + 28)) continue;
                 {
-                    uint32_t lp = INFL_PAYLOAD(e);
-                    uint32_t nb = INFL_NBITS(e);
-                    uint32_t lextra = lp >> 16;
-                    bb >>= nb;
-                    int32_t length =
-                        (int32_t)(lp & 0xFFFFu) +
-                        (int32_t)(bb & ((1ull << lextra) - 1ull));
-                    bb >>= lextra;
-                    bc -= (int32_t)(nb + lextra);
+                    // NBITS = total consume (code + extra): ONE shift on
+                    // the serial bb chain per symbol; base/extra come off
+                    // a saved copy in parallel with the next table load.
+                    uint64_t lsaved = bb;
+                    uint32_t ltot = INFL_NBITS(e);
+                    bb >>= ltot;
+                    bc -= (int32_t)ltot;
                     uint32_t de = dtab[bb & ((1u << INFL_D_ROOT) - 1u)];
                     if (INFL_KIND(de) == INFL_K_SUB)
                         de = dtab[INFL_PAYLOAD(de) +
                                   ((bb >> INFL_D_ROOT) &
                                    ((1u << INFL_NBITS(de)) - 1u))];
-                    if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);  // 15 live bits
+                    if (INFL_UNLIKELY(INFL_KIND(de) == INFL_K_BAD)) FAIL(-8);  // 15 live bits
+                    uint32_t lp = INFL_PAYLOAD(e);
+                    uint32_t lcl = lp >> 16;
+                    int32_t length =
+                        (int32_t)(lp & 0xFFFFu) +
+                        (int32_t)((lsaved >> lcl) &
+                                  ((1ull << (ltot - lcl)) - 1ull));
+                    uint64_t dsaved = bb;
+                    uint32_t dtot = INFL_NBITS(de);
+                    bb >>= dtot;
+                    bc -= (int32_t)dtot;
                     uint32_t dp = INFL_PAYLOAD(de);
-                    uint32_t dnb = INFL_NBITS(de);
-                    uint32_t dextra = dp >> 16;
-                    bb >>= dnb;
+                    uint32_t dcl = dp >> 16;
                     int32_t dist =
                         (int32_t)(dp & 0xFFFFu) +
-                        (int32_t)(bb & ((1ull << dextra) - 1ull));
-                    bb >>= dextra;
-                    bc -= (int32_t)(dnb + dextra);
+                        (int32_t)((dsaved >> dcl) &
+                                  ((1ull << (dtot - dcl)) - 1ull));
                     // Preload the next symbol's entry while the copy runs:
                     // the post-match bit state is already final, and a later
                     // refill only adds high bits, so a root-resolved entry
@@ -2434,11 +2486,11 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                     have_pre = (int32_t)INFL_NBITS(e_pre) <= bc &&
                                INFL_KIND(e_pre) != INFL_K_BAD;
                     int64_t produced = op - out;
-                    if ((uint64_t)dist > prior_out + (uint64_t)produced)
+                    if (INFL_UNLIKELY((uint64_t)dist > prior_out + (uint64_t)produced))
                         FAIL(-9);
-                    if (dist <= produced) {
+                    if (INFL_LIKELY(dist <= produced)) {
                         const uint8_t* sp = op - dist;
-                        if (dist >= 8) {
+                        if (INFL_LIKELY(dist >= 8)) {
                             // Two unconditional 8-byte stores cover the
                             // typical 3-16 byte match (the 300-byte margin
                             // absorbs the overshoot); step-8 chunks stay
@@ -2447,7 +2499,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                             // offset allows.
                             memcpy(op, sp, 8);
                             memcpy(op + 8, sp + 8, 8);
-                            if (length > 16) {
+                            if (INFL_UNLIKELY(length > 16)) {
                                 int32_t k = 16;
                                 if (dist >= 16)
                                     for (; k + 16 <= length; k += 16)
@@ -2526,29 +2578,26 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                     break;
                 }
                 if (kind == INFL_K_BAD) FAIL(-7);
-                // Match.
-                int32_t lextra = (int32_t)(INFL_PAYLOAD(e) >> 16);
-                if (st->bitcount < (int32_t)nb + lextra + 28) {
-                    infl_refill(st, in, in_len);
-                    if (st->bitcount < (int32_t)nb + lextra + 1) goto suspend;
-                }
-                int32_t lbase = (int32_t)(INFL_PAYLOAD(e) & 0xFFFFu);
-                infl_take(st, (int)nb);
-                int32_t length = lbase + (int32_t)infl_take(st, lextra);
+                // Match. nb is the TOTAL consume (code + extra; see
+                // infl_build_table) and the nb > bitcount gate above
+                // already guaranteed the whole length field is live.
+                {
+                    uint64_t lsaved = st->bitbuf;
+                    uint32_t lp = INFL_PAYLOAD(e);
+                    uint32_t lcl = lp >> 16;
+                    infl_take(st, (int)nb);
+                    int32_t length =
+                        (int32_t)(lp & 0xFFFFu) +
+                        (int32_t)((lsaved >> lcl) &
+                                  ((1ull << (nb - lcl)) - 1ull));
                 uint32_t de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
                 uint32_t dnb = INFL_NBITS(de);
-                int32_t dextra = INFL_KIND(de) == INFL_K_BAD
-                                     ? 13
-                                     : (int32_t)(INFL_PAYLOAD(de) >> 16);
-                if (st->bitcount < (int32_t)dnb + dextra ||
+                if (st->bitcount < (int32_t)dnb ||
                     (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
                     infl_refill(st, in, in_len);
                     de = infl_lookup(st->dist, st->bitbuf, INFL_D_ROOT);
                     dnb = INFL_NBITS(de);
-                    dextra = INFL_KIND(de) == INFL_K_BAD
-                                 ? 13
-                                 : (int32_t)(INFL_PAYLOAD(de) >> 16);
-                    if (st->bitcount < (int32_t)dnb + dextra ||
+                    if (st->bitcount < (int32_t)dnb ||
                         (INFL_KIND(de) == INFL_K_BAD && st->bitcount < 15)) {
                         // The length code is consumed but the distance bits
                         // haven't arrived yet: park the match (negative =
@@ -2558,9 +2607,14 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                     }
                 }
                 if (INFL_KIND(de) == INFL_K_BAD) FAIL(-8);
+                uint64_t dsaved = st->bitbuf;
+                uint32_t dp = INFL_PAYLOAD(de);
+                uint32_t dcl = dp >> 16;
                 infl_take(st, (int)dnb);
-                int32_t dist = (int32_t)(INFL_PAYLOAD(de) & 0xFFFFu) +
-                               (int32_t)infl_take(st, dextra);
+                int32_t dist =
+                    (int32_t)(dp & 0xFFFFu) +
+                    (int32_t)((dsaved >> dcl) &
+                              ((1ull << (dnb - dcl)) - 1ull));
                 if ((uint64_t)dist > st->total_out + (uint64_t)(op - out))
                     FAIL(-9);
                 {
@@ -2600,6 +2654,7 @@ int64_t owned_inflate(const uint8_t* in, int64_t in_len, InflState* st,
                         st->pending_dist = dist;
                         goto suspend;
                     }
+                }
                 }
             }
             continue;

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Microbenchmark: owned C++ inflate vs CPython zlib on bench-like data.
 
+Times are CPU time (time.process_time), immune to neighbor load on this
+shared host (CLAUDE.md measurement protocol).
+
 Generates the same filtered-PNG payload class as bench.py's tiles (two
 gradient channels, one 6-bit-noise channel, opaque alpha — a mostly-literal
 stream after zlib-6), plus a high-redundancy payload (match-heavy), and
@@ -58,7 +61,7 @@ def time_owned(comp: bytes, out_len: int, reps: int) -> float:
     for _ in range(reps):
         inf = NativeInflater()
         out = np.empty(out_len, dtype=np.uint8)
-        t0 = time.perf_counter()
+        t0 = time.process_time()
         inf.feed(comp)
         total = 0
         while True:
@@ -66,7 +69,7 @@ def time_owned(comp: bytes, out_len: int, reps: int) -> float:
             if n == 0:
                 break
             total += n
-        dt = time.perf_counter() - t0
+        dt = time.process_time() - t0
         assert inf.finished and total == out_len, (total, out_len, inf.finished)
         best = min(best, dt)
     return best
@@ -82,7 +85,7 @@ def time_owned_banded(comp: bytes, out_len: int, reps: int, band: int) -> float:
     for _ in range(reps):
         inf = NativeInflater()
         out = np.empty(band, dtype=np.uint8)
-        t0 = time.perf_counter()
+        t0 = time.process_time()
         total = 0
         ci = 0
         while total < out_len:
@@ -96,7 +99,7 @@ def time_owned_banded(comp: bytes, out_len: int, reps: int, band: int) -> float:
                 else:
                     raise AssertionError("stalled")
             total += n
-        dt = time.perf_counter() - t0
+        dt = time.process_time() - t0
         assert total == out_len
         best = min(best, dt)
     return best
@@ -106,9 +109,9 @@ def time_zlib(comp: bytes, out_len: int, reps: int) -> float:
     best = float("inf")
     for _ in range(reps):
         d = zlib.decompressobj()
-        t0 = time.perf_counter()
+        t0 = time.process_time()
         out = d.decompress(comp)
-        dt = time.perf_counter() - t0
+        dt = time.process_time() - t0
         assert len(out) == out_len
         best = min(best, dt)
     return best
