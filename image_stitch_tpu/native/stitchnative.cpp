@@ -3088,6 +3088,7 @@ typedef struct {
     int max_lazy;  // only defer when the current match is shorter than this
     int good;      // quarter the chain budget when current match >= good
     int nice;      // stop searching at this length
+    int use_h3;    // probe/maintain the len-3 side head (ratio profiles)
 } DeflProfile;
 
 static DeflProfile defl_profile(int level) {
@@ -3095,9 +3096,15 @@ static DeflProfile defl_profile(int level) {
     // Tuned on filtered-PNG payloads: chain depth beyond ~16 costs speed
     // almost linearly while the ratio stays flat (big dynamic blocks do
     // the heavy lifting); even the fast profile beats zlib-6's ratio.
-    if (level <= 3) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32; }
-    else if (level <= 6) { p.max_chain = 24;  p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96; }
-    else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; }
+    // use_h3: len-3 matches are a RATIO-profile feature only — on
+    // filtered-PNG payloads they cost bits (far 3-byte matches encode
+    // longer than 3 literals under the big dynamic trees: dropping them
+    // measured -0.2% size AND +8% speed; noise +72% speed) and the h3
+    // hash+store per position is a third of insert cost. Text-like
+    // content loses ~3.7% size without them, so level >= 7 keeps h3.
+    if (level <= 3) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32;  p.use_h3 = 0; }
+    else if (level <= 6) { p.max_chain = 24;  p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96;  p.use_h3 = 0; }
+    else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; p.use_h3 = 1; }
     return p;
 }
 
@@ -3125,7 +3132,7 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
     int best_dist = 0;
     int64_t min_pos = i - DEFL_WIN;
     // length-3 candidate from the hash3 head (zlib: len-3 only if close)
-    if (best_len < 3) {
+    if (pf->use_h3 && best_len < 3) {
         int32_t c3 = s->head3[h3];
         if (c3 >= 0 && (int64_t)c3 > min_pos && i - c3 <= 4096) {
             if (buf[c3] == buf[i] && buf[c3 + 1] == buf[i + 1] &&
@@ -3143,9 +3150,16 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
     if (max_len >= 4 && best_len < pf->nice) {
         int32_t cand = s->head4[h4];
         while (cand >= 0 && (int64_t)cand > min_pos && chain-- > 0) {
-            // quick reject on the would-be-deciding byte
+            // Quick reject: 4 bytes ENDING at the would-be-deciding
+            // byte (a candidate only helps if its first best_len+1 bytes
+            // all match, which includes this window) plus the 4-byte
+            // prefix — an 8-byte necessary condition that kills most
+            // hash collisions before the extend (the byte-at-best_len
+            // test alone let ~1/3 of probes through to extends).
+            int bl3 = best_len - 3;
+            if (bl3 < 0) bl3 = 0;
             if (best_len < max_len &&
-                buf[cand + best_len] == buf[i + best_len] &&
+                defl_load32(buf + cand + bl3) == defl_load32(buf + i + bl3) &&
                 defl_load32(buf + cand) == defl_load32(buf + i)) {
                 int l = defl_extend(buf + cand, buf + i, max_len);
                 if (l > best_len) {
@@ -3163,14 +3177,14 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
 }
 
 static inline void defl_insert_h(DeflScratch* s, int64_t i, uint32_t h4,
-                                 uint32_t h3) {
+                                 uint32_t h3, int use_h3) {
     s->prev[i & (DEFL_WIN - 1)] = s->head4[h4];
     s->head4[h4] = (int32_t)i;
-    s->head3[h3] = (int32_t)i;
+    if (use_h3) s->head3[h3] = (int32_t)i;
 }
 
 static inline void defl_insert(DeflScratch* s, const uint8_t* buf, int64_t i) {
-    defl_insert_h(s, i, defl_h4(buf + i), defl_h3(buf + i));
+    defl_insert_h(s, i, defl_h4(buf + i), defl_h3(buf + i), 1);
 }
 
 // --- block emission -------------------------------------------------------
@@ -3376,7 +3390,7 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
             // low-match content). Loads past total_len are safe: the caller
             // guarantees 8 readable slack bytes.
             uint32_t h4 = defl_h4(buf + i);
-            uint32_t h3 = defl_h3(buf + i);
+            uint32_t h3 = pf.use_h3 ? defl_h3(buf + i) : 0;
             if (chunk_end - i >= 3)
                 len = defl_find_match(s, buf, i, chunk_end, &pf,
                                       have_prev ? prev_match_len : 0, &dist,
@@ -3391,10 +3405,16 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 freq_ll[257 + defl_len_sym[l3]]++;
                 freq_d[dsym]++;
                 extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
-                // insert remaining positions of the match
+                // insert remaining positions of the match (h4 chain
+                // only: a len-3 head3 candidate STARTING inside a copied
+                // region adds ~nothing — +0.2% size for +5% speed — and
+                // h3 stores were a third of interior insert cost)
                 int64_t match_end = (i - 1) + prev_match_len;
-                for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
-                    defl_insert(s, buf, j);
+                for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j) {
+                    uint32_t jh4 = defl_h4(buf + j);
+                    s->prev[j & (DEFL_WIN - 1)] = s->head4[jh4];
+                    s->head4[jh4] = (int32_t)j;
+                }
                 i = match_end;
                 have_prev = 0;
                 continue;
@@ -3409,7 +3429,8 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 miss_run = 0;
                 if (pf.lazy && len < pf.max_lazy && i + 1 < chunk_end) {
                     // defer: compare against the match at i+1
-                    if (i + 4 <= total_len) defl_insert_h(s, i, h4, h3);
+                    if (i + 4 <= total_len)
+                        defl_insert_h(s, i, h4, h3, pf.use_h3);
                     prev_match_len = len;
                     prev_match_dist = dist;
                     have_prev = 1;
@@ -3424,15 +3445,23 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 freq_d[dsym]++;
                 extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
                 int64_t match_end = i + len;
-                for (int64_t j = i; j < match_end && j + 4 <= total_len; ++j)
-                    defl_insert(s, buf, j);
+                if (i + 4 <= total_len) {
+                    if (pf.use_h3) s->head3[h3] = (int32_t)i;
+                    s->prev[i & (DEFL_WIN - 1)] = s->head4[h4];
+                    s->head4[h4] = (int32_t)i;
+                }
+                for (int64_t j = i + 1; j < match_end && j + 4 <= total_len; ++j) {
+                    uint32_t jh4 = defl_h4(buf + j);
+                    s->prev[j & (DEFL_WIN - 1)] = s->head4[jh4];
+                    s->head4[jh4] = (int32_t)j;
+                }
                 i = match_end;
                 have_prev = 0;
             } else {
                 uint8_t lit = buf[i];
                 s->syms[n_syms++] = lit;
                 freq_ll[lit]++;
-                if (i + 4 <= total_len) defl_insert_h(s, i, h4, h3);
+                if (i + 4 <= total_len) defl_insert_h(s, i, h4, h3, pf.use_h3);
                 ++i;
                 have_prev = 0;
                 // Adaptive literal-run skip (libdeflate-style): after 32
