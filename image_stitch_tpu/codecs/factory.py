@@ -193,6 +193,16 @@ def create_decoder(
     # fully-decoded entry per call with zero dedup benefit.
     was_path = isinstance(source, (str, os.PathLike))
     magic, source = read_magic_and_source(source)
+    if was_path and options.verify_crc is None:
+        # The small-file slurp below hands the decoder a BUFFER, but CRC
+        # posture follows the USER-visible source type: the reference's
+        # file decoder skips per-chunk CRC on its fd scan while its buffer
+        # decoder verifies (png-decoder.ts:235 vs :359). Without this pin
+        # the slurp silently upgraded path inputs to strict (~12% on the
+        # pngsuite many-tiny-tile config).
+        from dataclasses import replace
+
+        options = replace(options, verify_crc=False)
     fmt = detect_image_format(magic)
     if fmt is None:
         raise StitchError(

@@ -119,6 +119,8 @@ class PngDecoder:
         The stream-based walk costs thousands of tiny read() calls on
         many-chunk files (pngsuite tiles average ~8 chunks); this is one
         function call per image. Same validation and error text."""
+        from struct import unpack_from
+
         buf = self._buf
         assert buf is not None
         n = len(buf)
@@ -133,8 +135,10 @@ class PngDecoder:
                 raise StitchError(
                     f"Truncated PNG: expected 8 bytes, got {max(0, n - pos)}"
                 )
-            length = int.from_bytes(buf[pos : pos + 4], "big")
-            ctype = bytes(buf[pos + 4 : pos + 8])
+            # One unpack for length+type (two slice objects per chunk were
+            # measurable on many-tiny-tile loads: pngsuite averages ~8
+            # chunks per 32x32 tile).
+            length, ctype = unpack_from(">I4s", buf, pos)
             data_start = pos + 8
             data_end = data_start + length
             if ctype == b"IDAT":

@@ -139,14 +139,26 @@ class RowSource:
         target_bit_depth: int,
         band_height: int,
         progress: ProgressTracker | None = None,
+        group_provider=None,
     ):
         self.image_idx = image_idx
         self.header = header
         self._meta = metadata
         self._target_depth = target_bit_depth
-        self._iter = decoder.bands(band_height) if hasattr(decoder, "bands") else None
-        if self._iter is None:
-            self._iter = _bands_from_rows(decoder.scanlines(), band_height)
+        # Batched small-tile decode (codecs/png/group_decode): a lazy
+        # provider for this tile's fully converted array. The normal
+        # band iterator below is created but NOT started (generators run
+        # on first next()), so a failed group decode falls back to it
+        # with per-input error attribution intact.
+        self._group_provider = group_provider
+        self._decoder = decoder
+        self._band_height = band_height
+        # The band iterator is created lazily for grouped tiles (the
+        # group path normally never touches it); generators only run on
+        # first next(), so the fallback semantics are identical.
+        self._iter = None
+        if group_provider is None:
+            self._make_iter()
         # Decoders that guarantee each yielded band is a fresh (or never
         # mutated) array set ``bands_are_owned``; for those the RGBA8
         # identity conversion may alias the band instead of copying.
@@ -161,6 +173,12 @@ class RowSource:
         self._progress = progress
         self._context: tuple[int, int] | None = None  # (grid_row, grid_col) 1-based
 
+    def _make_iter(self) -> None:
+        decoder, band_height = self._decoder, self._band_height
+        self._iter = decoder.bands(band_height) if hasattr(decoder, "bands") else None
+        if self._iter is None:
+            self._iter = _bands_from_rows(decoder.scanlines(), band_height)
+
     def set_context(self, grid_row: int, grid_col: int) -> None:
         self._context = (grid_row, grid_col)
 
@@ -172,6 +190,21 @@ class RowSource:
         return f"at source row {self.rows_served + 1}"
 
     def _pull(self) -> bool:
+        if self._group_provider is not None:
+            provider, self._group_provider = self._group_provider, None
+            converted = provider()
+            if converted is not None:
+                self._buf = (
+                    converted
+                    if self._buf is None
+                    else np.vstack([self._buf, converted])
+                )
+                return True
+            # Group decode failed: fall back to the per-tile path (the
+            # group never touches decoder state, so it starts clean and
+            # re-raises with proper per-input error attribution).
+        if self._iter is None:
+            self._make_iter()
         try:
             raw = next(self._iter)
         except StopIteration:
@@ -454,6 +487,17 @@ class CoreStreamingConcatenator:
         progress = (
             ProgressTracker(headers, opts.on_progress) if opts.on_progress else None
         )
+        # Batched small-tile decode: many-tiny-tile grids (pngsuite-class
+        # sweeps) group same-signature tiles through one defilter + one
+        # convert call, deleting the dominant per-tile numpy fixed costs.
+        from .codecs.png.group_decode import plan_group_providers
+
+        group_providers = plan_group_providers(
+            decoders,
+            headers,
+            [image_headers[i].metadata or {} for i in range(len(decoders))],
+            final_depth,
+        )
         sources = [
             RowSource(
                 i,
@@ -463,6 +507,7 @@ class CoreStreamingConcatenator:
                 final_depth,
                 opts.band_height,
                 progress,
+                group_provider=group_providers.get(i),
             )
             for i in range(len(decoders))
         ]

@@ -99,8 +99,14 @@ def deinterlace_adam7(decompressed: bytes | np.ndarray, header: PngHeader) -> np
             )
         block = data[offset : offset + needed].reshape(ph, 1 + pass_row_bytes)
         offset += needed
-        filter_types = block[:, 0]
-        raw = defilter_band(filter_types, block[:, 1:], None, bpp)
+        # Native SIMD defilter when available (pass defilters dominated
+        # small interlaced tiles at ~7 numpy calls each); same kernels and
+        # bytes as the streaming decoder's band path.
+        from ..native import defilter_units_native
+
+        raw = defilter_units_native(block, pass_row_bytes, bpp, None)
+        if raw is None:
+            raw = defilter_band(block[:, 0], block[:, 1:], None, bpp)
 
         ys = slice(p.y_start, p.y_start + ph * p.y_step, p.y_step)
         if sub_byte:
