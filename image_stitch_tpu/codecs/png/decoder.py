@@ -165,8 +165,10 @@ class PngDecoder:
                     spans.append(buf[data_start:data_end])
                 if self._verify_crc:
                     try:
+                        # memoryview slices: no per-chunk bytes copies on
+                        # the (large) IDAT payloads.
                         self._check_crc(
-                            ctype, bytes(buf[data_start:data_end]),
+                            ctype, buf[data_start:data_end],
                             bytes(buf[data_end : data_end + 4]),
                         )
                     except StitchError as exc:

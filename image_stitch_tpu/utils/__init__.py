@@ -23,8 +23,10 @@ def png_crc32(data: bytes | bytearray | memoryview | np.ndarray, initial: int = 
     post-conditioned; zlib handles the ~ internally).
     """
     if isinstance(data, np.ndarray):
-        data = data.tobytes()
-    return zlib.crc32(bytes(data), initial) & 0xFFFFFFFF
+        data = np.ascontiguousarray(data)
+    # zlib.crc32 takes any buffer-protocol object: no bytes() copy (the
+    # copy was ~1-2% of strict-mode decode on buffer inputs).
+    return zlib.crc32(data, initial) & 0xFFFFFFFF
 
 
 def read_u32be(data: bytes | memoryview | np.ndarray, offset: int = 0) -> int:
