@@ -739,7 +739,10 @@ class NativeInflater:
                     "Inflate stream already finished but more data was pushed"
                 )
             return
-        self._input += bytes(chunk)
+        # bytearray += accepts any buffer: no intermediate bytes() copy
+        # (IDAT spans arrive as memoryviews; the old form copied the whole
+        # compressed stream twice — ~2% of the grid headline).
+        self._input += chunk
 
     def drain_into(self, out: np.ndarray) -> int:
         """Decode directly into ``out`` (uint8, C-contiguous); returns bytes
