@@ -54,6 +54,9 @@ def decode_jpeg_to_rgba(data: bytes, options: DecoderOptions | None = None) -> n
             # NOTE: the result is READ-ONLY (a view over the bytes object);
             # callers that mutate decoded pixels in place must copy first.
             # Internal pipeline paths always copy during format conversion.
+            # (A numpy RGB->RGBA expansion was tried instead of PIL's
+            # convert("RGBA") and measured 0.76x — numpy's strided 3->4
+            # channel assign loses to PIL's C convert loop. Don't retry.)
             return np.frombuffer(img.tobytes(), np.uint8).reshape(h, w, 4)
         except Exception as exc:
             # Error contract: hostile bytes surface as StitchError, never a
