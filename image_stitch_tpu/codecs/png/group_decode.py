@@ -60,12 +60,16 @@ def _tile_key(header, meta: Mapping) -> tuple | None:
 def _eligible(dec, header) -> bool:
     from .decoder import PngDecoder
 
+    # Strict (buffer-default) decoders are groupable too: their chunk
+    # CRCs were already verified during the buffer walk (any failure sets
+    # _idat_defer, which excludes the tile here), and the group inflate
+    # verifies each tile's Adler-32 trailer (see _decode_all) — the same
+    # integrity set the per-tile strict path enforces.
     return (
         isinstance(dec, PngDecoder)
         and getattr(dec, "_buf", None) is not None
         and getattr(dec, "_idat_spans", None) is not None
         and getattr(dec, "_idat_defer", None) is None
-        and not dec._verify_crc  # strict mode must verify chunk CRCs
         and header.interlace_method == 0
         and 0 < header.width * header.height <= MAX_TILE_PIXELS
     )
@@ -91,14 +95,21 @@ class _Group:
         written. The native path drives the raw C inflate with ONE pooled
         state reused across the group's tiles (owned_inflate_init resets
         it) — a per-tile StreamingInflator cost ~25 us of wrapper glue,
-        which at 32x32 tiles was comparable to the decode itself."""
+        which at 32x32 tiles was comparable to the decode itself.
+
+        The returned callable takes (spans, out_flat, verify_adler):
+        strict tiles also check the stream's Adler-32 trailer (AVX2
+        stitch_adler32 over the produced bytes vs the trailer the decoder
+        parsed) — the same check the per-tile strict inflator performs."""
         from ...native import get_native_lib
 
         lib = get_native_lib()
         if lib is None:
             import zlib
 
-            def inflate_zlib(spans, out_flat: np.ndarray) -> int:
+            def inflate_zlib(spans, out_flat: np.ndarray,
+                             verify_adler: bool = False) -> int:
+                # zlib.decompress verifies the Adler trailer itself.
                 data = zlib.decompress(b"".join(bytes(s) for s in spans))
                 fill = min(len(data), len(out_flat))
                 out_flat[:fill] = np.frombuffer(data[:fill], dtype=np.uint8)
@@ -111,7 +122,8 @@ class _Group:
         st = buffer_pool.get(int(lib.owned_inflate_state_size()))
         stp = st.ctypes.data
 
-        def inflate_native(spans, out_flat: np.ndarray) -> int:
+        def inflate_native(spans, out_flat: np.ndarray,
+                           verify_adler: bool = False) -> int:
             # `st` must be referenced here, not just its raw address: a
             # closure over the int alone would let the state array be
             # collected while C code still writes through it.
@@ -137,6 +149,26 @@ class _Group:
                         raise ValueError(f"invalid tile stream rc={got}")
                     break
                 fill += got
+            if fill == need:
+                # The per-tile path enforces a complete stream and no
+                # residual decompressed bytes in EVERY mode (decoder.bands
+                # verify_finished + fill>0 checks); match it so grouping
+                # never changes which inputs are accepted. The 8-byte
+                # probe drain advances state 4 -> 5 when the trailer was
+                # pending, and catches over-long streams.
+                probe = np.empty(8, dtype=np.uint8)
+                got = lib.owned_inflate(
+                    comp.ctypes.data, len(comp), stp, probe.ctypes.data, 8
+                )
+                if got != 0:
+                    raise ValueError("residual decompressed bytes")
+                if lib.owned_inflate_state(stp) != 5:
+                    raise ValueError("truncated tile stream")
+                if verify_adler:
+                    stored = int(lib.owned_inflate_stream_adler(stp))
+                    computed = int(lib.stitch_adler32(out_ptr, need, 1))
+                    if stored != computed:
+                        raise ValueError("tile stream Adler-32 mismatch")
             return fill
 
         return inflate_native
@@ -172,7 +204,10 @@ class _Group:
         for k, idx in enumerate(self._indices):
             dec = self._decoders[idx]
             base = (k * rows + 1) * unit
-            fill = inflate_tile(dec._idat_spans, flat[base : base + need])
+            fill = inflate_tile(
+                dec._idat_spans, flat[base : base + need],
+                bool(dec._verify_crc),
+            )
             if fill != need:
                 raise ValueError("short tile stream")  # -> per-tile fallback
         raw = _defilter_units(stack, row_bytes, bpp, None)

@@ -125,9 +125,13 @@ def test_grouped_grid_output_identical_to_ungrouped():
     assert grouped == ungrouped
 
 
-def test_strict_crc_tiles_never_group():
-    """Strict (buffer-default) CRC mode must keep the verifying per-tile
-    path: the group path skips IDAT CRCs by design."""
+def test_strict_buffers_group_with_full_integrity():
+    """Strict (buffer-default) tiles DO group: chunk CRCs were verified
+    during the buffer walk and the group inflate checks each tile's
+    Adler-32 trailer — the same integrity set as the per-tile strict
+    path. Both corruption classes must still be rejected end to end."""
+    from image_stitch_tpu import concat_to_buffer
+    from image_stitch_tpu.errors import StitchError
     from tests.utils.fixtures import png_from_array
 
     rng = np.random.default_rng(5)
@@ -139,7 +143,28 @@ def test_strict_crc_tiles_never_group():
         providers = plan_group_providers(
             decoders, headers, [h.metadata or {} for h in ihs], 8
         )
-        assert providers == {}
+        assert len(providers) == 6
+        for p in providers.values():
+            assert p() is not None
     finally:
         for d in decoders:
             d.close()
+
+    # Adler-only corruption: flip trailer bits (last 4 bytes of the zlib
+    # stream = end of the final IDAT payload). Chunk CRC must be
+    # recomputed so only the Adler check can catch it.
+    import struct
+    import zlib as _z
+
+    idat = tile.index(b"IDAT")
+    length = int.from_bytes(tile[idat - 4:idat], "big")
+    bad = bytearray(tile)
+    bad[idat + 4 + length - 1] ^= 0xFF  # last zlib byte = Adler trailer
+    bad[idat + 4 + length:idat + 8 + length] = struct.pack(
+        ">I", _z.crc32(bytes(bad[idat:idat + 4 + length]))
+    )
+    with pytest.raises(StitchError):
+        concat_to_buffer({
+            "inputs": [tile, tile, bytes(bad), tile],
+            "layout": {"columns": 2},
+        })
