@@ -3089,6 +3089,7 @@ typedef struct {
     int good;      // quarter the chain budget when current match >= good
     int nice;      // stop searching at this length
     int use_h3;    // probe/maintain the len-3 side head (ratio profiles)
+    int lazy_shift;  // chain budget >>= this on every lazy (second) search
 } DeflProfile;
 
 static DeflProfile defl_profile(int level) {
@@ -3102,9 +3103,17 @@ static DeflProfile defl_profile(int level) {
     // measured -0.2% size AND +8% speed; noise +72% speed) and the h3
     // hash+store per position is a third of insert cost. Text-like
     // content loses ~3.7% size without them, so level >= 7 keeps h3.
-    if (level <= 3) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32;  p.use_h3 = 0; }
-    else if (level <= 6) { p.max_chain = 24;  p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96;  p.use_h3 = 0; }
-    else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; p.use_h3 = 1; }
+    // lazy_shift: the one-step-lazy SECOND search (at i+1, with a match
+    // in hand) rarely changes the parse, so speed profiles cut its chain
+    // budget to a quarter unconditionally (round-4 interleaved A/B:
+    // lazy-quarter alone +41-45% speed at +1.15% size; with max_chain
+    // 24->8 cumulative ~2.6x at a size still 2.6% under zlib-6 on bench
+    // content, text/noise sizes unchanged). Ratio profiles (level >= 7)
+    // keep the zlib rule instead: quarter only when the match in hand is
+    // already >= good.
+    if (level <= 3) { p.max_chain = 4;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32;  p.use_h3 = 0; p.lazy_shift = 2; }
+    else if (level <= 6) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96;  p.use_h3 = 0; p.lazy_shift = 2; }
+    else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; p.use_h3 = 1; p.lazy_shift = 0; }
     return p;
 }
 
@@ -3146,7 +3155,10 @@ static int defl_find_match(const DeflScratch* s, const uint8_t* buf,
         }
     }
     int chain = pf->max_chain;
-    if (prev_len >= pf->good) chain >>= 2;
+    if (prev_len > 0) {
+        if (pf->lazy_shift) chain >>= pf->lazy_shift;
+        else if (prev_len >= pf->good) chain >>= 2;
+    }
     if (max_len >= 4 && best_len < pf->nice) {
         int32_t cand = s->head4[h4];
         while (cand >= 0 && (int64_t)cand > min_pos && chain-- > 0) {
