@@ -235,6 +235,30 @@ def create_decoders_from_iterable(
     return create_decoders(list(inputs), options, plugins)
 
 
+def _dedupe_key(obj: Any) -> tuple | None:
+    """Construction-dedupe key: inputs that denote the same immutable
+    source (equal path strings, or the very same bytes object) can share
+    one probe via ``clone_fresh``. Mutable buffer types, wrappers, dicts,
+    arrays and decoders are never deduped."""
+    if isinstance(obj, (str, os.PathLike)):
+        return ("path", str(obj))
+    if isinstance(obj, bytes):
+        # When the opt-in input cache is on, repeated buffers already
+        # share a full decode-once pipeline — stronger than probe-once;
+        # don't shadow it.
+        from .input_cache import input_cache_enabled
+
+        if input_cache_enabled():
+            return None
+        return ("buf", id(obj))
+    return None
+
+
+def _clone_of(first: Any):
+    clone = getattr(first, "clone_fresh", None)
+    return clone() if clone is not None else None
+
+
 def create_decoders(
     inputs: Iterable[Any],
     options: DecoderOptions | None = None,
@@ -244,6 +268,12 @@ def create_decoders(
     """Build decoders for every input (reference: createDecoders /
     createDecodersFromIterable, decoder-factory.ts:216-283).
 
+    Repeated inputs (same path, or the same bytes object — tiled
+    mega-images reuse a handful of sources) are probed once: later
+    occurrences clone the first decoder's immutable parsed structure
+    (``PngDecoder.clone_fresh``); anything non-clonable falls back to
+    normal construction, so error surfacing points are unchanged.
+
     ``pool``: optional ``ThreadPoolExecutor`` — construction (magic-byte
     probe, small-file slurp, header-adjacent IO) runs concurrently across
     inputs, matching the reference's ``Promise.all`` fan-out
@@ -251,18 +281,37 @@ def create_decoders(
     decoder that WAS built is closed before the first error re-raises."""
     inputs = list(inputs)
     if pool is not None and len(inputs) > 1:
-        futures = [
-            pool.submit(create_decoder, obj, options, plugins)
-            for obj in inputs
-        ]
+        futures: dict = {}
+        keys = []
+        for idx, obj in enumerate(inputs):
+            key = _dedupe_key(obj)
+            kk = key if key is not None else ("uniq", idx)
+            keys.append(kk)
+            if kk not in futures:
+                futures[kk] = pool.submit(create_decoder, obj, options, plugins)
         created: list = []
         first_err: Exception | None = None
-        for f in futures:
+        seen: set = set()
+        for kk, obj in zip(keys, inputs):
             try:
-                created.append(f.result())
+                base = futures[kk].result()
             except Exception as exc:  # noqa: BLE001 - collected, re-raised
                 if first_err is None:
                     first_err = exc
+                continue
+            if kk not in seen:
+                seen.add(kk)
+                created.append(base)
+                continue
+            dec = _clone_of(base)
+            if dec is None:
+                try:
+                    dec = create_decoder(obj, options, plugins)
+                except Exception as exc:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = exc
+                    continue
+            created.append(dec)
         if first_err is not None:
             for d in created:
                 try:
@@ -272,9 +321,18 @@ def create_decoders(
             raise first_err
         return created
     created = []
+    by_key: dict = {}
     try:
         for input_obj in inputs:
-            created.append(create_decoder(input_obj, options, plugins))
+            key = _dedupe_key(input_obj)
+            dec = None
+            if key is not None and key in by_key:
+                dec = _clone_of(by_key[key])
+            if dec is None:
+                dec = create_decoder(input_obj, options, plugins)
+                if key is not None and key not in by_key:
+                    by_key[key] = dec
+            created.append(dec)
     except Exception:
         for d in created:
             try:

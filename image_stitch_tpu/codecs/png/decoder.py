@@ -505,6 +505,43 @@ class PngDecoder:
             for row in band:
                 yield row
 
+    def clone_fresh(self) -> "PngDecoder | None":
+        """A fresh decoder sharing this one's immutable parsed structure,
+        or None when not clonable (stream-backed, closed, or the probe
+        fails here — the caller then constructs normally so errors keep
+        their usual surfacing point).
+
+        Buffer-mode only: the buffer, chunk-walk results (header, palette,
+        tRNS, IDAT spans, deferred IDAT error) are immutable after
+        :meth:`_walk_buffer` and shared by reference; per-instance scan
+        state is reset. Used by the factory to dedupe construction and
+        header-probe cost when the same path or bytes object appears many
+        times in one grid (decoder-factory.ts:216-283 builds per-input
+        with no dedup; tiled mega-images repeat a handful of sources)."""
+        if self._buf is None or self._closed:
+            return None
+        if not self._pre_idat_done:
+            try:
+                self._read_pre_idat()
+            except Exception:
+                return None
+        c = object.__new__(type(self))
+        c._verify_crc = self._verify_crc
+        c._band_height = self._band_height
+        c._closed = False
+        c._owns_stream = False
+        c._stream = None
+        c._buf = self._buf
+        c._header = self._header
+        c._palette = self._palette
+        c._trns = self._trns
+        c._idat_started = self._idat_started
+        c._pre_idat_done = self._pre_idat_done
+        c._scan_exhausted = False
+        c._idat_spans = self._idat_spans
+        c._idat_defer = self._idat_defer
+        return c
+
     def close(self) -> None:
         if not self._closed:
             self._closed = True

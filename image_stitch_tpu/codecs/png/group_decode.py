@@ -52,6 +52,7 @@ def _tile_key(header, meta: Mapping) -> tuple | None:
         header.height,
         header.bit_depth,
         header.color_type,
+        header.interlace_method,
         None if pal is None else pal.tobytes(),
         None if trns is None else trns.tobytes(),
     )
@@ -70,7 +71,7 @@ def _eligible(dec, header) -> bool:
         and getattr(dec, "_buf", None) is not None
         and getattr(dec, "_idat_spans", None) is not None
         and getattr(dec, "_idat_defer", None) is None
-        and header.interlace_method == 0
+        and header.interlace_method in (0, 1)
         and 0 < header.width * header.height <= MAX_TILE_PIXELS
     )
 
@@ -195,26 +196,50 @@ class _Group:
         n = len(self._indices)
         row_bytes = scanline_byte_length(h.width, h.bit_depth, h.color_type)
         bpp = get_bytes_per_pixel(h.bit_depth, h.color_type)
-        unit = 1 + row_bytes
-        rows = h.height + 1  # +1 zeroed separator row per tile
-        stack = np.zeros((n * rows, unit), dtype=np.uint8)
-        flat = stack.reshape(-1)
-        need = h.height * unit
         inflate_tile = self._tile_inflater()
-        for k, idx in enumerate(self._indices):
-            dec = self._decoders[idx]
-            base = (k * rows + 1) * unit
-            fill = inflate_tile(
-                dec._idat_spans, flat[base : base + need],
-                bool(dec._verify_crc),
+        if h.interlace_method == 1:
+            # Interlaced: inflate each tile's pass-concatenated payload
+            # into its row, then ONE batched Adam7 deinterlace (one
+            # defilter + one strided scatter per pass for the whole
+            # group — ops/adam7.deinterlace_adam7_batch).
+            from ...ops.adam7 import adam7_payload_length, deinterlace_adam7_batch
+
+            need = adam7_payload_length(h)
+            stack = np.zeros((n, need), dtype=np.uint8)
+            for k, idx in enumerate(self._indices):
+                dec = self._decoders[idx]
+                fill = inflate_tile(
+                    dec._idat_spans, stack[k], bool(dec._verify_crc)
+                )
+                if fill != need:
+                    raise ValueError("short tile stream")
+            raw = np.ascontiguousarray(
+                deinterlace_adam7_batch(stack, h).reshape(
+                    n * h.height, row_bytes
+                )
             )
-            if fill != need:
-                raise ValueError("short tile stream")  # -> per-tile fallback
-        raw = _defilter_units(stack, row_bytes, bpp, None)
-        # Drop the separator rows and convert the whole group in one call.
-        raw = np.ascontiguousarray(
-            raw.reshape(n, rows, row_bytes)[:, 1:].reshape(n * h.height, row_bytes)
-        )
+        else:
+            unit = 1 + row_bytes
+            rows = h.height + 1  # +1 zeroed separator row per tile
+            stack = np.zeros((n * rows, unit), dtype=np.uint8)
+            flat = stack.reshape(-1)
+            need = h.height * unit
+            for k, idx in enumerate(self._indices):
+                dec = self._decoders[idx]
+                base = (k * rows + 1) * unit
+                fill = inflate_tile(
+                    dec._idat_spans, flat[base : base + need],
+                    bool(dec._verify_crc),
+                )
+                if fill != need:
+                    raise ValueError("short tile stream")  # -> per-tile fallback
+            raw = _defilter_units(stack, row_bytes, bpp, None)
+            # Drop the separator rows and convert the whole group in one call.
+            raw = np.ascontiguousarray(
+                raw.reshape(n, rows, row_bytes)[:, 1:].reshape(
+                    n * h.height, row_bytes
+                )
+            )
         conv = convert_band(
             raw,
             h.width,

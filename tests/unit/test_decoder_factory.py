@@ -272,3 +272,45 @@ def test_create_decoders_parallel_pool_cleans_up_on_failure():
     with ThreadPoolExecutor(max_workers=4) as pool:
         with pytest.raises(StitchError):
             create_decoders(tiles[:2] + [bad] + tiles[2:], pool=pool)
+
+
+def test_create_decoders_dedupes_repeated_inputs_with_identical_output():
+    """Repeated inputs (same bytes object / same path) share one probe via
+    clone_fresh: later decoders reuse the first's parsed structure, and
+    decoded output is identical to independently constructed decoders."""
+    import numpy as np
+
+    tile = png_from_array(random_rgba(16, 16, seed=7))
+    decs = create_decoders([tile, tile, tile, tile])
+    try:
+        bufs = {id(getattr(d, "_buf", None)) for d in decs}
+        assert len(bufs) == 1  # all four share the first decoder's buffer
+        ref = create_decoders([tile])[0]
+        want = np.vstack(list(ref.bands(8)))
+        ref.close()
+        for d in decs:
+            assert d.get_header().width == 16
+            got = np.vstack(list(d.bands(8)))
+            assert np.array_equal(got, want)
+    finally:
+        for d in decs:
+            d.close()
+
+
+def test_create_decoders_dedupe_same_path(tmp_path):
+    """Same path string repeated: probed once, every instance decodes."""
+    import numpy as np
+
+    p = tmp_path / "t.png"
+    p.write_bytes(png_from_array(random_rgba(12, 12, seed=9)))
+    paths = [str(p)] * 5
+    decs = create_decoders(paths)
+    try:
+        outs = [np.vstack(list(d.bands(4))) for d in decs]
+        assert all(np.array_equal(o, outs[0]) for o in outs[1:])
+        # Path posture survives the clone: lenient CRC (reference fd-scan
+        # posture), not the strict buffer default.
+        assert all(d._verify_crc is False for d in decs)
+    finally:
+        for d in decs:
+            d.close()
