@@ -2828,6 +2828,19 @@ static inline void defl_putbits(DeflBits* b, uint32_t v, int n) {
     }
 }
 
+static inline void defl_putbits_wide(DeflBits* b, uint64_t v, int n) {
+    // Up to 48 bits in one call (a whole match: len code+extra, dist
+    // code+extra). Pre-flush whole bytes so count <= 7 before the shift
+    // (7 + 48 = 55 fits the accumulator); the unconditional 8-byte store
+    // is covered by the same slack margin as defl_putbits' flush.
+    memcpy(b->out, &b->bits, 8);
+    b->out += b->count >> 3;
+    b->bits >>= (b->count & ~7);
+    b->count &= 7;
+    b->bits |= v << b->count;
+    b->count += n;
+}
+
 static inline void defl_align(DeflBits* b) {
     while (b->count > 0) {
         *b->out++ = (uint8_t)b->bits;
@@ -3311,6 +3324,22 @@ static int defl_emit_block(DeflBits* bw, const uint8_t* buf, int64_t raw_start,
                 defl_putbits(bw, it->extra_val, it->extra_bits);
         }
     }
+    // Pre-merge the whole length side per len3 (code + extra value +
+    // total bit count depend only on len3 and this block's code table):
+    // one table load + one wide putbits per match instead of four
+    // dependent putbits with five table walks (emit was ~40% of the
+    // level-6 stage once the matcher got cheap — round-4 profile).
+    uint32_t len_emit_val[256];
+    uint8_t len_emit_bits[256];
+    for (int l3 = 0; l3 < 256; ++l3) {
+        int ls = defl_len_sym[l3];
+        int lsym = 257 + ls;
+        len_emit_val[l3] =
+            use_ll_codes[lsym] |
+            ((uint32_t)(l3 + 3 - defl_len_base[ls]) << use_ll_lens[lsym]);
+        len_emit_bits[l3] =
+            (uint8_t)(use_ll_lens[lsym] + defl_len_extra[l3]);
+    }
     for (int k = 0; k < n_syms; ++k) {
         uint32_t sy = syms[k];
         if (!(sy & 0x80000000u)) {
@@ -3318,16 +3347,13 @@ static int defl_emit_block(DeflBits* bw, const uint8_t* buf, int64_t raw_start,
         } else {
             int len3 = (int)((sy >> 16) & 0xFFu);
             int dist = (int)(sy & 0xFFFFu);
-            int lsym = 257 + defl_len_sym[len3];
-            defl_putbits(bw, use_ll_codes[lsym], use_ll_lens[lsym]);
-            int lx = defl_len_extra[len3];
-            if (lx)
-                defl_putbits(bw, (uint32_t)(len3 + 3 - defl_len_base[defl_len_sym[len3]]), lx);
-            int dsym = defl_dist_code(dist);
-            defl_putbits(bw, use_d_codes[dsym], use_d_lens[dsym]);
-            int dx = kDistExtra[dsym];
-            if (dx)
-                defl_putbits(bw, (uint32_t)(dist - kDistBase[dsym]), dx);
+            int dsym = (int)((sy >> 24) & 0x1Fu);
+            int ln = len_emit_bits[len3];
+            uint64_t dv = use_d_codes[dsym] |
+                          ((uint64_t)(uint32_t)(dist - kDistBase[dsym])
+                           << use_d_lens[dsym]);
+            int dn = use_d_lens[dsym] + kDistExtra[dsym];
+            defl_putbits_wide(bw, len_emit_val[len3] | (dv << ln), ln + dn);
         }
     }
     defl_putbits(bw, use_ll_codes[256], use_ll_lens[256]);  // EOB
@@ -3412,7 +3438,8 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 miss_run = 0;
                 int l3 = prev_match_len - 3;
                 int dsym = defl_dist_code(prev_match_dist);
-                s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
+                s->syms[n_syms++] = 0x80000000u | ((uint32_t)dsym << 24) |
+                                    ((uint32_t)l3 << 16) |
                                     (uint32_t)prev_match_dist;
                 freq_ll[257 + defl_len_sym[l3]]++;
                 freq_d[dsym]++;
@@ -3451,8 +3478,8 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                 }
                 int l3 = len - 3;
                 int dsym = defl_dist_code(dist);
-                s->syms[n_syms++] =
-                    0x80000000u | ((uint32_t)l3 << 16) | (uint32_t)dist;
+                s->syms[n_syms++] = 0x80000000u | ((uint32_t)dsym << 24) |
+                                    ((uint32_t)l3 << 16) | (uint32_t)dist;
                 freq_ll[257 + defl_len_sym[l3]]++;
                 freq_d[dsym]++;
                 extra_bits += defl_len_extra[l3] + kDistExtra[dsym];
@@ -3499,7 +3526,8 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
         if (have_prev) {  // deferred match pending at chunk end: emit it
             int l3 = prev_match_len - 3;
             int dsym = defl_dist_code(prev_match_dist);
-            s->syms[n_syms++] = 0x80000000u | ((uint32_t)l3 << 16) |
+            s->syms[n_syms++] = 0x80000000u | ((uint32_t)dsym << 24) |
+                                ((uint32_t)l3 << 16) |
                                 (uint32_t)prev_match_dist;
             freq_ll[257 + defl_len_sym[l3]]++;
             freq_d[dsym]++;
