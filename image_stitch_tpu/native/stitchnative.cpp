@@ -3343,6 +3343,19 @@ static int defl_emit_block(DeflBits* bw, const uint8_t* buf, int64_t raw_start,
     for (int k = 0; k < n_syms; ++k) {
         uint32_t sy = syms[k];
         if (!(sy & 0x80000000u)) {
+            // Literal pair: merge two adjacent literal codes (<= 30 bits)
+            // into one accumulate — literals are ~half the symbol stream
+            // on filtered-PNG content (+3% interleaved).
+            if (k + 1 < n_syms && !(syms[k + 1] & 0x80000000u)) {
+                uint32_t sy2 = syms[k + 1];
+                defl_putbits_wide(
+                    bw,
+                    use_ll_codes[sy] |
+                        ((uint64_t)use_ll_codes[sy2] << use_ll_lens[sy]),
+                    use_ll_lens[sy] + use_ll_lens[sy2]);
+                ++k;
+                continue;
+            }
             defl_putbits(bw, use_ll_codes[sy], use_ll_lens[sy]);
         } else {
             int len3 = (int)((sy >> 16) & 0xFFu);
