@@ -168,3 +168,52 @@ def test_strict_buffers_group_with_full_integrity():
             "inputs": [tile, tile, bytes(bad), tile],
             "layout": {"columns": 2},
         })
+
+
+def test_batch_deinterlace_matches_single_across_random_shapes():
+    """deinterlace_adam7_batch must be bit-identical to the per-tile
+    deinterlacer for arbitrary dimensions (passes go empty below 5px in
+    either axis), depths and color types — including the sub-byte
+    pack/unpack fast paths."""
+    from image_stitch_tpu.ops.adam7 import (
+        ADAM7_PASSES,
+        adam7_payload_length,
+        deinterlace_adam7,
+        deinterlace_adam7_batch,
+        get_pass_dimensions,
+    )
+    from image_stitch_tpu.types import PngHeader
+    from image_stitch_tpu.utils import scanline_byte_length
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for depth, ct in [(8, 6), (8, 0), (16, 2), (8, 3), (4, 3), (2, 3),
+                      (1, 0), (4, 0), (2, 0), (16, 6)]:
+        for w, h in [(1, 1), (2, 3), (5, 4), (7, 7), (8, 8), (9, 1),
+                     (1, 9), (31, 17), (32, 32), (33, 40)]:
+            cases.append((w, h, depth, ct))
+    for w, h, depth, ct in cases:
+        hdr = PngHeader(width=w, height=h, bit_depth=depth, color_type=ct,
+                        compression_method=0, filter_method=0,
+                        interlace_method=1)
+        payload = adam7_payload_length(hdr)
+        n = 3
+        stack = np.zeros((n, payload), dtype=np.uint8)
+        # Random raw pass bytes with VALID filter-type bytes (0..4) at
+        # each scanline start.
+        for k in range(n):
+            row = rng.integers(0, 256, payload, dtype=np.uint8)
+            off = 0
+            for p in ADAM7_PASSES:
+                pw, ph = get_pass_dimensions(w, h, p)
+                if pw == 0 or ph == 0:
+                    continue
+                prb = scanline_byte_length(pw, depth, ct)
+                for r in range(ph):
+                    row[off + r * (1 + prb)] = rng.integers(0, 5)
+                off += ph * (1 + prb)
+            stack[k] = row
+        got = deinterlace_adam7_batch(stack, hdr)
+        for k in range(n):
+            want = deinterlace_adam7(stack[k].tobytes(), hdr)
+            assert np.array_equal(got[k], want), (w, h, depth, ct, k)
