@@ -842,7 +842,12 @@ class NativeDeflator:
         assert lib is not None
         self._lib = lib
         self._level = level
-        self._batch = bytearray()
+        # Pending input is kept as a chunk list and assembled ONCE into a
+        # pooled contiguous buffer at submit time: the old bytearray
+        # accretion + bytes() snapshot + hist-concat cost three extra
+        # full-stream copies per run (~7% of the png_out config).
+        self._chunks: list[bytes] = []
+        self._pending = 0
         self._window = b""
         self._adler = 1
         self._header_sent = False
@@ -860,19 +865,21 @@ class NativeDeflator:
             self._max_inflight = getattr(pool, "_max_workers", 2) + 2
 
     @staticmethod
-    def _compress_batch(lib, level: int, data: bytes, hist: bytes,
-                        is_final: bool, first: bool, adler: int) -> bytes:
+    def _compress_batch(lib, level: int, buf: np.ndarray, hist_len: int,
+                        total: int, is_final: bool, first: bool,
+                        adler: int) -> bytes:
+        """``buf`` is a pooled contiguous [hist | data | 8 zero slack]
+        buffer built by _submit; it is returned to the pool here (the
+        worker is its last user in the parallel tier)."""
         scratch = buffer_pool.get(int(lib.owned_deflate_scratch_size()))
         try:
-            # Contract: 8 readable bytes beyond total_len (hash loads peek).
-            buf = np.frombuffer(hist + data + b"\0" * 8, dtype=np.uint8)
-            total = len(hist) + len(data)
+            data_len = total - hist_len
             # Worst case is the stored fallback: 5 bytes per 64KB part + the
             # sync/final framing; dynamic blocks are only chosen when smaller.
-            cap = len(data) + len(data) // 32 + 4096
+            cap = data_len + data_len // 32 + 4096
             out = buffer_pool.get(cap)
             n = lib.owned_deflate_batch(
-                buf.ctypes.data, len(hist), total,
+                buf.ctypes.data, hist_len, total,
                 1 if is_final else 0, level,
                 out.ctypes.data, cap,
                 scratch.ctypes.data,
@@ -892,29 +899,48 @@ class NativeDeflator:
             return b"".join(parts)
         finally:
             buffer_pool.put(scratch)
+            buffer_pool.put(buf)
 
     def compress(self, data) -> bytes:
         """Accrete input; output is produced at flush boundaries (the PNG
         writer always batches, so mid-batch emission is unnecessary)."""
         if self._finished:
             raise RuntimeError("Deflator already finished")
-        self._batch += bytes(data)
+        b = data if isinstance(data, bytes) else bytes(data)
+        if b:
+            self._chunks.append(b)
+            self._pending += len(b)
         return b""
 
     def _submit(self, is_final: bool) -> None:
-        data = bytes(self._batch)
-        self._batch.clear()
+        hist = self._window
+        hl = len(hist)
+        total = hl + self._pending
+        # Contract: 8 readable ZERO bytes beyond total (hash loads peek;
+        # zeros keep chunk-end match decisions deterministic and identical
+        # to the old zero-padded concat).
+        buf = buffer_pool.get(total + 8)
+        if hl:
+            buf[:hl] = np.frombuffer(hist, dtype=np.uint8)
+        pos = hl
+        for c in self._chunks:
+            lc = len(c)
+            buf[pos : pos + lc] = np.frombuffer(c, dtype=np.uint8)
+            pos += lc
+        buf[pos : pos + 8] = 0
+        self._chunks.clear()
+        self._pending = 0
         # AVX2 adler kernel (~2.6x zlib) — this runs over every raw byte
         # the PNG writer compresses.
         self._adler = int(self._lib.stitch_adler32(
-            data, len(data), self._adler & 0xFFFFFFFF))
-        hist = self._window
-        self._window = (hist + data)[-32768:]
+            buf.ctypes.data + hl, total - hl, self._adler & 0xFFFFFFFF))
+        self._window = buf[max(0, total - 32768) : total].tobytes()
         first = not self._header_sent
         self._header_sent = True
         if is_final:
             self._finished = True
-        args = (self._lib, self._level, data, hist, is_final, first, self._adler)
+        args = (self._lib, self._level, buf, hl, total, is_final, first,
+                self._adler)
         if self._pool is None:
             self._jobs.append(self._compress_batch(*args))
         else:
