@@ -588,6 +588,102 @@ static inline int absi8(uint8_t v) {
     return s < 0 ? -s : s;
 }
 
+#ifdef __AVX2__
+// Vectorized 5-filter scoring for one scanline region [i0, i1) where all
+// of x/a/b/c are plain loads (i >= bpp). The scalar loop's per-byte Paeth
+// has two data-dependent branches that both mispredict on noisy content
+// AND block autovectorization; here the predictor is the standard
+// branchless 16-bit select and every |signed| is min_epu8(v, 0-v) folded
+// into SAD accumulation.
+static void score_filters_avx2(const uint8_t* cur, const uint8_t* up,
+                               int64_t i0, int64_t i1, int bpp,
+                               long sums[5]) {
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i one8 = _mm256_set1_epi8(1);
+    const __m256i one16 = _mm256_set1_epi16(1);
+    __m256i acc0 = zero, acc1 = zero, acc2 = zero, acc3 = zero;
+    __m256i acc4 = zero;  // 32-bit lanes (madd of 16-bit |residual|)
+    int64_t i = i0;
+    for (; i + 32 <= i1; i += 32) {
+        __m256i x = _mm256_loadu_si256((const __m256i*)(cur + i));
+        __m256i a = _mm256_loadu_si256((const __m256i*)(cur + i - bpp));
+        __m256i b = up ? _mm256_loadu_si256((const __m256i*)(up + i)) : zero;
+        __m256i c = up ? _mm256_loadu_si256((const __m256i*)(up + i - bpp))
+                       : zero;
+#define STITCH_ABS8(v) _mm256_min_epu8((v), _mm256_sub_epi8(zero, (v)))
+        acc0 = _mm256_add_epi64(acc0, _mm256_sad_epu8(STITCH_ABS8(x), zero));
+        __m256i r1 = _mm256_sub_epi8(x, a);
+        acc1 = _mm256_add_epi64(acc1, _mm256_sad_epu8(STITCH_ABS8(r1), zero));
+        __m256i r2 = _mm256_sub_epi8(x, b);
+        acc2 = _mm256_add_epi64(acc2, _mm256_sad_epu8(STITCH_ABS8(r2), zero));
+        __m256i avg = _mm256_sub_epi8(
+            _mm256_avg_epu8(a, b),
+            _mm256_and_si256(_mm256_xor_si256(a, b), one8));
+        __m256i r3 = _mm256_sub_epi8(x, avg);
+        acc3 = _mm256_add_epi64(acc3, _mm256_sad_epu8(STITCH_ABS8(r3), zero));
+#undef STITCH_ABS8
+        // Paeth in 16-bit halves: pa=|b-c|, pb=|a-c|, pc=|a+b-2c|;
+        // pred = a if pa<=pb && pa<=pc else b if pb<=pc else c.
+        for (int half = 0; half < 2; ++half) {
+            __m128i x8 = half ? _mm256_extracti128_si256(x, 1)
+                              : _mm256_castsi256_si128(x);
+            __m128i a8 = half ? _mm256_extracti128_si256(a, 1)
+                              : _mm256_castsi256_si128(a);
+            __m128i b8 = half ? _mm256_extracti128_si256(b, 1)
+                              : _mm256_castsi256_si128(b);
+            __m128i c8 = half ? _mm256_extracti128_si256(c, 1)
+                              : _mm256_castsi256_si128(c);
+            __m256i x16 = _mm256_cvtepu8_epi16(x8);
+            __m256i a16 = _mm256_cvtepu8_epi16(a8);
+            __m256i b16 = _mm256_cvtepu8_epi16(b8);
+            __m256i c16 = _mm256_cvtepu8_epi16(c8);
+            __m256i pa = _mm256_abs_epi16(_mm256_sub_epi16(b16, c16));
+            __m256i pb = _mm256_abs_epi16(_mm256_sub_epi16(a16, c16));
+            __m256i pc = _mm256_abs_epi16(_mm256_sub_epi16(
+                _mm256_add_epi16(a16, b16),
+                _mm256_add_epi16(c16, c16)));
+            __m256i nota = _mm256_or_si256(_mm256_cmpgt_epi16(pa, pb),
+                                           _mm256_cmpgt_epi16(pa, pc));
+            __m256i selb = _mm256_cmpgt_epi16(pb, pc);  // true -> c
+            __m256i pred = _mm256_blendv_epi8(
+                a16, _mm256_blendv_epi8(b16, c16, selb), nota);
+            // Match the scalar definition |int8((x - pred) mod 256)|:
+            // take the wrapped byte then min(v, 256 - v).
+            __m256i r8 = _mm256_and_si256(_mm256_sub_epi16(x16, pred),
+                                          _mm256_set1_epi16(0xFF));
+            __m256i r4 = _mm256_min_epu16(
+                r8, _mm256_sub_epi16(_mm256_set1_epi16(256), r8));
+            acc4 = _mm256_add_epi32(acc4, _mm256_madd_epi16(r4, one16));
+        }
+    }
+    alignas(32) long long l4[4];
+    _mm256_store_si256((__m256i*)l4, acc0);
+    sums[0] += (long)(l4[0] + l4[1] + l4[2] + l4[3]);
+    _mm256_store_si256((__m256i*)l4, acc1);
+    sums[1] += (long)(l4[0] + l4[1] + l4[2] + l4[3]);
+    _mm256_store_si256((__m256i*)l4, acc2);
+    sums[2] += (long)(l4[0] + l4[1] + l4[2] + l4[3]);
+    _mm256_store_si256((__m256i*)l4, acc3);
+    sums[3] += (long)(l4[0] + l4[1] + l4[2] + l4[3]);
+    alignas(32) int32_t i4[8];
+    _mm256_store_si256((__m256i*)i4, acc4);
+    sums[4] += (long)i4[0] + i4[1] + i4[2] + i4[3] + i4[4] + i4[5] + i4[6] +
+               i4[7];
+    // Scalar tail for the last (i1 - i) % 32 bytes.
+    for (; i < i1; ++i) {
+        uint8_t x = cur[i];
+        uint8_t a = cur[i - bpp];
+        uint8_t b = up ? up[i] : 0;
+        uint8_t c = up ? up[i - bpp] : 0;
+        sums[0] += absi8(x);
+        sums[1] += absi8((uint8_t)(x - a));
+        sums[2] += absi8((uint8_t)(x - b));
+        sums[3] += absi8((uint8_t)(x - (uint8_t)(((int)a + (int)b) >> 1)));
+        sums[4] += absi8((uint8_t)(x - paeth(a, b, c)));
+    }
+}
+#endif
+
 void png_filter_select_band(const uint8_t* rows, const uint8_t* prev_row,
                             int64_t h, int64_t n, int bpp,
                             uint8_t* out_types, uint8_t* out_rows) {
@@ -595,7 +691,24 @@ void png_filter_select_band(const uint8_t* rows, const uint8_t* prev_row,
         const uint8_t* cur = rows + y * n;
         const uint8_t* up = y > 0 ? rows + (y - 1) * n : prev_row;  // may be null
         long sums[5] = {0, 0, 0, 0, 0};
-        for (int64_t i = 0; i < n; ++i) {
+        int64_t i_start = 0;
+#ifdef __AVX2__
+        if (n - bpp >= 64) {
+            // Prologue (i < bpp: left/up-left are zero) stays scalar.
+            for (int64_t i = 0; i < bpp; ++i) {
+                uint8_t x = cur[i];
+                uint8_t b = up ? up[i] : 0;
+                sums[0] += absi8(x);
+                sums[1] += absi8(x);
+                sums[2] += absi8((uint8_t)(x - b));
+                sums[3] += absi8((uint8_t)(x - (uint8_t)(((int)b) >> 1)));
+                sums[4] += absi8((uint8_t)(x - paeth(0, b, 0)));
+            }
+            score_filters_avx2(cur, up, bpp, n, bpp, sums);
+            i_start = n;
+        }
+#endif
+        for (int64_t i = i_start; i < n; ++i) {
             uint8_t x = cur[i];
             uint8_t a = i >= bpp ? cur[i - bpp] : 0;           // left
             uint8_t b = up ? up[i] : 0;                        // up
@@ -630,14 +743,69 @@ void png_filter_select_band(const uint8_t* rows, const uint8_t* prev_row,
                     o[i] = (uint8_t)(cur[i] - (uint8_t)(((int)a + (int)b) >> 1));
                 }
                 break;
-            case 4:
-                for (int64_t i = 0; i < n; ++i) {
-                    uint8_t a = i >= bpp ? cur[i - bpp] : 0;
+            case 4: {
+                int64_t i = 0;
+                for (; i < bpp && i < n; ++i)
+                    o[i] = (uint8_t)(cur[i] - paeth(0, up ? up[i] : 0, 0));
+#ifdef __AVX2__
+                // Same branchless 16-bit predictor as the scorer; the
+                // wrapped residual bytes pack straight back (values are
+                // already in [0, 255], so packus is exact).
+                const __m256i zero = _mm256_setzero_si256();
+                const __m256i m255 = _mm256_set1_epi16(0xFF);
+                for (; i + 32 <= n; i += 32) {
+                    __m256i x = _mm256_loadu_si256((const __m256i*)(cur + i));
+                    __m256i a = _mm256_loadu_si256(
+                        (const __m256i*)(cur + i - bpp));
+                    __m256i b = up ? _mm256_loadu_si256(
+                                         (const __m256i*)(up + i))
+                                   : zero;
+                    __m256i c = up ? _mm256_loadu_si256(
+                                         (const __m256i*)(up + i - bpp))
+                                   : zero;
+                    __m256i res[2];
+                    for (int half = 0; half < 2; ++half) {
+                        __m128i x8 = half ? _mm256_extracti128_si256(x, 1)
+                                          : _mm256_castsi256_si128(x);
+                        __m128i a8 = half ? _mm256_extracti128_si256(a, 1)
+                                          : _mm256_castsi256_si128(a);
+                        __m128i b8 = half ? _mm256_extracti128_si256(b, 1)
+                                          : _mm256_castsi256_si128(b);
+                        __m128i c8 = half ? _mm256_extracti128_si256(c, 1)
+                                          : _mm256_castsi256_si128(c);
+                        __m256i x16 = _mm256_cvtepu8_epi16(x8);
+                        __m256i a16 = _mm256_cvtepu8_epi16(a8);
+                        __m256i b16 = _mm256_cvtepu8_epi16(b8);
+                        __m256i c16 = _mm256_cvtepu8_epi16(c8);
+                        __m256i pa =
+                            _mm256_abs_epi16(_mm256_sub_epi16(b16, c16));
+                        __m256i pb =
+                            _mm256_abs_epi16(_mm256_sub_epi16(a16, c16));
+                        __m256i pc = _mm256_abs_epi16(_mm256_sub_epi16(
+                            _mm256_add_epi16(a16, b16),
+                            _mm256_add_epi16(c16, c16)));
+                        __m256i nota =
+                            _mm256_or_si256(_mm256_cmpgt_epi16(pa, pb),
+                                            _mm256_cmpgt_epi16(pa, pc));
+                        __m256i selb = _mm256_cmpgt_epi16(pb, pc);
+                        __m256i pred = _mm256_blendv_epi8(
+                            a16, _mm256_blendv_epi8(b16, c16, selb), nota);
+                        res[half] = _mm256_and_si256(
+                            _mm256_sub_epi16(x16, pred), m255);
+                    }
+                    __m256i packed = _mm256_permute4x64_epi64(
+                        _mm256_packus_epi16(res[0], res[1]), 0xD8);
+                    _mm256_storeu_si256((__m256i*)(o + i), packed);
+                }
+#endif
+                for (; i < n; ++i) {
+                    uint8_t a = cur[i - bpp];
                     uint8_t b = up ? up[i] : 0;
-                    uint8_t c = (up && i >= bpp) ? up[i - bpp] : 0;
+                    uint8_t c = up ? up[i - bpp] : 0;
                     o[i] = (uint8_t)(cur[i] - paeth(a, b, c));
                 }
                 break;
+            }
         }
     }
 }
