@@ -70,7 +70,7 @@ AUTO_DEVICE_THRESHOLD_PIXELS = 1 << 21
 # MP/s across rounds 2-3; 40 is the repeatable floor of the quiet-window
 # range — a 20 here made 'auto' pick the device on marginal links where
 # the host wins by 2x, VERDICT r3 weak #7).
-HOST_NATIVE_RATE_MPS = 40.0
+HOST_NATIVE_RATE_MPS = 48.0  # round-4 s3 measured 46-57 across windows
 DEVICE_COMPUTE_RATE_MPS = 200.0
 # Per-band link round trips (h2d submit, dispatch, d2h result).
 LINK_ROUND_TRIPS_PER_BAND = 3

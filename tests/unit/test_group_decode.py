@@ -217,3 +217,26 @@ def test_batch_deinterlace_matches_single_across_random_shapes():
         for k in range(n):
             want = deinterlace_adam7(stack[k].tobytes(), hdr)
             assert np.array_equal(got[k], want), (w, h, depth, ct, k)
+
+
+def test_interlaced_corrupt_member_falls_back_with_attribution():
+    """A corrupt interlaced member fails the batched Adam7 group decode;
+    the fallback re-runs per tile and attributes the error to the right
+    input — same contract as the non-interlaced case."""
+    import os
+
+    from image_stitch_tpu import concat_to_buffer
+    from image_stitch_tpu.errors import StitchError
+
+    path = os.path.join(PNGSUITE_DIR, "basi0g08.png")
+    with open(path, "rb") as f:
+        tile = f.read()
+    bad = bytearray(tile)
+    idat = tile.index(b"IDAT")
+    bad[idat + 12] ^= 0xFF  # corrupt IDAT payload
+    inputs = [tile, tile, tile, bytes(bad), tile, tile]
+    with pytest.raises(StitchError, match="input #4"):
+        concat_to_buffer({
+            "inputs": inputs, "layout": {"columns": 3},
+            "decoderOptions": {"verifyCrc": False},
+        })
