@@ -219,14 +219,22 @@ def _scale_array(values: np.ndarray, from_bits: int, to_bits: int) -> np.ndarray
 
 def _unpack_subbyte(raw: np.ndarray, width: int, bit_depth: int) -> np.ndarray:
     """Unpack 1/2/4-bit samples (MSB-first) from (H, row_bytes) to (H, width)
-    (reference bit extraction: pixel-ops.ts:533-537)."""
-    h = raw.shape[0]
-    bits = np.unpackbits(raw, axis=1)  # (H, row_bytes*8), MSB first
-    per = bits.shape[1] // bit_depth
-    units = bits[:, : per * bit_depth].reshape(h, per, bit_depth)
-    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
-    vals = (units * weights).sum(axis=2)
-    return vals[:, :width]
+    (reference bit extraction: pixel-ops.ts:533-537).
+
+    Per-depth shift/mask fast paths (same rework as ops/adam7): the
+    generic unpackbits + weighted-sum form paid a ufunc reduce per call,
+    which dominated tiny sub-byte tiles."""
+    if bit_depth == 4:
+        out = np.empty((raw.shape[0], raw.shape[1] * 2), dtype=np.uint8)
+        out[:, 0::2] = raw >> 4
+        out[:, 1::2] = raw & 0x0F
+        return out[:, :width]
+    if bit_depth == 2:
+        out = np.empty((raw.shape[0], raw.shape[1] * 4), dtype=np.uint8)
+        for k in range(4):
+            out[:, k::4] = (raw >> (6 - 2 * k)) & 0x03
+        return out[:, :width]
+    return np.unpackbits(raw, axis=1)[:, :width]  # bit_depth == 1
 
 
 def _read_samples(
