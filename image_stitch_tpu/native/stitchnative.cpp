@@ -405,7 +405,37 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
     alignas(64) int16_t zz[64];
     _mm512_store_si512((void*)zz, z0);
     _mm512_store_si512((void*)(zz + 32), z1);
+    // Vectorized size/magnitude precompute: size = 32 - lzcnt32(|v|)
+    // (0 for v==0), vb = (v + (sign & (2^size-1))) & (2^size-1) — the AC
+    // loop below then only does ctz/run/table/put.
+    alignas(64) uint16_t zz_vb[64];
+    alignas(64) uint8_t zz_sz[64];
+    {
+        const __m512i one32 = _mm512_set1_epi32(1);
+        const __m512i c32 = _mm512_set1_epi32(32);
+        for (int g = 0; g < 2; ++g) {
+            __m512i z = g ? z1 : z0;
+            for (int h2 = 0; h2 < 2; ++h2) {
+                __m256i half = h2 ? _mm512_extracti64x4_epi64(z, 1)
+                                  : _mm512_castsi512_si256(z);
+                __m512i v32 = _mm512_cvtepi16_epi32(half);
+                __m512i av = _mm512_abs_epi32(v32);
+                __m512i sz = _mm512_sub_epi32(c32, _mm512_lzcnt_epi32(av));
+                __m512i msk = _mm512_sub_epi32(_mm512_sllv_epi32(one32, sz),
+                                               one32);
+                __m512i sgn = _mm512_srai_epi32(v32, 31);
+                __m512i vb = _mm512_and_si512(
+                    _mm512_add_epi32(v32, _mm512_and_si512(sgn, msk)), msk);
+                // pack vb -> uint16, sz -> uint8 (values < 2^16 / < 16)
+                _mm256_store_si256((__m256i*)(zz_vb + g * 32 + h2 * 16),
+                                   _mm512_cvtepi32_epi16(vb));
+                _mm_store_si128((__m128i*)(zz_sz + g * 32 + h2 * 16),
+                                _mm512_cvtepi32_epi8(sz));
+            }
+        }
+    }
 #define STITCH_ZZ_COEF(k) zz[k]
+#define STITCH_ZZ_FAST 1
 #else
     // Nonzero bitmask in NATURAL order (one AVX2 sweep), permuted bitwise
     // into zigzag order — only the ~dozen set bits pay the permutation and
@@ -450,6 +480,16 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
             put_bits(st, outp, t->ac_code[0xF0], t->ac_len[0xF0]);
             run -= 16;
         }
+#ifdef STITCH_ZZ_FAST
+        int size = zz_sz[k];
+        uint32_t vb_pre = zz_vb[k];
+        int sym = (run << 4) | size;
+        put_bits(st, outp, ((uint32_t)t->ac_code[sym] << size) | vb_pre,
+                 t->ac_len[sym] + size);
+        prev = k;
+        last_nz = k;
+        continue;
+#else
         int32_t v = STITCH_ZZ_COEF(k);
         int size = bit_size(v);
         int sym = (run << 4) | size;
@@ -466,9 +506,13 @@ static void encode_block(EntropyState* st, uint8_t** outp, const int16_t* blk,
                  t->ac_len[sym] + size);
         prev = k;
         last_nz = k;
+#endif
     }
     if (last_nz != 63) put_bits(st, outp, t->ac_code[0x00], t->ac_len[0x00]);
 #undef STITCH_ZZ_COEF
+#ifdef STITCH_ZZ_FAST
+#undef STITCH_ZZ_FAST
+#endif
 }
 
 // Structural worst case per encoded block: DC (16-bit code + 17 magnitude
