@@ -216,3 +216,37 @@ def test_compress_streaming_generator_wrapper():
     chunks = [raw[i : i + 123_457] for i in range(0, len(raw), 123_457)]
     out = b"".join(compress_streaming(iter(chunks)))
     assert zlib.decompress(out) == raw
+
+
+def test_chunked_compress_identical_to_one_shot():
+    """The deflator's pending-input chunk list must assemble to the same
+    stream regardless of how the caller splits compress() calls — random
+    split points including empty and 1-byte chunks (guards the pooled
+    single-assembly rework)."""
+    import zlib
+
+    import numpy as np
+
+    from image_stitch_tpu.native import NativeDeflator, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(77)
+    base = bytes(rng.integers(0, 256, 50_000, dtype=np.uint8))
+    payload = base[:20_000] + base[:20_000] + base[20_000:]
+    one = NativeDeflator(6)
+    one.compress(payload)
+    ref = b"".join(one.flush_sync_parts()) + b"".join(one.finish_parts())
+    for trial in range(6):
+        d = NativeDeflator(6)
+        pos = 0
+        while pos < len(payload):
+            step = int(rng.integers(0, 4097))
+            d.compress(payload[pos : pos + step])
+            d.compress(b"")  # empty chunks must be no-ops
+            pos += step
+        got = b"".join(d.flush_sync_parts()) + b"".join(d.finish_parts())
+        assert got == ref, trial
+    assert zlib.decompress(ref) == payload
