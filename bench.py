@@ -137,6 +137,10 @@ def build_config(backend: str):
     if CONFIG == "northstar":
         # 4 unique 4K tiles reused across the 16x16 grid (tile generation
         # would otherwise dominate setup); JPEG q85 via streaming output.
+        # The tile reuse is a SETUP artifact, so the factory's default
+        # decode-once sharing is disabled: the metric means "decode 256
+        # tiles", and the cache would legitimately skip 252 of them.
+        os.environ.setdefault("STITCH_TPU_AUTO_CACHE_MB", "0")
         tiles = [make_tile_png(s, TILE) for s in range(4)]
         inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]
         opts = {**base, "inputs": inputs, "layout": {"columns": GRID},
@@ -146,23 +150,28 @@ def build_config(backend: str):
         name = (f"northstar: {GRID}x{GRID} grid of {TILE}px PNG tiles -> "
                 f"JPEG q{QUALITY} (streaming)")
     elif CONFIG == "grid_jpeg":
-        tiles = [make_tile_png(s, TILE) for s in range(min(GRID * GRID, 8))]
-        inputs = [tiles[i % len(tiles)] for i in range(GRID * GRID)]
+        # Every tile UNIQUE: the headline measures GRID*GRID real decodes.
+        # (With repeated tiles the factory's default decode-once sharing
+        # would legitimately skip 7/8 of the decode work — a different,
+        # easier workload. Generation happens outside the timed region.)
+        inputs = [make_tile_png(s, TILE) for s in range(GRID * GRID)]
         opts = {**base, "inputs": inputs, "layout": {"columns": GRID},
                 "outputFormat": "jpeg", "jpegQuality": QUALITY}
         warm = {**opts, "inputs": inputs[:GRID]}
         mp = (GRID * TILE) ** 2 / 1e6
         name = f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> JPEG q{QUALITY}"
     elif CONFIG == "png_out":
-        tiles = [make_tile_png(s, TILE) for s in range(2)]
-        inputs = [tiles[i % 2] for i in range(GRID * GRID)]
+        # Unique tiles: the metric includes GRID*GRID real decodes (see
+        # grid_jpeg note; decode-once sharing would skip duplicates).
+        inputs = [make_tile_png(s, TILE) for s in range(GRID * GRID)]
         opts = {**base, "inputs": inputs, "layout": {"columns": GRID}}
         warm = {**opts, "inputs": inputs[:GRID]}
         mp = (GRID * TILE) ** 2 / 1e6
         name = f"{GRID}x{GRID} grid of {TILE}px PNG tiles -> PNG (level 6)"
     elif CONFIG == "jpeg_tiles":
-        tiles = [make_tile_jpeg(s, TILE) for s in range(4)]
-        inputs = [tiles[i % 4] for i in range(16)]
+        # Unique tiles: 16 real JPEG decodes (decode-once sharing would
+        # otherwise collapse the repeats to 4).
+        inputs = [make_tile_jpeg(s, TILE) for s in range(16)]
         opts = {**base, "inputs": inputs, "layout": {"columns": 4},
                 "outputFormat": "jpeg", "jpegQuality": QUALITY}
         warm = {**opts, "inputs": inputs[:4]}

@@ -259,6 +259,50 @@ def _clone_of(first: Any):
     return clone() if clone is not None else None
 
 
+def _auto_cache_budget() -> float:
+    """Per-create_decoders budget (bytes) for automatic decode-once
+    sharing of repeated inputs. The reference ships the same feature as
+    an unbounded opt-in (png-input-adapter.ts:34-148) and its own memory
+    tests enable it for tiled scenarios (memory.test.ts:33-35); here
+    repeated small inputs share one producer by default, bounded so big
+    tiles never silently trade the streaming memory posture for speed.
+    STITCH_TPU_AUTO_CACHE_MB=0 disables."""
+    try:
+        return float(os.environ.get("STITCH_TPU_AUTO_CACHE_MB", "64")) * 1e6
+    except ValueError:
+        return 64e6
+
+
+def _try_share_entry(dec: Any, input_obj: Any, budget_left: list):
+    """Wrap ``dec`` as the producer of a shared decode-once entry if it
+    is a safe producer and its decoded size fits the remaining budget.
+    Returns the entry or None (caller keeps the plain decoder)."""
+    if not getattr(dec, "cache_shareable", False):
+        return None
+    try:
+        hdr = dec.get_header()
+        est = (
+            hdr.width * hdr.height * (hdr.channels or 4)
+            * max(8, hdr.bit_depth or 8) // 8
+        )
+    except Exception:
+        return None  # header errors surface on the normal per-input path
+    if est > budget_left[0]:
+        return None
+    # Tiny PNG tiles take the batched group-decode path instead (one
+    # defilter + one convert per same-signature GROUP beats per-unique
+    # cached decodes there: pngsuite measured 9.3 vs 7.5 MP/s); the
+    # cutoff mirrors group_decode.MAX_TILE_PIXELS. JPEG/HEIC tiles have
+    # no group path, so they share at any size within budget.
+    if (getattr(dec, "format", "") == "png"
+            and hdr.width * hdr.height <= 128 * 128):
+        return None
+    budget_left[0] -= est
+    from .input_cache import _CacheEntry
+
+    return _CacheEntry(input_obj, lambda d=dec: d)
+
+
 def create_decoders(
     inputs: Iterable[Any],
     options: DecoderOptions | None = None,
@@ -280,27 +324,48 @@ def create_decoders(
     (decoder-factory.ts:222). Order is preserved; on any failure every
     decoder that WAS built is closed before the first error re-raises."""
     inputs = list(inputs)
+    keys = [_dedupe_key(obj) for obj in inputs]
+    counts: dict = {}
+    for k in keys:
+        if k is not None:
+            counts[k] = counts.get(k, 0) + 1
+    budget_left = [_auto_cache_budget()]
+    shared: dict = {}  # key -> _CacheEntry (decode-once producers)
+
+    def consumer_of(entry):
+        from .input_cache import CachedDecoder
+
+        return CachedDecoder(entry)
+
     if pool is not None and len(inputs) > 1:
         futures: dict = {}
-        keys = []
-        for idx, obj in enumerate(inputs):
-            key = _dedupe_key(obj)
+        pkeys = []
+        for idx, (key, obj) in enumerate(zip(keys, inputs)):
             kk = key if key is not None else ("uniq", idx)
-            keys.append(kk)
+            pkeys.append(kk)
             if kk not in futures:
                 futures[kk] = pool.submit(create_decoder, obj, options, plugins)
         created: list = []
         first_err: Exception | None = None
         seen: set = set()
-        for kk, obj in zip(keys, inputs):
+        for kk, key, obj in zip(pkeys, keys, inputs):
             try:
                 base = futures[kk].result()
             except Exception as exc:  # noqa: BLE001 - collected, re-raised
                 if first_err is None:
                     first_err = exc
                 continue
+            if kk in shared:
+                created.append(consumer_of(shared[kk]))
+                continue
             if kk not in seen:
                 seen.add(kk)
+                if key is not None and counts.get(key, 0) > 1:
+                    entry = _try_share_entry(base, obj, budget_left)
+                    if entry is not None:
+                        shared[kk] = entry
+                        created.append(consumer_of(entry))
+                        continue
                 created.append(base)
                 continue
             dec = _clone_of(base)
@@ -323,8 +388,10 @@ def create_decoders(
     created = []
     by_key: dict = {}
     try:
-        for input_obj in inputs:
-            key = _dedupe_key(input_obj)
+        for key, input_obj in zip(keys, inputs):
+            if key is not None and key in shared:
+                created.append(consumer_of(shared[key]))
+                continue
             dec = None
             if key is not None and key in by_key:
                 dec = _clone_of(by_key[key])
@@ -332,6 +399,12 @@ def create_decoders(
                 dec = create_decoder(input_obj, options, plugins)
                 if key is not None and key not in by_key:
                     by_key[key] = dec
+                    if counts.get(key, 0) > 1:
+                        entry = _try_share_entry(dec, input_obj, budget_left)
+                        if entry is not None:
+                            shared[key] = entry
+                            created.append(consumer_of(entry))
+                            continue
             created.append(dec)
     except Exception:
         for d in created:

@@ -78,6 +78,10 @@ class JpegDecoder:
     jpeg-decoder.ts:281-341)."""
 
     format = "jpeg"
+    # Safe producer for a shared decode-once cache entry: the source is
+    # fully in memory (no fd) and decode is whole-image anyway — sharing
+    # one _pixels array across duplicates strictly reduces memory.
+    cache_shareable = True
 
     def __init__(self, source, options: DecoderOptions | None = None):
         self._options = options or DecoderOptions()

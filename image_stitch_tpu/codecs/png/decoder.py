@@ -505,6 +505,13 @@ class PngDecoder:
             for row in band:
                 yield row
 
+    @property
+    def cache_shareable(self) -> bool:
+        """True when this decoder can act as the single producer behind a
+        shared decode-once cache entry (buffer-backed: no fd to leak if
+        the run aborts before exhaustion)."""
+        return self._buf is not None and not self._scan_exhausted
+
     def clone_fresh(self) -> "PngDecoder | None":
         """A fresh decoder sharing this one's immutable parsed structure,
         or None when not clonable (stream-backed, closed, or the probe

@@ -297,10 +297,13 @@ def test_create_decoders_dedupes_repeated_inputs_with_identical_output():
             d.close()
 
 
-def test_create_decoders_dedupe_same_path(tmp_path):
-    """Same path string repeated: probed once, every instance decodes."""
+def test_create_decoders_dedupe_same_path(tmp_path, monkeypatch):
+    """Same path string repeated: probed once, every instance decodes.
+    Auto decode-once sharing disabled so the clone path itself is what
+    is under test."""
     import numpy as np
 
+    monkeypatch.setenv("STITCH_TPU_AUTO_CACHE_MB", "0")
     p = tmp_path / "t.png"
     p.write_bytes(png_from_array(random_rgba(12, 12, seed=9)))
     paths = [str(p)] * 5
@@ -311,6 +314,58 @@ def test_create_decoders_dedupe_same_path(tmp_path):
         # Path posture survives the clone: lenient CRC (reference fd-scan
         # posture), not the strict buffer default.
         assert all(d._verify_crc is False for d in decs)
+    finally:
+        for d in decs:
+            d.close()
+
+
+def test_auto_cache_shares_one_decode_for_repeated_inputs():
+    """Repeated small inputs decode ONCE through a shared per-call cache
+    entry (the reference's input-cache semantics, on by default here with
+    a memory budget): all consumers see identical bands, and the whole
+    grid output matches the uncached run byte for byte."""
+    import numpy as np
+
+    from image_stitch_tpu import concat_to_buffer
+    from image_stitch_tpu.codecs.input_cache import CachedDecoder
+
+    tile = png_from_array(random_rgba(192, 192, seed=21))  # above the tiny-PNG group cutoff
+    decs = create_decoders([tile, tile, tile])
+    try:
+        assert all(isinstance(d, CachedDecoder) for d in decs)
+        outs = [np.vstack(list(d.bands(8))) for d in decs]
+        assert all(np.array_equal(o, outs[0]) for o in outs[1:])
+    finally:
+        for d in decs:
+            d.close()
+    opts = {"inputs": [tile] * 6, "layout": {"columns": 3},
+            "outputFormat": "png"}
+    cached = concat_to_buffer(opts)
+    import os
+
+    os.environ["STITCH_TPU_AUTO_CACHE_MB"] = "0"
+    try:
+        uncached = concat_to_buffer(opts)
+    finally:
+        del os.environ["STITCH_TPU_AUTO_CACHE_MB"]
+    assert cached == uncached
+
+
+def test_auto_cache_respects_budget():
+    """Inputs whose decoded size exceeds the budget stay on the
+    clone/per-instance path (the streaming memory posture wins)."""
+    import os
+
+    from image_stitch_tpu.codecs.input_cache import CachedDecoder
+
+    tile = png_from_array(random_rgba(192, 192, seed=22))  # 147 KB decoded
+    os.environ["STITCH_TPU_AUTO_CACHE_MB"] = "0.05"  # 50 KB budget
+    try:
+        decs = create_decoders([tile, tile])
+    finally:
+        del os.environ["STITCH_TPU_AUTO_CACHE_MB"]
+    try:
+        assert not any(isinstance(d, CachedDecoder) for d in decs)
     finally:
         for d in decs:
             d.close()

@@ -21,6 +21,15 @@ from image_stitch_tpu.ops.pixel import convert_band
 from tests.conftest import PNGSUITE_DIR
 
 
+@pytest.fixture(autouse=True)
+def _disable_auto_cache(monkeypatch):
+    """These tests duplicate inputs to FORCE grouping; the factory's
+    budgeted decode-once sharing would otherwise absorb the duplicates
+    before the group planner ever sees them (production behavior, but
+    not what is under test here)."""
+    monkeypatch.setenv("STITCH_TPU_AUTO_CACHE_MB", "0")
+
+
 def _suite_paths():
     return [
         os.path.join(PNGSUITE_DIR, n)
