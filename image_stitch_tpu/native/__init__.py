@@ -202,6 +202,9 @@ def get_native_lib():
     ]
     lib.stitch_adler32.restype = ctypes.c_uint32
     lib.stitch_adler32.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32]
+    for fn in (lib.stitch_rgb_to_rgba, lib.stitch_gray_to_rgba):
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -219,6 +222,24 @@ def adler32_native(data, initial: int = 1) -> int | None:
         data, np.ndarray
     ) else data
     return int(lib.stitch_adler32(buf.ctypes.data, buf.size, initial & 0xFFFFFFFF))
+
+
+def expand_to_rgba_native(src: np.ndarray, channels: int) -> np.ndarray | None:
+    """(N, channels) or flat uint8 RGB/gray -> (N, 4) RGBA with alpha 255
+    via the AVX2 expanders; None when the native tier is unavailable.
+
+    ``src`` must be C-contiguous uint8; ``channels`` is 3 (RGB) or 1
+    (gray). The output is a fresh array shaped (n_px, 4)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    if src.dtype != np.uint8 or not src.flags.c_contiguous:
+        src = np.ascontiguousarray(src, dtype=np.uint8)
+    n_px = src.size // channels
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    fn = lib.stitch_rgb_to_rgba if channels == 3 else lib.stitch_gray_to_rgba
+    fn(src.ctypes.data, out.ctypes.data, n_px)
+    return out
 
 
 # ------------------------------------------------------------------------- #

@@ -3858,4 +3858,74 @@ uint32_t stitch_adler32(const uint8_t* p, int64_t n, uint32_t adler_in) {
     return (s2 << 16) | s1;
 }
 
+// RGB8 -> RGBA8 expansion (alpha = 255). Feeds two hot paths: the PIL
+// JPEG tier (decode to mode "RGB" and skip PIL's whole-image convert —
+// 25% fewer bytes through tobytes) and convert_band's color-type-2 fast
+// path (reference convertScanline RGB arm, pixel-ops.ts:520-560, which
+// numpy serves with a strided 3->4 assign). 8 px per AVX2 iteration: two
+// 128-bit loads place px 0-3 / 4-5(+) in separate lanes so the in-lane
+// vpshufb can expand both.
+void stitch_rgb_to_rgba(const uint8_t* rgb, uint8_t* rgba, int64_t n_px) {
+    int64_t i = 0;
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 1, 2, -1, 3, 4, 5, -1, 6, 7, 8, -1, 9, 10, 11, -1,
+        0, 1, 2, -1, 3, 4, 5, -1, 6, 7, 8, -1, 9, 10, 11, -1);
+    const __m256i alpha = _mm256_set1_epi32((int)0xFF000000u);
+    // Each iteration loads 16 bytes from rgb+3i and rgb+3i+12 (consumes
+    // 24, touches 28): stay >= 10 px from the end so the overread stays
+    // inside the buffer; the scalar tail finishes the rest.
+    for (; n_px - i >= 10; i += 8) {
+        const uint8_t* p = rgb + 3 * i;
+        __m256i v = _mm256_inserti128_si256(
+            _mm256_castsi128_si256(_mm_loadu_si128((const __m128i*)p)),
+            _mm_loadu_si128((const __m128i*)(p + 12)), 1);
+        _mm256_storeu_si256(
+            (__m256i*)(rgba + 4 * i),
+            _mm256_or_si256(_mm256_shuffle_epi8(v, shuf), alpha));
+    }
+#endif
+    for (; i < n_px; ++i) {
+        rgba[4 * i + 0] = rgb[3 * i + 0];
+        rgba[4 * i + 1] = rgb[3 * i + 1];
+        rgba[4 * i + 2] = rgb[3 * i + 2];
+        rgba[4 * i + 3] = 255;
+    }
+}
+
+// Gray8 -> RGBA8 (alpha = 255); the PIL tier's mode-"L" JPEGs and
+// convert_band's color-type-0 8-bit arm. 16 px per iteration: broadcast
+// each source byte across its pixel's RGB lanes, OR the alpha channel.
+void stitch_gray_to_rgba(const uint8_t* g, uint8_t* rgba, int64_t n_px) {
+    int64_t i = 0;
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 0, 0, -1, 1, 1, 1, -1, 2, 2, 2, -1, 3, 3, 3, -1,
+        0, 0, 0, -1, 1, 1, 1, -1, 2, 2, 2, -1, 3, 3, 3, -1);
+    const __m256i alpha = _mm256_set1_epi32((int)0xFF000000u);
+    for (; n_px - i >= 16; i += 16) {
+        __m128i s = _mm_loadu_si128((const __m128i*)(g + i));
+        // px 0-3 | 4-7 in lanes, then px 8-11 | 12-15.
+        __m256i lo = _mm256_inserti128_si256(
+            _mm256_castsi128_si256(s), _mm_srli_si128(s, 4), 1);
+        __m256i hi = _mm256_inserti128_si256(
+            _mm256_castsi128_si256(_mm_srli_si128(s, 8)),
+            _mm_srli_si128(s, 12), 1);
+        _mm256_storeu_si256(
+            (__m256i*)(rgba + 4 * i),
+            _mm256_or_si256(_mm256_shuffle_epi8(lo, shuf), alpha));
+        _mm256_storeu_si256(
+            (__m256i*)(rgba + 4 * i + 32),
+            _mm256_or_si256(_mm256_shuffle_epi8(hi, shuf), alpha));
+    }
+#endif
+    for (; i < n_px; ++i) {
+        uint8_t v = g[i];
+        rgba[4 * i + 0] = v;
+        rgba[4 * i + 1] = v;
+        rgba[4 * i + 2] = v;
+        rgba[4 * i + 3] = 255;
+    }
+}
+
 }  // extern "C" (checksums)

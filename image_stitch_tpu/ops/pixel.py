@@ -290,10 +290,22 @@ def convert_band(
             view = raw[:, : width * 4].reshape(h, width, 4)
             return view if not copy else np.array(view)
         if color_type == 2:
+            from ..native import expand_to_rgba_native
+
+            rgb = raw[:, : width * 3]
+            out = expand_to_rgba_native(rgb, 3)
+            if out is not None:
+                return out.reshape(h, width, 4)
             out = np.empty((h, width, 4), dtype=np.uint8)
-            out[:, :, :3] = raw[:, : width * 3].reshape(h, width, 3)
+            out[:, :, :3] = rgb.reshape(h, width, 3)
             out[:, :, 3] = 255
             return out
+        if color_type == 0:
+            from ..native import expand_to_rgba_native
+
+            out = expand_to_rgba_native(raw[:, :width], 1)
+            if out is not None:
+                return out.reshape(h, width, 4)
 
     out = np.empty((h, width, 4), dtype=out_dtype)
 

@@ -260,3 +260,68 @@ def test_background_pixel():
     np.testing.assert_array_equal(
         background_pixel(16, [1, 2, 3, 4]), [257, 514, 771, 1028]
     )
+
+
+def test_native_rgba_expanders_match_numpy_all_sizes():
+    """AVX2 RGB/gray->RGBA expanders (stitchnative.cpp stitch_rgb_to_rgba /
+    stitch_gray_to_rgba) are exact vs the numpy expansion across sizes that
+    cover the vector main loop, the 10-px overread guard, and the scalar
+    tail (reference convertScanline RGB/gray arms, pixel-ops.ts:496-560)."""
+    from image_stitch_tpu.native import expand_to_rgba_native, native_available
+
+    if not native_available():
+        pytest.skip("native tier disabled")
+    rng = np.random.default_rng(7)
+    for n in list(range(0, 36)) + [64, 65, 127, 1000, 99991]:
+        rgb = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        ref = np.concatenate([rgb, np.full((n, 1), 255, np.uint8)], axis=1)
+        assert np.array_equal(expand_to_rgba_native(rgb, 3), ref)
+        g = rng.integers(0, 256, n, dtype=np.uint8)
+        refg = np.stack([g, g, g, np.full(n, 255, np.uint8)], axis=1)
+        assert np.array_equal(expand_to_rgba_native(g, 1), refg)
+
+
+def test_convert_band_rgb_and_gray_fast_paths_match_generic():
+    """The 8-bit color-type 2/0 fast paths (native expanders) agree with
+    the generic arm byte-for-byte, including non-tight row slices."""
+    rng = np.random.default_rng(8)
+    for w, h in [(1, 1), (5, 3), (640, 4)]:
+        raw = rng.integers(0, 256, (h, w * 3), dtype=np.uint8)
+        out = convert_band(raw, w, 8, 2, 8)
+        assert out.shape == (h, w, 4)
+        assert np.array_equal(out[:, :, :3].reshape(h, w * 3), raw)
+        assert (out[:, :, 3] == 255).all()
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        outg = convert_band(gray, w, 8, 0, 8)
+        for c in range(3):
+            assert np.array_equal(outg[:, :, c], gray)
+        assert (outg[:, :, 3] == 255).all()
+
+
+def test_jpeg_pil_tier_native_expand_matches_pil_convert():
+    """PIL-tier JPEG decode through the RGB/L native-mode + AVX2 expand
+    path is bit-identical to Image.convert('RGBA') for color, grayscale,
+    and (via the fallback arm) CMYK files."""
+    import io
+
+    from PIL import Image
+
+    from image_stitch_tpu.codecs.jpeg.decoder import decode_jpeg_to_rgba
+
+    rng = np.random.default_rng(9)
+    cases = []
+    arr = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    b = io.BytesIO(); Image.fromarray(arr).save(b, "JPEG", quality=85)
+    cases.append(b.getvalue())
+    g = rng.integers(0, 256, (33, 47), np.uint8)
+    b = io.BytesIO(); Image.fromarray(g, "L").save(b, "JPEG", quality=85)
+    cases.append(b.getvalue())
+    c4 = rng.integers(0, 256, (20, 20, 4), np.uint8)
+    b = io.BytesIO(); Image.fromarray(c4, "CMYK").save(b, "JPEG")
+    cases.append(b.getvalue())
+    for data in cases:
+        out = decode_jpeg_to_rgba(data)
+        ref = np.frombuffer(
+            Image.open(io.BytesIO(data)).convert("RGBA").tobytes(), np.uint8
+        ).reshape(out.shape)
+        assert np.array_equal(out, ref)
