@@ -87,3 +87,40 @@ assert out[:2] == b"\\xff\\xd8"
 assert "jax" not in sys.modules, "host JPEG encode must not load jax"
 """
     )
+
+
+def test_migration_guide_names_all_exist():
+    """docs/MIGRATION.md maps every reference export to a name here; keep
+    the guide honest by asserting each mapped name is importable."""
+    import re
+
+    import image_stitch_tpu as ist
+
+    guide = open("docs/MIGRATION.md").read()
+    # Backticked snake_case/CamelCase identifiers in the "Here" prose that
+    # look like package attributes (skip option keys, env vars, files).
+    names = set(re.findall(r"`([a-z_]+[a-z0-9_]*|[A-Z][A-Za-z0-9]+)\(?\)?`", guide))
+    skip = {
+        # option keys / env / commands / non-attribute identifiers
+        "inputs", "layout", "columns", "rows", "width", "height", "decoders",
+        "decoderOptions", "decoder_options", "outputFormat", "jpegQuality",
+        "backgroundColor", "background_color", "output_format", "jpeg_quality",
+        "enableAlphaBlending", "onProgress", "plugins", "band_height",
+        "backend", "mesh", "host_threads", "jpeg_restart_interval_rows",
+        "max_canvas_dim", "jpeg_sampling", "custom_decoders", "bytes",
+        "snake_case", "camelCase", "image_stitch_tpu", "types",
+        # reference-side type/interface names quoted in the left column
+        # (documented as folded into DecoderOptions / the decoder protocol)
+        "ImageDecoder", "ImageFormat", "ImageInput", "JpegDecoderOptions",
+        "HeicDecoderOptions", "Blob", "Readable",
+    }
+    methods = {
+        # decoder/encoder/concatenator METHOD names, not package attributes
+        "get_header_info", "stream", "header", "encode_strip", "finish",
+        "get_header", "bands", "scanlines", "close", "write", "pull",
+    }
+    ts_names = {n for n in names if any(c.isupper() for c in n[1:]) and
+                n[0].islower()}  # reference camelCase exports
+    candidates = names - skip - methods - ts_names
+    missing = sorted(n for n in candidates if not hasattr(ist, n))
+    assert missing == [], f"MIGRATION.md references missing names: {missing}"
