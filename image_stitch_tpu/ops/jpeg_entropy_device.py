@@ -26,6 +26,7 @@ Output is verified byte-identical to the host (C++/numpy) entropy coders.
 
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -623,7 +624,8 @@ def _symbol_streams_flat(yb, cbb, crb, luts, n_groups: int,
     return codes, lens
 
 
-def _pack_blocks_aligned(codes, lens, starts, local_words: int):
+def _pack_blocks_aligned(codes, lens, starts, local_words: int,
+                         transpose: bool = True):
     """Phase 1, pre-aligned: pack each block's symbols into a per-block
     word buffer already bit-aligned to the block's GLOBAL start.
 
@@ -703,6 +705,8 @@ def _pack_blocks_aligned(codes, lens, starts, local_words: int):
     local = jnp.zeros((n_aw, nb), dtype=jnp.uint32)
     off0 = (starts & 31).astype(jnp.int32)
     local, _ = jax.lax.fori_loop(0, n_sym // 2, step, (local, off0))
+    if not transpose:
+        return local  # (AW, nb) — the segsum merge's native layout
     return local.T  # (nb, AW)
 
 
@@ -782,6 +786,37 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int):
     return words, max_overlap
 
 
+def _merge_aligned_segsum(local, starts, cap_words: int):
+    """Phase 2 via sorted scatter-add: OR == ADD on bit-disjoint words.
+
+    ``local`` is phase 1's native (AW, nb) layout (UNtransposed — row
+    slices of the lane-major array are the fast path; column slices of a
+    transposed copy cost a lane extraction each). Block b's aligned word
+    c belongs at global word ``(starts[b] >> 5) + c``; every set bit of
+    the output stream comes from exactly one (block, column) pair, so
+    summing contributions can never carry and equals the bitwise OR.
+    One sorted ``segment_sum`` per AW column replaces the K_OVERLAP
+    full-row gather rounds over the whole cap_words output — work scales
+    with nb (blocks), not with the allocated output capacity, and no
+    per-word overlap bound exists (tiny-block flat content that would
+    overflow K_OVERLAP in the gather merge just works).
+
+    Returns (words (cap_words,) uint32).
+    """
+    n_aw, nb = local.shape
+    wstart = (starts >> 5).astype(jnp.int32)
+    words = jnp.zeros((cap_words,), jnp.uint32)
+    for c in range(n_aw):
+        # Indices >= cap_words are dropped by segment_sum (scatter drop
+        # semantics); in-range per-column index vectors stay sorted
+        # because starts is nondecreasing.
+        words = words + jax.ops.segment_sum(
+            local[c], wstart + c, num_segments=cap_words,
+            indices_are_sorted=True,
+        )
+    return words
+
+
 def jpeg_encode_band_groups_trace(
     band: jax.Array,  # (8k, W, 4) uint8, W % 8 == 0
     luma_q: jax.Array,
@@ -792,6 +827,7 @@ def jpeg_encode_band_groups_trace(
     use_pallas: bool = False,
     sampling: str = "444",
     local_words: int = LOCAL_WORDS,
+    merge: str = "gather",
 ):
     """Fused band program for restart-interval mode: quantize once, then
     pack every restart group in one FLAT program (prev_dc = 0 and
@@ -825,6 +861,37 @@ def jpeg_encode_band_groups_trace(
         from .device import jpeg_quantize_trace as _quantize
 
     yb, cbb, crb = _quantize(band, luma_q, chroma_q)
+    dense, group_bits, max_block_bits, max_overlap = (
+        jpeg_pack_groups_from_blocks_trace(
+            yb, cbb, crb, luts, n_groups, cap_words,
+            sampling=sampling, local_words=local_words, merge=merge,
+        )
+    )
+    return dense, group_bits, max_block_bits, max_overlap, yb, cbb, crb
+
+
+def jpeg_pack_groups_from_blocks_trace(
+    yb, cbb, crb,
+    luts: dict,
+    n_groups: int,
+    cap_words: int,  # per group
+    sampling: str = "444",
+    local_words: int = LOCAL_WORDS,
+    merge: str = "gather",
+):
+    """Entropy-pack already-quantized blocks as restart groups.
+
+    The quantize-less core of ``jpeg_encode_band_groups_trace``; also
+    dispatched standalone for the on-device overflow RE-PACK: when a
+    band's first pack overflows a budget (per-word overlap > K_OVERLAP on
+    tiny-block flat content, pooled word capacity, or the per-block
+    local_words budget), the encoder re-dispatches just this program on
+    the device-resident quantized blocks with corrected parameters
+    (merge="segsum" / exact capacity / bigger budget) instead of
+    host-coding — the blocks never cross the link, and the bytes are
+    identical by construction (the merge strategies are bit-equivalent;
+    capacity only sizes the output buffer).
+    """
     codes, lens = _symbol_streams_flat(yb, cbb, crb, luts, n_groups, sampling)
 
     block_bits = jnp.sum(lens, axis=1)  # (nbt,)
@@ -841,10 +908,19 @@ def jpeg_encode_band_groups_trace(
         (dense_base[:, None] << 5) + in_group
     ).reshape(-1).astype(jnp.int32)
 
-    aligned = _pack_blocks_aligned(codes, lens, starts, local_words)
     total = n_groups * cap_words
-    dense, max_overlap = _merge_aligned(aligned, starts, block_bits, total)
-    return dense, group_bits, max_block_bits, max_overlap, yb, cbb, crb
+    if merge == "segsum":
+        local = _pack_blocks_aligned(
+            codes, lens, starts, local_words, transpose=False
+        )
+        dense = _merge_aligned_segsum(local, starts, total)
+        # No per-word overlap bound exists in the scatter-add merge; emit
+        # a constant 0 so the host-side K_OVERLAP check is inert.
+        max_overlap = jnp.int32(0)
+    else:
+        aligned = _pack_blocks_aligned(codes, lens, starts, local_words)
+        dense, max_overlap = _merge_aligned(aligned, starts, block_bits, total)
+    return dense, group_bits, max_block_bits, max_overlap
 
 
 def _delete_arrays(*arrs) -> None:
@@ -911,7 +987,25 @@ class DeviceJpegEncoder:
         self._jit_groups_plain = jax.jit(
             jpeg_encode_band_groups_trace,
             static_argnames=(
-                "n_groups", "cap_words", "use_pallas", "sampling", "local_words"
+                "n_groups", "cap_words", "use_pallas", "sampling",
+                "local_words", "merge",
+            ),
+        )
+        # Sticky merge strategy: gather (fast; bounded per-word overlap)
+        # until a band's content exceeds K_OVERLAP blocks per output word
+        # (tiny-block flat regions), then scatter-add (no bound, ~2x
+        # slower merge — still far cheaper than host-coding a band, which
+        # fetches the quantized blocks over the link).
+        self._merge_mode = "gather"
+        # Observed max group bits/px of recent bands drives the capacity
+        # budget for the next submit (the merge scans the whole allocated
+        # output, so a tight budget is a first-order device-time lever;
+        # mispredictions cost one on-device re-pack, not a host fallback).
+        self._cap_recent = collections.deque(maxlen=4)
+        self._jit_pack = jax.jit(
+            jpeg_pack_groups_from_blocks_trace,
+            static_argnames=(
+                "n_groups", "cap_words", "sampling", "local_words", "merge"
             ),
         )
         if mesh is not None:
@@ -927,7 +1021,7 @@ class DeviceJpegEncoder:
                 jpeg_encode_band_groups_trace,
                 static_argnames=(
                     "n_groups", "cap_words", "use_pallas", "sampling",
-                    "local_words",
+                    "local_words", "merge",
                 ),
                 in_shardings=(band3d, rep, rep, lut_shardings),
             )
@@ -989,6 +1083,24 @@ class DeviceJpegEncoder:
             prev_dc_in, bit_base_in,
         )
 
+    # Capacity buckets for the adaptive per-group budget (bits/px). A
+    # bucketed ladder bounds the number of distinct compiled executables
+    # per band shape while letting quiet content run the merge at ~half
+    # the default capacity (merge work scales with allocated words).
+    _CAP_BUCKETS = (1.0, 1.5, 2.0, 2.5, 3.0, 4.0, 6.0, 8.0, 12.0)
+
+    def _group_cap_bits_px(self) -> float:
+        """Current per-group capacity budget in bits/px: observed recent
+        peak * 1.3 headroom, bucketed; the configured value until the
+        first band reports. Underestimates cost one on-device re-pack."""
+        if not self._cap_recent:
+            return float(self._cap_bits_per_px)
+        want = max(self._cap_recent) * 1.3
+        for b in self._CAP_BUCKETS:
+            if b >= want:
+                return min(b, float(MAX_CAP_BITS_PER_PX))
+        return float(MAX_CAP_BITS_PER_PX)
+
     def _submit_groups(self, band: np.ndarray):
         """Restart-group dispatch: the band must hold whole ri-row groups,
         except a single final shorter group (tail of the image)."""
@@ -998,11 +1110,12 @@ class DeviceJpegEncoder:
         mcu_rows = band.shape[0] // mcu_px
         tail_rows = mcu_rows % ri
         handles = []
+        cap_bits_px = self._group_cap_bits_px()
         if mcu_rows - tail_rows:
             main = band[: (mcu_rows - tail_rows) * mcu_px]
             n_groups = (mcu_rows - tail_rows) // ri
             px_per_group = ri * mcu_px * band.shape[1]
-            cap_words = max(64, (px_per_group * self._cap_bits_per_px + 31) // 32)
+            cap_words = max(64, (int(px_per_group * cap_bits_px) + 31) // 32)
             jit_g = self._groups_jit_for(main.shape)
             if jit_g is self._jit_groups and self._mesh is not None:
                 # Committed device arrays (fused positioned handoff) must
@@ -1015,19 +1128,21 @@ class DeviceJpegEncoder:
             out = jit_g(
                 main, self._lq, self._cq, self._luts, n_groups, cap_words,
                 self._use_pallas, self._sampling, self._local_words,
+                self._merge_mode,
             )
             self._async_copy(out)
-            handles.append((out, n_groups, cap_words))
+            handles.append((out, n_groups, cap_words, px_per_group))
         if tail_rows:
             tail = band[(mcu_rows - tail_rows) * mcu_px :]
             px = tail_rows * mcu_px * band.shape[1]
-            cap_words = max(64, (px * self._cap_bits_per_px + 31) // 32)
+            cap_words = max(64, (int(px * cap_bits_px) + 31) // 32)
             out = self._groups_jit_for(tail.shape)(
                 tail, self._lq, self._cq, self._luts, 1, cap_words,
                 self._use_pallas, self._sampling, self._local_words,
+                self._merge_mode,
             )
             self._async_copy(out)
-            handles.append((out, 1, cap_words))
+            handles.append((out, 1, cap_words, px))
         return ("groups", handles)
 
     @staticmethod
@@ -1050,28 +1165,82 @@ class DeviceJpegEncoder:
     # of distinct slice shapes the fetch compiles).
     _FETCH_BUCKET_WORDS = 8192
 
+    def _repack_on_device(self, blocks, bits_h, max_bb: int, n_groups: int,
+                          budget_over: bool, overlap_over: bool):
+        """Re-pack an overflowed band on-device from its already-resident
+        quantized blocks (no quantize re-run, nothing crosses the link).
+
+        The first pack's per-group bit counts are exact regardless of which
+        budget overflowed (symbol lengths don't depend on packing), so the
+        corrected parameters are known precisely: the pooled capacity from
+        the counts, the block budget from max_bb, and the merge strategy
+        (scatter-add has no per-word overlap bound — see
+        _merge_aligned_segsum). Returns (dense, cap_words), or None when
+        the content exceeds every device budget (caller host-codes).
+        """
+        local_words = self._local_words
+        if budget_over:
+            for cand in (12, 16, LOCAL_WORDS):
+                if cand > local_words and max_bb <= cand * 32:
+                    local_words = cand
+                    break
+            if max_bb > local_words * 32:
+                return None
+            # Adopt the bigger budget for subsequent bands (sticky, like
+            # the merge mode: content proved the tighter budget wrong).
+            self._local_words = local_words
+        if overlap_over:
+            self._merge_mode = "segsum"
+        used = (bits_h + 31) // 32
+        need_per_group = -(-int(used.sum()) // n_groups)
+        cap_words = max(64, -(-need_per_group // 256) * 256)
+        dense, bits2, max_bb2, max_ov2 = self._jit_pack(
+            *blocks, self._luts, n_groups=n_groups, cap_words=cap_words,
+            sampling=self._sampling, local_words=local_words,
+            merge=self._merge_mode,
+        )
+        if self._merge_mode == "gather" and int(max_ov2) > K_OVERLAP:
+            # The first pack's overlap scalar is clipped garbage when the
+            # pooled capacity overflowed, so the true overlap shows up
+            # only now; switch to the unbounded merge and go again.
+            self._merge_mode = "segsum"
+            _delete_arrays(dense, bits2, max_bb2, max_ov2)
+            dense, bits2, max_bb2, max_ov2 = self._jit_pack(
+                *blocks, self._luts, n_groups=n_groups, cap_words=cap_words,
+                sampling=self._sampling, local_words=local_words,
+                merge="segsum",
+            )
+        _delete_arrays(bits2, max_bb2, max_ov2)
+        return dense, cap_words
+
     def _wait_groups(self, handles) -> bytes:
         out = bytearray()
-        for (res, n_groups, cap_words) in handles:
+        for (res, n_groups, cap_words, px_per_group) in handles:
             dense, bits, max_bb, max_ov, yb, cbb, crb = res
             bits_h = np.asarray(bits)
+            used = (bits_h + 31) // 32
+            total_used = int(used.sum())
             # Pooled capacity: the flat dense layout only needs the TOTAL
             # used words to fit (per-group spikes borrow from the band's
             # pool); when it doesn't, the device merge's clipped histogram
-            # bins are garbage, so host-code the whole aligned sub-band.
-            if int(max_bb) > self._local_words * 32 or int(max_ov) > K_OVERLAP or bool(
-                ((bits_h + 31) // 32).sum() > n_groups * cap_words
-            ):
-                if self._cap_bits_per_px < MAX_CAP_BITS_PER_PX:
-                    self._cap_bits_per_px = min(
-                        MAX_CAP_BITS_PER_PX, self._cap_bits_per_px * 2
-                    )
-                out += self._host_fallback_groups((yb, cbb, crb), n_groups)
-                _delete_arrays(dense, bits, max_bb, max_ov, yb, cbb, crb)
-                continue
-            used = (bits_h + 31) // 32
+            # bins (including the overlap scalar) are garbage.
+            pooled_over = total_used > n_groups * cap_words
+            budget_over = int(max_bb) > self._local_words * 32
+            overlap_over = (not pooled_over) and int(max_ov) > K_OVERLAP
+            if pooled_over or budget_over or overlap_over:
+                repack = self._repack_on_device(
+                    (yb, cbb, crb), bits_h, int(max_bb), n_groups,
+                    budget_over, overlap_over,
+                )
+                if repack is None:
+                    out += self._host_fallback_groups((yb, cbb, crb), n_groups)
+                    _delete_arrays(dense, bits, max_bb, max_ov, yb, cbb, crb)
+                    continue
+                _delete_arrays(dense)
+                dense, cap_words = repack
+            # Exact per-group bits feed the next submit's capacity budget.
+            self._cap_recent.append(float(bits_h.max()) / max(1, px_per_group))
             offs = np.concatenate([[0], np.cumsum(used)[:-1]])
-            total_used = int(used.sum())
             fetch = min(
                 dense.shape[0],
                 -(-total_used // self._FETCH_BUCKET_WORDS) * self._FETCH_BUCKET_WORDS,

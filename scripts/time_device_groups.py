@@ -64,11 +64,18 @@ def main() -> None:
 
     ri = 1
     n_groups = (BAND_H // 8) // ri
-    cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
+    # TIME_CAP_BITS: per-pixel bit budget (x8 fixed-point, e.g. 16 = 2.0
+    # bits/px) — the merge scans the whole allocated output, so a tighter
+    # budget is a first-order lever (adaptive-cap experiments).
+    cap_bits_x8 = int(os.environ.get("TIME_CAP_BITS", "24"))
+    cap_g = max(64, (ri * 8 * CANVAS_W * cap_bits_x8 // 8 + 31) // 32)
     # Mirror the encoder's quality-scaled block budget (q85 -> 12 words).
     local_words = int(os.environ.get("TIME_LOCAL_WORDS", "12"))
+    merge = os.environ.get("TIME_MERGE", "segsum")
     fn = jax.jit(
-        lambda *a: jpeg_encode_band_groups_trace(*a, local_words=local_words),
+        lambda *a: jpeg_encode_band_groups_trace(
+            *a, local_words=local_words, merge=merge
+        ),
         static_argnums=(4, 5),
     )
     def run_once() -> None:

@@ -211,6 +211,89 @@ def test_groups_full_cap_falls_back_exactly():
     assert enc("jax") == enc("numpy")
 
 
+def _stream_jpeg(backend, img, quality=85, tweak=None):
+    from image_stitch_tpu.codecs.jpeg.encoder import StreamingJpegEncoder
+
+    e = StreamingJpegEncoder(img.shape[1], img.shape[0], quality,
+                             backend=backend, restart_interval_rows=1)
+    if tweak is not None and e._dev_encoder is not None:
+        tweak(e._dev_encoder)
+    out = b""
+    for c in e.encode_band(img):
+        out += c
+    for c in e.finish():
+        out += c
+    return out, e._dev_encoder
+
+
+def test_groups_flat_content_repacks_on_device_segsum():
+    """Flat content packs tiny blocks (DC size-0 + EOB, ~6-7 bits), so >4
+    blocks share an output word and the gather merge's K_OVERLAP bound
+    fails. The encoder must RE-PACK on-device with the scatter-add merge
+    (bit-equivalent, no overlap bound) — not host-code — and flip the
+    sticky merge mode for subsequent bands."""
+    img = np.full((32, 128, 4), 128, np.uint8)
+    dev_bytes, dev_enc = _stream_jpeg("jax", img)
+    host_bytes, _ = _stream_jpeg("numpy", img)
+    assert dev_bytes == host_bytes
+    assert dev_enc is not None and dev_enc._merge_mode == "segsum"
+
+
+def test_groups_pooled_capacity_repacks_on_device():
+    """A too-tight pooled capacity re-packs on-device at the exact needed
+    capacity (known from the fetched per-group bit counts) and feeds the
+    observed bits/px into the adaptive budget for the next band."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 128, 4), dtype=np.uint8)  # noisy
+
+    def tighten(enc):
+        enc._cap_bits_per_px = 1  # q85 noise runs well above 1 bit/px
+
+    dev_bytes, dev_enc = _stream_jpeg("jax", img, tweak=tighten)
+    host_bytes, _ = _stream_jpeg("numpy", img)
+    assert dev_bytes == host_bytes
+    assert dev_enc is not None and len(dev_enc._cap_recent) > 0
+    # The next submit would budget from the observed peak, not the config
+    # (clamped at MAX_CAP_BITS_PER_PX: beyond-max content — full-range q85
+    # noise packs ~12.8 bits/px — re-packs at exact capacity every band).
+    from image_stitch_tpu.ops.jpeg_entropy_device import MAX_CAP_BITS_PER_PX
+
+    assert dev_enc._group_cap_bits_px() >= min(
+        max(dev_enc._cap_recent), float(MAX_CAP_BITS_PER_PX)
+    )
+
+
+def test_groups_block_budget_repacks_with_bigger_local_words():
+    """A block exceeding the per-block word budget re-packs with the next
+    budget rung that fits (sticky) instead of host-coding."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (16, 64, 4), dtype=np.uint8)
+
+    def shrink(enc):
+        enc._local_words = 2  # 64-bit blocks: q85 noise blows through this
+
+    dev_bytes, dev_enc = _stream_jpeg("jax", img, tweak=shrink)
+    host_bytes, _ = _stream_jpeg("numpy", img)
+    assert dev_bytes == host_bytes
+    assert dev_enc is not None and dev_enc._local_words > 2
+
+
+def test_adaptive_cap_shrinks_on_quiet_content():
+    """After one observed band, the capacity budget tracks content (bucketed
+    observed peak * 1.3) instead of the static default — the merge scans the
+    whole allocated output, so this is a first-order device-time lever."""
+    x = np.linspace(10, 240, 128, dtype=np.uint8)
+    img = np.zeros((64, 128, 4), np.uint8)
+    img[:, :, 0] = x[None, :]
+    img[:, :, 1] = x[None, ::-1]
+    img[:, :, 3] = 255
+    dev_bytes, dev_enc = _stream_jpeg("jax", img)
+    host_bytes, _ = _stream_jpeg("numpy", img)
+    assert dev_bytes == host_bytes
+    assert dev_enc is not None and len(dev_enc._cap_recent) > 0
+    assert dev_enc._group_cap_bits_px() < 3.0  # smooth gradient packs small
+
+
 def test_zz_permute_matmul_exact():
     """The TPU zigzag path (0/1 permutation matmul on the MXU) must equal
     the plain gather for the full quantized-coefficient range: each output
