@@ -116,6 +116,27 @@ def _zz_permute_matmul(seq: jax.Array) -> jax.Array:
     return zz.astype(jnp.int32)
 
 
+def _prev_nonzero_scan(nz, pos):
+    """(incl_cummax, prev_nz, last_nz) for the AC run-length computation.
+
+    ``lax.cummax`` lowers poorly on TPU (measured 3.06 ms of the 5.63 ms
+    symbols stage on a 4.2 MP band — more than half the stage); a manual
+    log-step lane-shift max scan in int8 (positions fit: <= 63) is the
+    same values at a fraction of the traffic. Exact: integer max.
+    """
+    n_lanes = pos.shape[1]
+    x = jnp.where(nz, pos, 0).astype(jnp.int8)
+    k = 1
+    while k < n_lanes:
+        shifted = jnp.pad(x, ((0, 0), (k, 0)))[:, :n_lanes]
+        x = jnp.maximum(x, shifted)
+        k <<= 1
+    incl = x.astype(jnp.int32)
+    prev_nz = jnp.pad(incl[:, :-1], ((0, 0), (1, 0)))
+    last_nz = incl[:, -1]
+    return incl, prev_nz, last_nz
+
+
 def entropy_pack_trace(
     yb: jax.Array,  # (N, 64) int16/int32 natural-order quantized Y blocks
     cbb: jax.Array,
@@ -153,12 +174,7 @@ def entropy_pack_trace(
     v = zz[:, 1:]  # (3N, 63)
     nz = v != 0
     pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
-    marked = jnp.where(nz, pos, 0)
-    incl_cummax = jax.lax.cummax(marked, axis=1)
-    prev_nz = jnp.concatenate(
-        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
-    )
-    last_nz = incl_cummax[:, -1]  # (3N,)
+    incl_cummax, prev_nz, last_nz = _prev_nonzero_scan(nz, pos)  # (3N,)
 
     run = pos - prev_nz - 1
     asz = _bit_size(v, 11)
@@ -306,12 +322,7 @@ def _symbol_streams(yb, cbb, crb, luts, prev_dc, sampling: str = "444"):
     v = zz[:, 1:]
     nz = v != 0
     pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
-    marked = jnp.where(nz, pos, 0)
-    incl_cummax = jax.lax.cummax(marked, axis=1)
-    prev_nz = jnp.concatenate(
-        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
-    )
-    last_nz = incl_cummax[:, -1]
+    incl_cummax, prev_nz, last_nz = _prev_nonzero_scan(nz, pos)
 
     run = pos - prev_nz - 1
     asz = _bit_size(v, 11)
@@ -583,12 +594,7 @@ def _symbol_streams_flat(yb, cbb, crb, luts, n_groups: int,
     v = zz[:, 1:]
     nz = v != 0
     pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
-    marked = jnp.where(nz, pos, 0)
-    incl_cummax = jax.lax.cummax(marked, axis=1)
-    prev_nz = jnp.concatenate(
-        [jnp.zeros((v.shape[0], 1), jnp.int32), incl_cummax[:, :-1]], axis=1
-    )
-    last_nz = incl_cummax[:, -1]
+    incl_cummax, prev_nz, last_nz = _prev_nonzero_scan(nz, pos)
 
     run = pos - prev_nz - 1
     asz = _bit_size(v, 11)
@@ -710,7 +716,8 @@ def _pack_blocks_aligned(codes, lens, starts, local_words: int,
     return local.T  # (nb, AW)
 
 
-def _merge_aligned(aligned, starts, block_bits, cap_words: int):
+def _merge_aligned(aligned, starts, block_bits, cap_words: int,
+                   k_overlap: int = K_OVERLAP):
     """Phase 2, flat: OR pre-aligned per-block buffers into the global
     word stream with K full-row gathers.
 
@@ -753,7 +760,10 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int):
             jnp.concatenate(
                 [wstart[:, None].astype(jnp.uint32), aligned], axis=1
             ),
-            jnp.full((K_OVERLAP, n_aw + 1), 0xFFFFFFFF, jnp.uint32),
+            # Sentinel wstart must stay POSITIVE as int32 (0x7FFFFFFF):
+            # 0xFFFFFFFF casts to -1 and passes the ws <= word test,
+            # leaking sentinel bits into unused tail words.
+            jnp.full((k_overlap, n_aw + 1), 0x7FFFFFFF, jnp.uint32),
         ],
         axis=0,
     )  # (nb + K, AW + 1)
@@ -781,9 +791,71 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int):
         return jnp.where(valid, val, jnp.uint32(0))
 
     words = functools.reduce(
-        jnp.bitwise_or, [gather_k(k) for k in range(K_OVERLAP)]
+        jnp.bitwise_or, [gather_k(k) for k in range(k_overlap)]
     )
     return words, max_overlap
+
+
+def _merge_aligned_hybrid(local, starts, block_bits, cap_words: int):
+    """Phase 2 as one gather round + one sorted scatter-add.
+
+    Blocks tile the bit space contiguously (each start is the previous
+    end), so the contributors to output word w are exactly: the unique
+    COVERER (the block containing bit 32w — the first block whose end
+    exceeds it, j_lo[w]), whose pre-aligned buffer holds every word it
+    covers at column w - wstart; plus STARTERS — blocks whose start bit
+    lies inside word w — which contribute only their column-0 word.
+    Hence: one full-row gather (the coverer) OR one segment_sum of
+    ``local[0]`` keyed by start word (starter bits are mutually disjoint,
+    so ADD == OR; a word-aligned coverer appears in both pools with the
+    identical value, and OR is idempotent).
+
+    Unlike the K-round gather merge there is NO per-word overlap bound:
+    any number of tiny blocks per word is exact by construction. Work is
+    cap_words gather rows + nb scatter elements, vs cap_words * K rows.
+
+    ``local`` is phase 1's native (AW, nb) layout. Returns (cap_words,)
+    uint32.
+    """
+    n_aw, nb = local.shape
+    ends = starts + block_bits
+    word_ids = jnp.arange(cap_words, dtype=jnp.int32)
+    end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(end_word), end_word, num_segments=cap_words,
+        indices_are_sorted=True,
+    )
+    j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+
+    wstart = (starts >> 5).astype(jnp.int32)
+    rec = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [wstart[:, None].astype(jnp.uint32), local.T], axis=1
+            ),
+            jnp.full((1, n_aw + 1), 0x7FFFFFFF, jnp.uint32),  # int32-positive
+        ],
+        axis=0,
+    )  # (nb + 1, AW + 1)
+    dn_row = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+    )
+    rows = jax.lax.gather(
+        rec, j_lo[:, None], dn_row, slice_sizes=(1, n_aw + 1),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (cap_words, AW + 1)
+    ws = rows[:, 0].astype(jnp.int32)
+    rel = word_ids - ws
+    valid = (ws <= word_ids) & (rel < n_aw)
+    mask = rel[:, None] == jnp.arange(n_aw, dtype=jnp.int32)[None, :]
+    val2d = jnp.where(mask, rows[:, 1:], jnp.uint32(0))
+    cover = jax.lax.reduce(val2d, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+    cover = jnp.where(valid, cover, jnp.uint32(0))
+
+    starters = jax.ops.segment_sum(
+        local[0], wstart, num_segments=cap_words, indices_are_sorted=True,
+    )
+    return cover | starters
 
 
 def _merge_aligned_segsum(local, starts, cap_words: int):
@@ -828,6 +900,7 @@ def jpeg_encode_band_groups_trace(
     sampling: str = "444",
     local_words: int = LOCAL_WORDS,
     merge: str = "gather",
+    k_overlap: int = K_OVERLAP,
 ):
     """Fused band program for restart-interval mode: quantize once, then
     pack every restart group in one FLAT program (prev_dc = 0 and
@@ -865,6 +938,7 @@ def jpeg_encode_band_groups_trace(
         jpeg_pack_groups_from_blocks_trace(
             yb, cbb, crb, luts, n_groups, cap_words,
             sampling=sampling, local_words=local_words, merge=merge,
+            k_overlap=k_overlap,
         )
     )
     return dense, group_bits, max_block_bits, max_overlap, yb, cbb, crb
@@ -878,6 +952,7 @@ def jpeg_pack_groups_from_blocks_trace(
     sampling: str = "444",
     local_words: int = LOCAL_WORDS,
     merge: str = "gather",
+    k_overlap: int = K_OVERLAP,
 ):
     """Entropy-pack already-quantized blocks as restart groups.
 
@@ -909,7 +984,14 @@ def jpeg_pack_groups_from_blocks_trace(
     ).reshape(-1).astype(jnp.int32)
 
     total = n_groups * cap_words
-    if merge == "segsum":
+    if merge == "hybrid":
+        local = _pack_blocks_aligned(
+            codes, lens, starts, local_words, transpose=False
+        )
+        dense = _merge_aligned_hybrid(local, starts, block_bits, total)
+        # Exact for any per-word overlap; 0 keeps the host check inert.
+        max_overlap = jnp.int32(0)
+    elif merge == "segsum":
         local = _pack_blocks_aligned(
             codes, lens, starts, local_words, transpose=False
         )
@@ -919,7 +1001,9 @@ def jpeg_pack_groups_from_blocks_trace(
         max_overlap = jnp.int32(0)
     else:
         aligned = _pack_blocks_aligned(codes, lens, starts, local_words)
-        dense, max_overlap = _merge_aligned(aligned, starts, block_bits, total)
+        dense, max_overlap = _merge_aligned(
+            aligned, starts, block_bits, total, k_overlap=k_overlap
+        )
     return dense, group_bits, max_block_bits, max_overlap
 
 
@@ -1091,11 +1175,13 @@ class DeviceJpegEncoder:
 
     def _group_cap_bits_px(self) -> float:
         """Current per-group capacity budget in bits/px: observed recent
-        peak * 1.3 headroom, bucketed; the configured value until the
-        first band reports. Underestimates cost one on-device re-pack."""
+        peak * 1.15 headroom, bucketed; the configured value until the
+        first band reports. Underestimates cost one on-device re-pack,
+        so the headroom stays thin (bench-like content at 2.05 bits/px
+        must land in the 2.5 bucket, not bounce back to 3.0)."""
         if not self._cap_recent:
             return float(self._cap_bits_per_px)
-        want = max(self._cap_recent) * 1.3
+        want = max(self._cap_recent) * 1.15
         for b in self._CAP_BUCKETS:
             if b >= want:
                 return min(b, float(MAX_CAP_BITS_PER_PX))

@@ -73,14 +73,15 @@ def main() -> None:
     )
     variants = []
     for item in spec.split(","):
-        lw, capb, merge = item.split(":")
-        lw, capb = int(lw), int(capb)
+        parts = item.split(":")
+        lw, capb, merge = int(parts[0]), int(parts[1]), parts[2]
+        k = int(parts[3]) if len(parts) > 3 else 4
         cap_g = max(64, (8 * CANVAS_W * capb // 8 + 31) // 32)
         fn = jax.jit(
-            lambda band, lq_, cq_, luts_, ng, cg, _lw=lw, _m=merge: (
+            lambda band, lq_, cq_, luts_, ng, cg, _lw=lw, _m=merge, _k=k: (
                 jpeg_encode_band_groups_trace(
                     band, lq_, cq_, luts_, ng, cg,
-                    local_words=_lw, merge=_m,
+                    local_words=_lw, merge=_m, k_overlap=_k,
                 )
             ),
             static_argnums=(4, 5),

@@ -80,25 +80,31 @@ def main() -> None:
     )
 
     # 2. Restart-group variants (ri = 1 and 4 MCU rows), at the encoder's
-    # quality-scaled block budgets (12 words for q<=85, 16 for q<=95).
-    for ri in (1, 4):
-        for lw in (12, 16):
-            n_groups = (BAND_H // 8) // ri
-            cap_g = max(64, (ri * 8 * CANVAS_W * 3 + 31) // 32)
-            timed(
-                f"groups band ri={ri} lw={lw} (n_groups={n_groups})",
-                lambda n_groups=n_groups, cap_g=cap_g, lw=lw: jax.jit(
-                    jpeg_encode_band_groups_trace,
-                    static_argnames=(
-                        "n_groups", "cap_words", "use_pallas", "local_words"
-                    ),
-                )
-                .lower(
-                    band, qt, qt, lut_specs, n_groups, cap_g,
-                    local_words=lw,
-                )
-                .compile(),
+    # quality-scaled block budgets (12 words for q<=85, 16 for q<=95) and
+    # the adaptive capacity buckets typical content settles on (the first
+    # band runs the configured 3.0 bits/px, later bands the observed
+    # bucket — 2.0-2.5 on bench-like content; see _group_cap_bits_px).
+    group_variants = [
+        (1, 12, 3.0), (1, 12, 2.5), (1, 12, 2.0),
+        (1, 16, 3.0), (4, 12, 3.0),
+    ]
+    for ri, lw, capb in group_variants:
+        n_groups = (BAND_H // 8) // ri
+        cap_g = max(64, (int(ri * 8 * CANVAS_W * capb) + 31) // 32)
+        timed(
+            f"groups band ri={ri} lw={lw} cap={capb}bpp (n_groups={n_groups})",
+            lambda n_groups=n_groups, cap_g=cap_g, lw=lw: jax.jit(
+                jpeg_encode_band_groups_trace,
+                static_argnames=(
+                    "n_groups", "cap_words", "use_pallas", "local_words"
+                ),
             )
+            .lower(
+                band, qt, qt, lut_specs, n_groups, cap_g,
+                local_words=lw,
+            )
+            .compile(),
+        )
 
     # 3. PNG filter-select (XLA trace) at the png_out width
     raw = S((BAND_H, CANVAS_W * 4), jnp.uint8)

@@ -280,7 +280,7 @@ def test_groups_block_budget_repacks_with_bigger_local_words():
 
 def test_adaptive_cap_shrinks_on_quiet_content():
     """After one observed band, the capacity budget tracks content (bucketed
-    observed peak * 1.3) instead of the static default — the merge scans the
+    observed peak * 1.15) instead of the static default — the merge scans the
     whole allocated output, so this is a first-order device-time lever."""
     x = np.linspace(10, 240, 128, dtype=np.uint8)
     img = np.zeros((64, 128, 4), np.uint8)
@@ -292,6 +292,52 @@ def test_adaptive_cap_shrinks_on_quiet_content():
     assert dev_bytes == host_bytes
     assert dev_enc is not None and len(dev_enc._cap_recent) > 0
     assert dev_enc._group_cap_bits_px() < 3.0  # smooth gradient packs small
+
+
+def test_merge_strategies_bit_identical():
+    """The three phase-2 merges (K-round gather, sorted scatter-add, and
+    the hybrid one-gather + starter scatter) are bit-equivalent packings:
+    same dense words on noise, smooth, and sparse content. Flat content
+    (tiny DC+EOB blocks, many per output word) exceeds the gather merge's
+    K_OVERLAP bound, so there hybrid is checked against segsum only —
+    the case the hybrid exists for (exact with NO per-word overlap bound)."""
+    from image_stitch_tpu.ops.jpeg_entropy_device import (
+        K_OVERLAP,
+        build_entropy_luts,
+        jpeg_pack_groups_from_blocks_trace,
+    )
+
+    luts = build_entropy_luts(DC_L, AC_L, DC_C, AC_C)
+    luts = {k: jnp.asarray(v) for k, v in luts.items()}
+
+    # cap_words must hold the content (q85 noise ~13 bits/px, 2048 px per
+    # group): overflowed pools clip the merge histograms into garbage.
+    def pack(blocks, merge, n_groups=4, cap_words=2048):
+        yb, cbb, crb = (jnp.asarray(b) for b in blocks)
+        dense, gbits, _, max_ov = jpeg_pack_groups_from_blocks_trace(
+            yb, cbb, crb, luts, n_groups, cap_words, merge=merge
+        )
+        return np.asarray(dense), np.asarray(gbits), int(max_ov)
+
+    cases = {
+        "noise": blocks_from(7, h=32, w=256),
+        "smooth": blocks_from(8, h=32, w=256, smooth=True),
+    }
+    zeros = tuple(np.zeros((16, 64), np.int16) for _ in range(3))
+    for name, blocks in cases.items():
+        d_g, b_g, ov = pack(blocks, "gather")
+        d_s, b_s, _ = pack(blocks, "segsum")
+        d_h, b_h, _ = pack(blocks, "hybrid")
+        assert ov <= K_OVERLAP, name  # gather result only valid then
+        np.testing.assert_array_equal(b_g, b_s, err_msg=name)
+        np.testing.assert_array_equal(b_g, b_h, err_msg=name)
+        np.testing.assert_array_equal(d_g, d_s, err_msg=name)
+        np.testing.assert_array_equal(d_g, d_h, err_msg=name)
+    # Flat: ~6-7-bit blocks, >K_OVERLAP per word — gather is out of spec.
+    d_s, b_s, _ = pack(zeros, "segsum")
+    d_h, b_h, _ = pack(zeros, "hybrid")
+    np.testing.assert_array_equal(b_s, b_h)
+    np.testing.assert_array_equal(d_s, d_h)
 
 
 def test_zz_permute_matmul_exact():
