@@ -19,7 +19,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,21 +47,12 @@ def main() -> None:
     ac_c = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
     luts = build_entropy_luts(dc_l, ac_l, dc_c, ac_c)
 
-    rng = np.random.default_rng(0)
-    base = np.linspace(0, 255, CANVAS_W, dtype=np.float32)
-    band_np = np.empty((BAND_H, CANVAS_W, 4), np.uint8)
-    band_np[..., 0] = base[None, :].astype(np.uint8)
-    band_np[..., 1] = 128
-    band_np[..., 2] = base[None, ::-1].astype(np.uint8)
-    band_np[..., 3] = 255
-    band_np[:, :, :3] = np.clip(
-        band_np[:, :, :3].astype(np.int16)
-        + rng.integers(-10, 11, (BAND_H, CANVAS_W, 3)),
-        0, 255,
-    ).astype(np.uint8)
+    from _device_bench_common import make_bench_band
 
     dev = jax.devices()[0]
-    band = jax.device_put(jnp.asarray(band_np), dev)
+    band = make_bench_band(
+        BAND_H, CANVAS_W, host=os.environ.get("TIME_HOST_BAND") == "1"
+    )
     lqd = jax.device_put(jnp.asarray(lq, jnp.int32), dev)
     cqd = jax.device_put(jnp.asarray(cq, jnp.int32), dev)
     lutsd = {k: jax.device_put(v, dev) for k, v in luts.items()}
