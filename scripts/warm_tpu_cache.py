@@ -106,6 +106,39 @@ def main() -> None:
             .compile(),
         )
 
+    # 2b. The bench/sweep harness programs (scripts/time_device_groups.py,
+    # bench.py's jax_device_side row, sweep_device_params.py): RGBA band
+    # (the scripts skip the encoder's alpha strip), TIME_CAP_BITS default
+    # 3.0 bits/px, lw=12, and each merge strategy. Without these the
+    # driver's device-side row pays a cold compile inside its budget.
+    cap_g3 = max(64, (8 * CANVAS_W * 3 + 31) // 32)
+    for merge in ("segsum", "hybrid", "gather"):
+        timed(
+            f"bench groups band4 lw=12 cap=3bpp merge={merge}",
+            lambda merge=merge: jax.jit(
+                jpeg_encode_band_groups_trace,
+                static_argnames=(
+                    "n_groups", "cap_words", "use_pallas", "local_words",
+                    "merge",
+                ),
+            )
+            .lower(
+                band4, qt, qt, lut_specs, BAND_H // 8, cap_g3,
+                local_words=12, merge=merge,
+            )
+            .compile(),
+        )
+
+    # 2c. The on-device bench-band synthesizer (scripts/_device_bench_common
+    # .make_bench_band): KB-scale transfers depend on this compiling.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _device_bench_common import make_bench_band  # noqa: E402
+
+    timed(
+        f"bench band synth ({BAND_H}x{CANVAS_W})",
+        lambda: make_bench_band(BAND_H, CANVAS_W),
+    )
+
     # 3. PNG filter-select (XLA trace) at the png_out width
     raw = S((BAND_H, CANVAS_W * 4), jnp.uint8)
     prev = S((CANVAS_W * 4,), jnp.uint8)
