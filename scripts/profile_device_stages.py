@@ -17,7 +17,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -44,21 +43,12 @@ def main() -> None:
     ac_c = build_huffman_codes(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
     luts = ed.build_entropy_luts(dc_l, ac_l, dc_c, ac_c)
 
-    rng = np.random.default_rng(0)
-    base = np.linspace(0, 255, CANVAS_W, dtype=np.float32)
-    band_np = np.empty((BAND_H, CANVAS_W, 4), np.uint8)
-    band_np[..., 0] = base[None, :].astype(np.uint8)
-    band_np[..., 1] = 128
-    band_np[..., 2] = base[None, ::-1].astype(np.uint8)
-    band_np[..., 3] = 255
-    band_np[:, :, :3] = np.clip(
-        band_np[:, :, :3].astype(np.int16)
-        + rng.integers(-10, 11, (BAND_H, CANVAS_W, 3)),
-        0, 255,
-    ).astype(np.uint8)
+    from _device_bench_common import make_bench_band
 
     dev = jax.devices()[0]
-    band = jax.device_put(jnp.asarray(band_np), dev)
+    band = make_bench_band(
+        BAND_H, CANVAS_W, host=os.environ.get("TIME_HOST_BAND") == "1"
+    )
     lqd = jax.device_put(jnp.asarray(lq, jnp.int32), dev)
     cqd = jax.device_put(jnp.asarray(cq, jnp.int32), dev)
     lutsd = {k: jax.device_put(v, dev) for k, v in luts.items()}
@@ -66,6 +56,7 @@ def main() -> None:
     n_groups = BAND_H // 8
     cap_g = max(64, (8 * CANVAS_W * 3 + 31) // 32)
     local_words = int(os.environ.get("TIME_LOCAL_WORDS", "12"))
+    merge = os.environ.get("TIME_MERGE", "gather")
     mp = BAND_H * CANVAS_W / 1e6
 
     def upto_starts(band):
@@ -102,7 +93,8 @@ def main() -> None:
 
     def p_full(band):
         out = ed.jpeg_encode_band_groups_trace(
-            band, lqd, cqd, lutsd, n_groups, cap_g, local_words=local_words)
+            band, lqd, cqd, lutsd, n_groups, cap_g, local_words=local_words,
+            merge=merge)
         return jnp.sum(out[0]) + jnp.sum(out[1].astype(jnp.uint32))
 
     stages = [
@@ -110,7 +102,7 @@ def main() -> None:
         ("symbols", p_symbols),
         ("starts", p_starts),
         ("phase1", p_phase1),
-        ("full(merge)", p_full),
+        (f"full({merge})", p_full),
     ]
     prev = 0.0
     for name, fn in stages:
