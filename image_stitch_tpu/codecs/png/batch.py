@@ -30,17 +30,19 @@ def decompress_data(data: bytes) -> bytes:
         raise StitchError("Invalid zlib stream", exc) from exc
 
 
-def compress_data(data: bytes, level: int = 6) -> bytes:
+def compress_data(data: bytes, level: int = 6, filtered: bool = False) -> bytes:
     """Deflate a raw buffer (reference: compressData). Routes through the
     owned C++ deflate when the native tier is available (same wire format,
-    ~1.8-2.5x zlib at comparable ratio); zlib otherwise."""
+    ~1.8-2.5x zlib at comparable ratio); zlib otherwise. ``filtered``
+    selects the filtered-scanline matcher profile (callers compressing
+    filter residuals — see io/deflate.py)."""
     if 1 <= level <= 9:
         from ...native import native_deflater_available
 
         if native_deflater_available():
             from ...native import NativeDeflator
 
-            d = NativeDeflator(level)
+            d = NativeDeflator(level, filtered=filtered)
             d.compress(data)
             return d.finish()
     return zlib.compress(bytes(data), level)
@@ -84,7 +86,7 @@ def compress_image_data(
     payload = np.empty((rows.shape[0], 1 + rows.shape[1]), dtype=np.uint8)
     payload[:, 0] = types
     payload[:, 1:] = filtered
-    return compress_data(payload.tobytes(), level)
+    return compress_data(payload.tobytes(), level, filtered=True)
 
 
 def extract_pixel_data(png_data: bytes) -> np.ndarray:

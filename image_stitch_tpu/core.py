@@ -857,6 +857,10 @@ class CoreStreamingConcatenator:
             on_data=chunks.append,
             strategy=self.options.png_compression_strategy,
             pool=self._host_pool(),
+            # The IDAT stream is always filter residuals: the native tier's
+            # filtered-scanline matcher profile (+20% stage at zlib-6-parity
+            # size on this class; io/deflate.py) applies under "default".
+            content_hint="filtered_png",
         )
 
         def emit(pending) -> Iterator[bytes]:

@@ -22,8 +22,13 @@ class StreamingDeflator:
     Two tiers: the owned C++ deflate (stitchnative.cpp owned_deflate_batch —
     hash-chain lazy matcher, per-block dynamic Huffman, ~1.8x CPython zlib
     at a slightly better ratio on filtered-PNG data) handles the default
-    strategy at levels 1-9; zlib remains the tier for explicit strategies
-    (filtered/rle/huffman), level 0, and STITCH_TPU_NO_NATIVE fallback.
+    and filtered strategies at levels 1-9; zlib remains the tier for rle/
+    huffman, level 0, and STITCH_TPU_NO_NATIVE fallback. ``content_hint=
+    "filtered_png"`` (the PNG writer sets it) selects the native
+    filtered-scanline matcher profile under the default strategy — the
+    writer's input is always filter residuals, where the shallow-chain
+    profile measured +20% stage speed at zlib-6-parity size while costing
+    real ratio on text-like content (sweep_deflate_profile.py, round 4).
     Output framing is identical either way: zlib header, Z_SYNC_FLUSH
     batches, final block + Adler-32."""
 
@@ -34,6 +39,7 @@ class StreamingDeflator:
         on_data: Callable[[bytes], None] | None = None,
         strategy: str = "default",
         pool=None,
+        content_hint: str = "generic",
     ) -> None:
         strategies = {
             "default": zlib.Z_DEFAULT_STRATEGY,
@@ -45,7 +51,7 @@ class StreamingDeflator:
             raise ValueError(f"Unknown deflate strategy: {strategy}")
         self._obj = None
         self._native = None
-        if strategy == "default" and 1 <= level <= 9:
+        if strategy in ("default", "filtered") and 1 <= level <= 9:
             from ..native import native_deflater_available
 
             if native_deflater_available():
@@ -54,7 +60,11 @@ class StreamingDeflator:
                 # pool (host_threads): sync-flush batches compress
                 # concurrently, byte-identical output (pigz-style — each
                 # batch's dictionary is the previous batch's raw tail).
-                self._native = NativeDeflator(level, pool=pool)
+                self._native = NativeDeflator(
+                    level, pool=pool,
+                    filtered=(strategy == "filtered"
+                              or content_hint == "filtered_png"),
+                )
         if self._native is None:
             self._obj = zlib.compressobj(
                 level, zlib.DEFLATED, zlib.MAX_WBITS, 8, strategies[strategy]

@@ -858,11 +858,13 @@ class NativeDeflator:
     big-endian Adler-32 trailer (computed via zlib.adler32 on the Python
     side at C speed)."""
 
-    def __init__(self, level: int = 6, pool=None):
+    def __init__(self, level: int = 6, pool=None, filtered: bool = False):
         lib = get_native_lib()
         assert lib is not None
         self._lib = lib
-        self._level = level
+        # Bit 4 selects the C side's filtered-scanline profile (PNG writer
+        # content; see owned_deflate_batch) — level 4-6 only, no-op above.
+        self._level = level | (0x10 if filtered and level <= 6 else 0)
         # Pending input is kept as a chunk list and assembled ONCE into a
         # pooled contiguous buffer at submit time: the old bytearray
         # accretion + bytes() snapshot + hist-concat cost three extra

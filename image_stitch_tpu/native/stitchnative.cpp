@@ -3326,6 +3326,23 @@ typedef struct {
     int lazy_shift;  // chain budget >>= this on every lazy (second) search
 } DeflProfile;
 
+// Level-6 profile knobs, overridable at compile time for the interleaved
+// parameter sweep (scripts/sweep_deflate_profile.py builds variant .so's
+// with -D overrides). Defaults ARE the production profile — bytes change
+// only when a sweep result is promoted here.
+#ifndef DEFL_L6_CHAIN
+#define DEFL_L6_CHAIN 8
+#endif
+#ifndef DEFL_L6_MAXLAZY
+#define DEFL_L6_MAXLAZY 24
+#endif
+#ifndef DEFL_L6_NICE
+#define DEFL_L6_NICE 96
+#endif
+#ifndef DEFL_L6_LAZYSHIFT
+#define DEFL_L6_LAZYSHIFT 2
+#endif
+
 static DeflProfile defl_profile(int level) {
     DeflProfile p;
     // Tuned on filtered-PNG payloads: chain depth beyond ~16 costs speed
@@ -3346,7 +3363,7 @@ static DeflProfile defl_profile(int level) {
     // keep the zlib rule instead: quarter only when the match in hand is
     // already >= good.
     if (level <= 3) { p.max_chain = 4;   p.lazy = 1; p.max_lazy = 16;  p.good = 4;  p.nice = 32;  p.use_h3 = 0; p.lazy_shift = 2; }
-    else if (level <= 6) { p.max_chain = 8;   p.lazy = 1; p.max_lazy = 24;  p.good = 8;  p.nice = 96;  p.use_h3 = 0; p.lazy_shift = 2; }
+    else if (level <= 6) { p.max_chain = DEFL_L6_CHAIN; p.lazy = 1; p.max_lazy = DEFL_L6_MAXLAZY; p.good = 8; p.nice = DEFL_L6_NICE; p.use_h3 = 0; p.lazy_shift = DEFL_L6_LAZYSHIFT; }
     else { p.max_chain = 128; p.lazy = 1; p.max_lazy = 258; p.good = 32; p.nice = 258; p.use_h3 = 1; p.lazy_shift = 0; }
     return p;
 }
@@ -3612,7 +3629,17 @@ int64_t owned_deflate_batch(const uint8_t* buf, int64_t hist_len,
                             int64_t total_len, int is_final, int level,
                             uint8_t* out, int64_t out_cap, DeflScratch* s) {
     defl_init_tables();
+    // Bit 4 of `level` selects the FILTERED-SCANLINE profile (the PNG
+    // writer's content class: filter residuals, matches mostly one-row
+    // back). Interleaved sweep on that class (sweep_deflate_profile.py,
+    // round 4): chain 4 is +20% stage speed at +0.34% vs zlib-6 (the
+    // generic profile sits -2.7%), while on text chain 4 costs real
+    // ratio — so the generic API keeps the deeper chain and only the
+    // PNG writer opts in. Levels >= 7 (ratio profiles) ignore the flag.
+    int filtered = level & 0x10;
+    level &= 0xF;
     DeflProfile pf = defl_profile(level);
+    if (filtered && level >= 4 && level <= 6) pf.max_chain = 4;
     memset(s->head4, -1, sizeof s->head4);
     memset(s->head3, -1, sizeof s->head3);
     // prev entries are guarded by the min_pos window check; stale values
