@@ -89,9 +89,12 @@ def main() -> None:
         nz = v != 0
         pos = jnp.broadcast_to(jnp.arange(1, 64, dtype=jnp.int32), v.shape)
         if ablate == "cummax":
+            # Stub: no scan at all (bounds the whole scan's cost).
             prev_nz = pos - 1
             last_nz = jnp.full((v.shape[0],), 63, jnp.int32)
-        else:
+        elif ablate == "oldcummax":
+            # The pre-round-4 lax.cummax form (measured 3.06 ms of the
+            # 5.63 ms stage); production is the log-step scan below.
             marked = jnp.where(nz, pos, 0)
             incl_cummax = jax.lax.cummax(marked, axis=1)
             prev_nz = jnp.concatenate(
@@ -99,6 +102,8 @@ def main() -> None:
                 axis=1,
             )
             last_nz = incl_cummax[:, -1]
+        else:
+            _, prev_nz, last_nz = ed._prev_nonzero_scan(nz, pos)
 
         run = pos - prev_nz - 1
         asz = ed._bit_size(v, 11)
@@ -142,7 +147,7 @@ def main() -> None:
         codes = jnp.where(lens > 0, codes, jnp.uint32(0))
         return jnp.sum(codes) + jnp.sum(lens.astype(jnp.uint32))
 
-    variants = ["none", "aclut", "zz", "cummax", "dc"]
+    variants = ["none", "aclut", "zz", "cummax", "oldcummax", "dc"]
     fns = {
         a: jax.jit(lambda b, _a=a: symbols_variant(b, _a)) for a in variants
     }
