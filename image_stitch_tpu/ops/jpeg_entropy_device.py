@@ -1075,12 +1075,14 @@ class DeviceJpegEncoder:
                 "local_words", "merge",
             ),
         )
-        # Sticky merge strategy: gather (fast; bounded per-word overlap)
-        # until a band's content exceeds K_OVERLAP blocks per output word
-        # (tiny-block flat regions), then scatter-add (no bound, ~2x
-        # slower merge — still far cheaper than host-coding a band, which
-        # fetches the quantized blocks over the link).
-        self._merge_mode = "gather"
+        # Merge strategy: hybrid (one coverer gather round + a sorted
+        # scatter-add of starter words) is exact for ANY per-word overlap
+        # — no K_OVERLAP bound, so flat content never re-packs — and the
+        # fastest measured on v5e (10.4-11.4 ms vs gather 15.5 / segsum
+        # 29.7 per 4.2 MP band, round-4 interleaved sweep). gather/segsum
+        # remain selectable for A/B; overflow re-packs may still go
+        # sticky-segsum via the historical path (equally unbounded).
+        self._merge_mode = "hybrid"
         # Observed max group bits/px of recent bands drives the capacity
         # budget for the next submit (the merge scans the whole allocated
         # output, so a tight budget is a first-order device-time lever;

@@ -3,8 +3,10 @@
 
 Times cumulative prefixes (quantize -> symbols -> starts -> phase1 ->
 merge) so each stage's marginal cost is the difference of adjacent rows.
-NOTE: every row includes one ~25 ms dependent-fetch link round trip on the
-tunneled backend; marginals cancel it.
+Each prefix is measured as a PIPELINED marginal (1 dispatch vs N
+back-to-back dispatches, one dependent fetch each): the tunnel's ~25 ms
+round trip exceeds the whole program at 10-15 ms/band, so single-call
+timings are all latency (observed: negative stage marginals).
 
 Usage: python scripts/profile_device_stages.py [band_h] [canvas_w] [reps]
 """
@@ -56,7 +58,7 @@ def main() -> None:
     n_groups = BAND_H // 8
     cap_g = max(64, (8 * CANVAS_W * 3 + 31) // 32)
     local_words = int(os.environ.get("TIME_LOCAL_WORDS", "12"))
-    merge = os.environ.get("TIME_MERGE", "gather")
+    merge = os.environ.get("TIME_MERGE", "hybrid")
     mp = BAND_H * CANVAS_W / 1e6
 
     def upto_starts(band):
@@ -104,20 +106,32 @@ def main() -> None:
         ("phase1", p_phase1),
         (f"full({merge})", p_full),
     ]
+    n_pipe = int(os.environ.get("TIME_PIPE", "8"))
+
+    def run_n(jf, n):
+        out = None
+        for _ in range(n):
+            out = jf(band)
+        float(out)
+
     prev = 0.0
     for name, fn in stages:
         jf = jax.jit(fn)
         t0 = time.perf_counter()
         float(jf(band))
         compile_t = time.perf_counter() - t0
-        times = []
+        margs = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(jf(band))
-            times.append(time.perf_counter() - t0)
-        best = min(times)
+            run_n(jf, 1)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_n(jf, n_pipe)
+            tn = time.perf_counter() - t0
+            margs.append((tn - t1) / (n_pipe - 1))
+        best = min(margs)
         print(
-            f"{name:14s} cum {best * 1e3:7.1f} ms  marginal {(best - prev) * 1e3:7.1f} ms"
+            f"{name:14s} cum {best * 1e3:7.1f} ms  stage {(best - prev) * 1e3:7.1f} ms"
             f"  ({mp / best:6.1f} MP/s cum)  [compile {compile_t:.1f}s]",
             flush=True,
         )

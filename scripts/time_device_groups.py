@@ -64,7 +64,7 @@ def main() -> None:
     cap_g = max(64, (ri * 8 * CANVAS_W * cap_bits_x8 // 8 + 31) // 32)
     # Mirror the encoder's quality-scaled block budget (q85 -> 12 words).
     local_words = int(os.environ.get("TIME_LOCAL_WORDS", "12"))
-    merge = os.environ.get("TIME_MERGE", "segsum")
+    merge = os.environ.get("TIME_MERGE", "hybrid")
     fn = jax.jit(
         lambda *a: jpeg_encode_band_groups_trace(
             *a, local_words=local_words, merge=merge

@@ -226,14 +226,29 @@ def _stream_jpeg(backend, img, quality=85, tweak=None):
     return out, e._dev_encoder
 
 
-def test_groups_flat_content_repacks_on_device_segsum():
+def test_groups_flat_content_single_pass_hybrid():
     """Flat content packs tiny blocks (DC size-0 + EOB, ~6-7 bits), so >4
-    blocks share an output word and the gather merge's K_OVERLAP bound
-    fails. The encoder must RE-PACK on-device with the scatter-add merge
-    (bit-equivalent, no overlap bound) — not host-code — and flip the
-    sticky merge mode for subsequent bands."""
+    blocks share an output word. The default hybrid merge is exact for
+    any per-word overlap, so the band packs in ONE dispatch — no re-pack,
+    merge mode unchanged."""
     img = np.full((32, 128, 4), 128, np.uint8)
     dev_bytes, dev_enc = _stream_jpeg("jax", img)
+    host_bytes, _ = _stream_jpeg("numpy", img)
+    assert dev_bytes == host_bytes
+    assert dev_enc is not None and dev_enc._merge_mode == "hybrid"
+
+
+def test_groups_flat_content_repacks_on_device_segsum():
+    """With the gather merge forced (bounded per-word overlap), flat
+    content exceeds K_OVERLAP and the encoder must RE-PACK on-device with
+    the scatter-add merge (bit-equivalent, no overlap bound) — not
+    host-code — and flip the sticky merge mode for subsequent bands."""
+    img = np.full((32, 128, 4), 128, np.uint8)
+
+    def force_gather(enc):
+        enc._merge_mode = "gather"
+
+    dev_bytes, dev_enc = _stream_jpeg("jax", img, tweak=force_gather)
     host_bytes, _ = _stream_jpeg("numpy", img)
     assert dev_bytes == host_bytes
     assert dev_enc is not None and dev_enc._merge_mode == "segsum"
