@@ -599,8 +599,21 @@ def _decode_scan_native(
 def _finish_decode(width, height, comps, qtables) -> np.ndarray:
     """Dequantize + IDCT + upsample + color-convert, bit-identical to
     libjpeg (islow IDCT, fancy upsampling, fixed-point YCbCr->RGB — see
-    codecs/jpeg/libjpeg_exact.py). Vectorized over all blocks."""
+    codecs/jpeg/libjpeg_exact.py). The C++ tier runs the dequant+IDCT and
+    the color convert (same int64 ops and tables — bit-identical, ~20x:
+    the numpy tier's int64 multiplies don't SIMD); numpy is the fallback
+    and stays the oracle in tests."""
     from .libjpeg_exact import idct_islow_blocks, upsample_plane, ycc_to_rgb
+
+    try:
+        from ...native import (
+            jpeg_fancy_upsample_native,
+            jpeg_idct_plane_native,
+            jpeg_ycc_rgb_native,
+        )
+    except ImportError:  # pragma: no cover
+        jpeg_idct_plane_native = jpeg_ycc_rgb_native = lambda *a: None
+        jpeg_fancy_upsample_native = lambda *a: None
 
     vmax = max(c.v for c in comps)
     hmax = max(c.h for c in comps)
@@ -609,20 +622,27 @@ def _finish_decode(width, height, comps, qtables) -> np.ndarray:
         q = qtables.get(c.tq)
         if q is None:
             raise StitchError(f"Missing quantization table {c.tq}")
-        coefs = (c.blocks.astype(np.int64) * q[None, :]).reshape(-1, 8, 8)
-        pix = idct_islow_blocks(coefs)
-        plane = (
-            pix.reshape(c.by, c.bx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(c.by * 8, c.bx * 8)
-        )
+        plane = jpeg_idct_plane_native(c.blocks, q, c.by, c.bx)
+        if plane is None:
+            coefs = (c.blocks.astype(np.int64) * q[None, :]).reshape(-1, 8, 8)
+            pix = idct_islow_blocks(coefs)
+            plane = (
+                pix.reshape(c.by, c.bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(c.by * 8, c.bx * 8)
+            )
         # Crop to the component's real (downsampled) size before upsampling:
         # libjpeg's fancy filters replicate at the true edge, not the MCU
         # padding (jdsample.c uses downsampled_width).
         comp_w = -(-width * c.h // hmax)
         comp_h = -(-height * c.v // vmax)
         plane = plane[:comp_h, :comp_w]
-        plane = upsample_plane(plane, hmax // c.h, vmax // c.v)
+        h_exp, v_exp = hmax // c.h, vmax // c.v
+        if h_exp != 1 or v_exp != 1:
+            up = jpeg_fancy_upsample_native(plane, h_exp, v_exp)
+            plane = up if up is not None else upsample_plane(
+                plane, h_exp, v_exp
+            )
         planes.append(plane[:height, :width])
 
     if len(planes) == 1:
@@ -630,4 +650,7 @@ def _finish_decode(width, height, comps, qtables) -> np.ndarray:
         return np.stack([g, g, g], axis=-1)
     if len(planes) != 3:
         raise StitchError(f"Unsupported JPEG component count: {len(planes)}")
+    rgb = jpeg_ycc_rgb_native(planes[0], planes[1], planes[2])
+    if rgb is not None:
+        return rgb
     return ycc_to_rgb(planes[0], planes[1], planes[2])

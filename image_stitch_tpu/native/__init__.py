@@ -205,6 +205,26 @@ def get_native_lib():
     for fn in (lib.stitch_rgb_to_rgba, lib.stitch_gray_to_rgba):
         fn.restype = None
         fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.jpeg_idct_plane.restype = None
+    lib.jpeg_idct_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.jpeg_ycc_rgb.restype = None
+    lib.jpeg_ycc_rgb.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    for name in ("jpeg_h2v1_upsample", "jpeg_h2v2_upsample"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
     _LIB = lib
     return _LIB
 
@@ -239,6 +259,107 @@ def expand_to_rgba_native(src: np.ndarray, channels: int) -> np.ndarray | None:
     out = np.empty((n_px, 4), dtype=np.uint8)
     fn = lib.stitch_rgb_to_rgba if channels == 3 else lib.stitch_gray_to_rgba
     fn(src.ctypes.data, out.ctypes.data, n_px)
+    return out
+
+
+# ------------------------------------------------------------------------- #
+# JPEG decode finish binding (dequant+IDCT plane, YCbCr->RGB)
+# ------------------------------------------------------------------------- #
+
+_JPEG_DEC_TABLES: tuple | None = None
+
+
+def _jpeg_decode_tables() -> tuple:
+    """The libjpeg range-limit / color tables, passed to C so there is one
+    table definition (codecs/jpeg/libjpeg_exact.py builds them)."""
+    global _JPEG_DEC_TABLES
+    if _JPEG_DEC_TABLES is None:
+        from ..codecs.jpeg import libjpeg_exact as le
+
+        _JPEG_DEC_TABLES = (
+            np.ascontiguousarray(le._POST_IDCT, dtype=np.uint8),
+            np.ascontiguousarray(le._CC_CLAMP, dtype=np.uint8),
+            np.ascontiguousarray(le._CR_R, dtype=np.int32),
+            np.ascontiguousarray(le._CB_B, dtype=np.int32),
+            np.ascontiguousarray(le._CR_G, dtype=np.int32),
+            np.ascontiguousarray(le._CB_G, dtype=np.int32),
+        )
+    return _JPEG_DEC_TABLES
+
+
+def jpeg_idct_plane_native(
+    blocks: np.ndarray, qtab: np.ndarray, by: int, bx: int
+) -> np.ndarray | None:
+    """Dequantize + islow-IDCT a component's (by*bx, 64) natural-order
+    coefficient blocks straight into a (by*8, bx*8) uint8 plane.
+    Bit-identical to the numpy tier (same int64 ops, same tables); None
+    when the native tier is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(blocks, dtype=np.int32)
+    q = np.ascontiguousarray(qtab, dtype=np.int32)
+    post = _jpeg_decode_tables()[0]
+    plane = np.empty((by * 8, bx * 8), dtype=np.uint8)
+    lib.jpeg_idct_plane(
+        b.ctypes.data, q.ctypes.data, by, bx, post.ctypes.data,
+        plane.ctypes.data,
+    )
+    return plane
+
+
+def _row_strided_u8(a: np.ndarray) -> np.ndarray:
+    """Accept uint8 arrays that are only ROW-strided (cropped views —
+    contiguous within each row); anything else gets one copy."""
+    if a.dtype == np.uint8 and a.ndim == 2 and a.strides[1] == 1:
+        return a
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def jpeg_ycc_rgb_native(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> np.ndarray | None:
+    """Fixed-point YCbCr->RGB over full-resolution uint8 planes (cropped
+    row-strided views convert copy-free); returns (h, w, 3) uint8 or None
+    when the native tier is unavailable."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    yv = _row_strided_u8(y)
+    cbv = _row_strided_u8(cb)
+    crv = _row_strided_u8(cr)
+    _, clamp, cr_r, cb_b, cr_g, cb_g = _jpeg_decode_tables()
+    h, w = yv.shape
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    lib.jpeg_ycc_rgb(
+        yv.ctypes.data, cbv.ctypes.data, crv.ctypes.data, h, w,
+        yv.strides[0], cbv.strides[0], crv.strides[0],
+        cr_r.ctypes.data, cb_b.ctypes.data, cr_g.ctypes.data,
+        cb_g.ctypes.data, clamp.ctypes.data, out.ctypes.data,
+    )
+    return out
+
+
+def jpeg_fancy_upsample_native(
+    plane: np.ndarray, h_expand: int, v_expand: int
+) -> np.ndarray | None:
+    """Triangular-filter chroma upsample (jdsample.c h2v1/h2v2 fancy),
+    bit-identical to the numpy tier; None when unavailable or the ratio
+    has no fancy filter (caller falls back to replication/numpy)."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    if (h_expand, v_expand) == (2, 1):
+        fn = lib.jpeg_h2v1_upsample
+        oshape = (plane.shape[0], plane.shape[1] * 2)
+    elif (h_expand, v_expand) == (2, 2):
+        fn = lib.jpeg_h2v2_upsample
+        oshape = (plane.shape[0] * 2, plane.shape[1] * 2)
+    else:
+        return None
+    p = _row_strided_u8(plane)
+    out = np.empty(oshape, dtype=np.uint8)
+    fn(p.ctypes.data, p.shape[0], p.shape[1], p.strides[0], out.ctypes.data)
     return out
 
 

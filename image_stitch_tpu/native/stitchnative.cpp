@@ -3956,3 +3956,205 @@ void stitch_gray_to_rgba(const uint8_t* g, uint8_t* rgba, int64_t n_px) {
 }
 
 }  // extern "C" (checksums)
+
+// ===========================================================================
+// JPEG decode finish: dequantize + integer islow IDCT with direct plane
+// writes, and fixed-point YCbCr->RGB. Exact int64 mirror of the numpy tier
+// (codecs/jpeg/libjpeg_exact.py — itself jidctint.c/jdcolor.c semantics,
+// reference parity target: jpeg-decoder.ts's jpeg-js fallback). Every
+// arithmetic step matches the numpy ops (int64 products, round-half
+// DESCALE, &1023 post-IDCT range mask) so the tiers are bit-identical by
+// construction; the lookup tables are PASSED IN from the Python module so
+// there is exactly one table definition.
+// ===========================================================================
+
+extern "C" {
+
+static inline int64_t jdescale(int64_t x, int n) {
+    return (x + ((int64_t)1 << (n - 1))) >> n;
+}
+
+// One dequant+IDCT block: b = 64 natural-order int32 coefficients,
+// q = 64 int32 quantizer steps, post = the 1024-entry post-IDCT range
+// table, out = top-left sample of this block in a plane of `ostride`
+// bytes per row.
+static void jpeg_idct_islow_block(const int32_t* b, const int32_t* q,
+                                  const uint8_t* post, uint8_t* out,
+                                  int64_t ostride) {
+    int64_t ws[64];
+    // Column pass (CONST_BITS=13, PASS1_BITS=2).
+    for (int c = 0; c < 8; ++c) {
+        const int64_t i0 = (int64_t)b[0 * 8 + c] * q[0 * 8 + c];
+        const int64_t i1 = (int64_t)b[1 * 8 + c] * q[1 * 8 + c];
+        const int64_t i2 = (int64_t)b[2 * 8 + c] * q[2 * 8 + c];
+        const int64_t i3 = (int64_t)b[3 * 8 + c] * q[3 * 8 + c];
+        const int64_t i4 = (int64_t)b[4 * 8 + c] * q[4 * 8 + c];
+        const int64_t i5 = (int64_t)b[5 * 8 + c] * q[5 * 8 + c];
+        const int64_t i6 = (int64_t)b[6 * 8 + c] * q[6 * 8 + c];
+        const int64_t i7 = (int64_t)b[7 * 8 + c] * q[7 * 8 + c];
+
+        int64_t z1 = (i2 + i6) * 4433;           // FIX_0_541196100
+        int64_t tmp2 = z1 - i6 * 15137;          // FIX_1_847759065
+        int64_t tmp3 = z1 + i2 * 6270;           // FIX_0_765366865
+        int64_t tmp0 = (i0 + i4) << 13;
+        int64_t tmp1 = (i0 - i4) << 13;
+        int64_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+        int64_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+        int64_t t0 = i7, t1 = i5, t2 = i3, t3 = i1;
+        z1 = t0 + t3;
+        int64_t z2 = t1 + t2;
+        int64_t z3 = t0 + t2;
+        int64_t z4 = t1 + t3;
+        int64_t z5 = (z3 + z4) * 9633;           // FIX_1_175875602
+        t0 *= 2446;                               // FIX_0_298631336
+        t1 *= 16819;                              // FIX_2_053119869
+        t2 *= 25172;                              // FIX_3_072711026
+        t3 *= 12299;                              // FIX_1_501321110
+        z1 *= -7373;                              // -FIX_0_899976223
+        z2 *= -20995;                             // -FIX_2_562915447
+        z3 = z3 * -16069 + z5;                    // -FIX_1_961570560
+        z4 = z4 * -3196 + z5;                     // -FIX_0_390180644
+        t0 += z1 + z3;
+        t1 += z2 + z4;
+        t2 += z2 + z3;
+        t3 += z1 + z4;
+
+        ws[0 * 8 + c] = jdescale(tmp10 + t3, 11);
+        ws[7 * 8 + c] = jdescale(tmp10 - t3, 11);
+        ws[1 * 8 + c] = jdescale(tmp11 + t2, 11);
+        ws[6 * 8 + c] = jdescale(tmp11 - t2, 11);
+        ws[2 * 8 + c] = jdescale(tmp12 + t1, 11);
+        ws[5 * 8 + c] = jdescale(tmp12 - t1, 11);
+        ws[3 * 8 + c] = jdescale(tmp13 + t0, 11);
+        ws[4 * 8 + c] = jdescale(tmp13 - t0, 11);
+    }
+    // Row pass (descale CONST_BITS+PASS1_BITS+3 = 18) + range limit.
+    for (int r = 0; r < 8; ++r) {
+        const int64_t* w = ws + r * 8;
+        int64_t z1 = (w[2] + w[6]) * 4433;
+        int64_t tmp2 = z1 - w[6] * 15137;
+        int64_t tmp3 = z1 + w[2] * 6270;
+        int64_t tmp0 = (w[0] + w[4]) << 13;
+        int64_t tmp1 = (w[0] - w[4]) << 13;
+        int64_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+        int64_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+        int64_t t0 = w[7], t1 = w[5], t2 = w[3], t3 = w[1];
+        z1 = t0 + t3;
+        int64_t z2 = t1 + t2;
+        int64_t z3 = t0 + t2;
+        int64_t z4 = t1 + t3;
+        int64_t z5 = (z3 + z4) * 9633;
+        t0 *= 2446;
+        t1 *= 16819;
+        t2 *= 25172;
+        t3 *= 12299;
+        z1 *= -7373;
+        z2 *= -20995;
+        z3 = z3 * -16069 + z5;
+        z4 = z4 * -3196 + z5;
+        t0 += z1 + z3;
+        t1 += z2 + z4;
+        t2 += z2 + z3;
+        t3 += z1 + z4;
+
+        uint8_t* o = out + r * ostride;
+        o[0] = post[(uint64_t)(jdescale(tmp10 + t3, 18)) & 1023];
+        o[7] = post[(uint64_t)(jdescale(tmp10 - t3, 18)) & 1023];
+        o[1] = post[(uint64_t)(jdescale(tmp11 + t2, 18)) & 1023];
+        o[6] = post[(uint64_t)(jdescale(tmp11 - t2, 18)) & 1023];
+        o[2] = post[(uint64_t)(jdescale(tmp12 + t1, 18)) & 1023];
+        o[5] = post[(uint64_t)(jdescale(tmp12 - t1, 18)) & 1023];
+        o[3] = post[(uint64_t)(jdescale(tmp13 + t0, 18)) & 1023];
+        o[4] = post[(uint64_t)(jdescale(tmp13 - t0, 18)) & 1023];
+    }
+}
+
+// Whole component plane: blocks (by*bx, 64) natural-order int32, written
+// as (by*8, bx*8) uint8 samples directly (no block-array staging or
+// transpose copies — the numpy tier pays both).
+void jpeg_idct_plane(const int32_t* blocks, const int32_t* qtab,
+                     int64_t by, int64_t bx, const uint8_t* post,
+                     uint8_t* plane) {
+    const int64_t stride = bx * 8;
+    for (int64_t r = 0; r < by; ++r)
+        for (int64_t c = 0; c < bx; ++c)
+            jpeg_idct_islow_block(blocks + ((r * bx + c) << 6), qtab, post,
+                                  plane + r * 8 * stride + c * 8, stride);
+}
+
+// Fixed-point YCbCr->RGB (jdcolor.c SCALEBITS=16 tables, passed in as
+// int32; clamp = the 1408-entry range table, indexed value+256). Row
+// strides are in bytes so cropped plane views convert copy-free.
+void jpeg_ycc_rgb(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
+                  int64_t h, int64_t w,
+                  int64_t sy, int64_t scb, int64_t scr,
+                  const int32_t* cr_r, const int32_t* cb_b,
+                  const int32_t* cr_g, const int32_t* cb_g,
+                  const uint8_t* clamp, uint8_t* rgb) {
+    for (int64_t r = 0; r < h; ++r) {
+        const uint8_t* yr = y + r * sy;
+        const uint8_t* cbr = cb + r * scb;
+        const uint8_t* crr = cr + r * scr;
+        uint8_t* o = rgb + r * w * 3;
+        for (int64_t i = 0; i < w; ++i) {
+            const int32_t yv = yr[i];
+            const int32_t cbv = cbr[i];
+            const int32_t crv = crr[i];
+            o[3 * i + 0] = clamp[yv + cr_r[crv] + 256];
+            o[3 * i + 1] = clamp[yv + ((cb_g[cbv] + cr_g[crv]) >> 16) + 256];
+            o[3 * i + 2] = clamp[yv + cb_b[cbv] + 256];
+        }
+    }
+}
+
+// Fancy (triangular) chroma upsamplers, exact mirrors of jdsample.c /
+// libjpeg_exact.py. Input plane (h, w) with row stride `sp` bytes.
+// h2v1: out (h, 2w); h2v2: out (2h, 2w), both C-contiguous.
+void jpeg_h2v1_upsample(const uint8_t* p, int64_t h, int64_t w, int64_t sp,
+                        uint8_t* out) {
+    for (int64_t r = 0; r < h; ++r) {
+        const uint8_t* in = p + r * sp;
+        uint8_t* o = out + r * 2 * w;
+        for (int64_t c = 0; c < w; ++c) {
+            const int32_t v3 = in[c] * 3;
+            const int32_t left = in[c > 0 ? c - 1 : 0];
+            const int32_t right = in[c < w - 1 ? c + 1 : w - 1];
+            o[2 * c] = (uint8_t)((v3 + left + 1) >> 2);
+            o[2 * c + 1] = (uint8_t)((v3 + right + 2) >> 2);
+        }
+        o[0] = in[0];
+        o[2 * w - 1] = in[w - 1];
+    }
+}
+
+void jpeg_h2v2_upsample(const uint8_t* p, int64_t h, int64_t w, int64_t sp,
+                        uint8_t* out) {
+    for (int64_t r = 0; r < h; ++r) {
+        const uint8_t* in = p + r * sp;
+        const uint8_t* up = p + (r > 0 ? r - 1 : 0) * sp;
+        const uint8_t* dn = p + (r < h - 1 ? r + 1 : h - 1) * sp;
+        for (int phase = 0; phase < 2; ++phase) {
+            const uint8_t* adj = phase == 0 ? up : dn;
+            uint8_t* o = out + (r * 2 + phase) * 2 * w;
+            // colsum[c] = in[c]*3 + adj[c]; edges replicate colsum.
+            int32_t cs_prev = in[0] * 3 + adj[0];
+            int32_t cs = cs_prev;
+            for (int64_t c = 0; c < w; ++c) {
+                const int32_t cs_next =
+                    c < w - 1 ? in[c + 1] * 3 + adj[c + 1] : cs;
+                o[2 * c] = (uint8_t)((cs * 3 + cs_prev + 8) >> 4);
+                o[2 * c + 1] = (uint8_t)((cs * 3 + cs_next + 7) >> 4);
+                cs_prev = cs;
+                cs = cs_next;
+            }
+            const int32_t cs0 = in[0] * 3 + adj[0];
+            const int32_t csl = in[w - 1] * 3 + adj[w - 1];
+            o[0] = (uint8_t)((cs0 * 4 + 8) >> 4);
+            o[2 * w - 1] = (uint8_t)((csl * 4 + 7) >> 4);
+        }
+    }
+}
+
+}  // extern "C" (jpeg decode finish)
