@@ -1902,16 +1902,37 @@ typedef struct {
     uint8_t vals[256];
 } HuffDecTable;
 
+// Buffered MSB-first bit reader: up to 64 bits live in `bb` (next bit is
+// bit n-1). The refill prefetches WHOLE bytes only and never consumes a
+// marker (0xFF followed by non-zero): it pins `pos` at the marker and
+// feeds zero bits, which reproduces the byte-serial reader's semantics
+// (T.81 segment-end zero feed) while allowing 8-byte bulk refills on the
+// fast path (SWAR scan proves no 0xFF in the next 8 bytes).
 typedef struct {
     const uint8_t* data;
     int64_t len;
     int64_t pos;
-    uint32_t val;
+    uint64_t bb;
     int n;
 } BitReader;
 
-static int br_bit(BitReader* br) {
-    if (br->n == 0) {
+static inline void br_fill(BitReader* br) {
+    if (br->n > 56) return;
+    if (br->pos + 8 <= br->len) {
+        uint64_t be;
+        memcpy(&be, br->data + br->pos, 8);
+        // any byte == 0xFF?  (haszero over be ^ 0xFF...)
+        uint64_t x = be ^ 0xFFFFFFFFFFFFFFFFull;
+        if (!((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull)) {
+            const int m = (64 - br->n) >> 3;  // >= 1 bytes to insert
+            be = __builtin_bswap64(be);
+            br->bb = (br->bb << (m * 8)) | (be >> (64 - m * 8));
+            br->n += m * 8;
+            br->pos += m;
+            return;
+        }
+    }
+    while (br->n <= 56) {
         uint8_t b = 0;
         if (br->pos < br->len) {
             b = br->data[br->pos];
@@ -1921,28 +1942,29 @@ static int br_bit(BitReader* br) {
                 if (nxt == 0x00) {
                     br->pos += 2;
                 } else {
-                    // Marker: feed zeros, don't consume.
-                    b = 0;
+                    b = 0;  // Marker: feed zeros, don't consume.
                 }
             } else {
                 br->pos += 1;
             }
         }
-        br->val = b;
-        br->n = 8;
+        br->bb = (br->bb << 8) | b;
+        br->n += 8;
     }
-    br->n -= 1;
-    return (br->val >> br->n) & 1;
 }
 
-static int br_bits(BitReader* br, int count) {
-    int v = 0;
-    for (int i = 0; i < count; ++i) v = (v << 1) | br_bit(br);
-    return v;
+// Caller must have >= count bits buffered (br_fill guarantees >= 57).
+static inline int br_take(BitReader* br, int count) {
+    if (count == 0) return 0;
+    br->n -= count;
+    return (int)((br->bb >> br->n) & ((1u << count) - 1));
 }
 
 static int br_sync_restart(BitReader* br) {
-    br->val = 0;
+    // Discard buffered bits; `pos` never passes a marker (see br_fill),
+    // so scanning forward from it finds the same restart marker the
+    // byte-serial reader would.
+    br->bb = 0;
     br->n = 0;
     while (br->pos + 1 < br->len) {
         if (br->data[br->pos] == 0xFF && br->data[br->pos + 1] >= 0xD0 &&
@@ -1955,14 +1977,46 @@ static int br_sync_restart(BitReader* br) {
     return -1;
 }
 
-static int huff_decode(BitReader* br, const HuffDecTable* t) {
-    int code = br_bit(br);
-    for (int length = 1; length <= 16; ++length) {
+// First-level 8-bit Huffman LUT: lut[peek8] = (symbol << 8) | code_len
+// for codes of length <= 8 (>=99% of symbols on standard tables), 0 for
+// longer codes (slow canonical walk). Built per scan from the same
+// HuffDecTable the Python tier uses.
+typedef struct {
+    uint16_t lut[256];
+} HuffFastLut;
+
+static void build_fast_lut(const HuffDecTable* t, HuffFastLut* f) {
+    memset(f->lut, 0, sizeof(f->lut));
+    for (int length = 1; length <= 8; ++length) {
+        if (t->max_code[length] < 0) continue;
+        for (int32_t code = t->min_code[length]; code <= t->max_code[length];
+             ++code) {
+            int sym = t->vals[t->val_ptr[length] + code - t->min_code[length]];
+            int lo = code << (8 - length);
+            int hi = lo + (1 << (8 - length));
+            for (int idx = lo; idx < hi; ++idx)
+                f->lut[idx] = (uint16_t)((sym << 8) | length);
+        }
+    }
+}
+
+// Caller must have >= 16 bits buffered.
+static inline int huff_decode(BitReader* br, const HuffDecTable* t,
+                              const HuffFastLut* f) {
+    const int peek8 = (int)((br->bb >> (br->n - 8)) & 0xFF);
+    const uint16_t e = f->lut[peek8];
+    if (e) {
+        br->n -= e & 0xFF;
+        return e >> 8;
+    }
+    int code = peek8;
+    br->n -= 8;
+    for (int length = 9; length <= 16; ++length) {
+        code = (code << 1) | (int)((br->bb >> --br->n) & 1);
         if (t->max_code[length] >= 0 && code <= t->max_code[length] &&
             code >= t->min_code[length]) {
             return t->vals[t->val_ptr[length] + code - t->min_code[length]];
         }
-        code = (code << 1) | br_bit(br);
     }
     return -1;
 }
@@ -1986,6 +2040,15 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
     BitReader br = {data, data_len, 0, 0, 0};
     int64_t mcu_count = 0;
 
+    HuffFastLut dc_luts[4], ac_luts[4];
+    int built_dc[4] = {0, 0, 0, 0}, built_ac[4] = {0, 0, 0, 0};
+    for (int c = 0; c < n_comps; ++c) {
+        const int d = dc_sel[c], a = ac_sel[c];
+        if (d < 0 || d > 3 || a < 0 || a > 3) return -6;
+        if (!built_dc[d]) { build_fast_lut(dc_tables + d, &dc_luts[d]); built_dc[d] = 1; }
+        if (!built_ac[a]) { build_fast_lut(ac_tables + a, &ac_luts[a]); built_ac[a] = 1; }
+    }
+
     for (int my = 0; my < mcuy; ++my) {
         for (int mx = 0; mx < mcux; ++mx) {
             if (restart_interval && mcu_count &&
@@ -1996,20 +2059,25 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
             for (int c = 0; c < n_comps; ++c) {
                 const HuffDecTable* dct = dc_tables + dc_sel[c];
                 const HuffDecTable* act = ac_tables + ac_sel[c];
+                const HuffFastLut* dcf = &dc_luts[dc_sel[c]];
+                const HuffFastLut* acf = &ac_luts[ac_sel[c]];
                 for (int v = 0; v < comp_v[c]; ++v) {
                     for (int h = 0; h < comp_h[c]; ++h) {
                         int bx = mx * comp_h[c] + h;
                         int by = my * comp_v[c] + v;
                         int32_t* blk =
                             blocks_c[c] + ((int64_t)by * comp_bx[c] + bx) * 64;
-                        int s = huff_decode(&br, dct);
-                        if (s < 0) return -3;
-                        int diff = extend_val(br_bits(&br, s), s);
+                        // One fill covers code (<=16) + magnitude (<=16).
+                        br_fill(&br);
+                        int s = huff_decode(&br, dct, dcf);
+                        if (s < 0 || s > 16) return -3;
+                        int diff = extend_val(br_take(&br, s), s);
                         preds[c] += diff;
                         blk[0] = preds[c];
                         int k = 1;
                         while (k < 64) {
-                            int rs = huff_decode(&br, act);
+                            br_fill(&br);
+                            int rs = huff_decode(&br, act, acf);
                             if (rs < 0) return -4;
                             int r = rs >> 4, size = rs & 0x0F;
                             if (size == 0) {
@@ -2018,7 +2086,7 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
                             }
                             k += r;
                             if (k > 63) return -5;
-                            blk[kZigzag[k]] = extend_val(br_bits(&br, size), size);
+                            blk[kZigzag[k]] = extend_val(br_take(&br, size), size);
                             k += 1;
                         }
                     }
