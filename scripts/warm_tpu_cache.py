@@ -96,12 +96,13 @@ def main() -> None:
             lambda n_groups=n_groups, cap_g=cap_g, lw=lw: jax.jit(
                 jpeg_encode_band_groups_trace,
                 static_argnames=(
-                    "n_groups", "cap_words", "use_pallas", "local_words"
+                    "n_groups", "cap_words", "use_pallas", "local_words",
+                    "merge",
                 ),
             )
             .lower(
                 band, qt, qt, lut_specs, n_groups, cap_g,
-                local_words=lw,
+                local_words=lw, merge="hybrid",  # production default
             )
             .compile(),
         )
