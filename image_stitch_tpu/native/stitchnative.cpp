@@ -2067,8 +2067,11 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
                         int by = my * comp_v[c] + v;
                         int32_t* blk =
                             blocks_c[c] + ((int64_t)by * comp_bx[c] + bx) * 64;
-                        // One fill covers code (<=16) + magnitude (<=16).
-                        br_fill(&br);
+                        // 32 buffered bits cover code (<=16) +
+                        // magnitude (<=16); refilling only below that
+                        // halves refill frequency (bulk refills insert
+                        // up to 7 bytes each).
+                        if (br.n < 32) br_fill(&br);
                         int s = huff_decode(&br, dct, dcf);
                         if (s < 0 || s > 16) return -3;
                         int diff = extend_val(br_take(&br, s), s);
@@ -2076,7 +2079,7 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
                         blk[0] = preds[c];
                         int k = 1;
                         while (k < 64) {
-                            br_fill(&br);
+                            if (br.n < 32) br_fill(&br);
                             int rs = huff_decode(&br, act, acf);
                             if (rs < 0) return -4;
                             int r = rs >> 4, size = rs & 0x0F;
