@@ -389,7 +389,16 @@ def _decode_progressive_scan(
     """Decode one progressive scan into the components' coefficient arrays
     (T.81 G.2: DC/AC first scans and successive-approximation refinements;
     structure mirrors libjpeg jdphuff.c). Returns the stream position of the
-    marker following the scan."""
+    marker following the scan.
+
+    The C++ tier (jpeg_decode_progressive_scan, same buffered reader as
+    the baseline scan) runs the scan when available; this Python body is
+    the fallback and parity oracle (fuzzed against it)."""
+    if _decode_progressive_scan_native(
+        data, scan_start, width, height, comps, order,
+        dc_tables, ac_tables, restart_interval, ss, se, ah, al,
+    ):
+        return _next_marker_pos(data, scan_start)
     br = _BitReader(data, scan_start)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -542,6 +551,71 @@ def _decode_progressive_scan(
                 unit_count += 1
 
     return _next_marker_pos(data, scan_start)
+
+
+def _decode_progressive_scan_native(
+    data, scan_start, width, height, comps, order,
+    dc_tables, ac_tables, restart_interval, ss, se, ah, al,
+) -> bool:
+    """Run one progressive scan through the C++ tier; False -> python
+    fallback (native tier absent, >4 scan components, or a Huffman table
+    the scan needs is missing — the Python body raises the precise
+    diagnostic)."""
+    try:
+        from ...native import (
+            HuffDecTableC,
+            jpeg_decode_progressive_scan_native,
+            make_huff_dec_table,
+            native_available,
+        )
+
+        if not native_available() or len(order) > 4:
+            return False
+        if ss == 0 and ah == 0:
+            for c in order:
+                if c.td not in dc_tables:
+                    return False
+        if ss > 0:
+            if len(order) != 1 or order[0].ta not in ac_tables:
+                return False
+        dc_slots = [HuffDecTableC() for _ in range(4)]
+        ac_slots = [HuffDecTableC() for _ in range(4)]
+        for idx, t in dc_tables.items():
+            if 0 <= idx < 4:
+                dc_slots[idx] = make_huff_dec_table(
+                    t.min_code, t.max_code, t.val_ptr, t.vals
+                )
+        for idx, t in ac_tables.items():
+            if 0 <= idx < 4:
+                ac_slots[idx] = make_huff_dec_table(
+                    t.min_code, t.max_code, t.val_ptr, t.vals
+                )
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        interleaved = ss == 0 and (len(order) > 1 or len(comps) == 1)
+        geo = []
+        blocks = []
+        for c in order:
+            comp_w = -(-width * c.h // hmax)
+            comp_h = -(-height * c.v // vmax)
+            geo.append((c.h, c.v, c.bx, -(-comp_w // 8), -(-comp_h // 8)))
+            if not (
+                isinstance(c.blocks, np.ndarray)
+                and c.blocks.dtype == np.int32
+                and c.blocks.flags.c_contiguous
+            ):  # pragma: no cover - blocks are always np.zeros int32
+                return False
+            blocks.append(c.blocks)
+        return jpeg_decode_progressive_scan_native(
+            bytes(data), scan_start, geo, dc_slots, ac_slots,
+            [c.td for c in order], [c.ta for c in order],
+            mcux, mcuy, restart_interval, interleaved, ss, se, ah, al,
+            blocks,
+        )
+    except ImportError:  # pragma: no cover
+        return False
 
 
 def _decode_scan_native(

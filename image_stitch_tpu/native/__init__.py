@@ -205,6 +205,17 @@ def get_native_lib():
     for fn in (lib.stitch_rgb_to_rgba, lib.stitch_gray_to_rgba):
         fn.restype = None
         fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.jpeg_decode_progressive_scan.restype = ctypes.c_int
+    lib.jpeg_decode_progressive_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(HuffDecTableC), ctypes.POINTER(HuffDecTableC),
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.jpeg_idct_plane.restype = None
     lib.jpeg_idct_plane.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -492,6 +503,53 @@ def jpeg_decode_scan_native(
         from ..errors import StitchError
 
         raise StitchError(f"JPEG scan decode failed (native rc={rc})")
+    return True
+
+
+def jpeg_decode_progressive_scan_native(
+    data: bytes,
+    scan_start: int,
+    comp_geo: list,  # [(h, v, bx, wb, hb)] per scan component
+    dc_tables: list,  # HuffDecTableC slots (4)
+    ac_tables: list,
+    dc_sel: list,
+    ac_sel: list,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+    interleaved: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    blocks: list,  # per-scan-comp (by*bx, 64) int32 arrays (C-contig)
+) -> bool:
+    """Native progressive-JPEG scan decode (one scan, coefficients
+    accumulated in place); False if the native tier is absent."""
+    lib = get_native_lib()
+    if lib is None or len(comp_geo) > 4:
+        return False
+    n = len(comp_geo)
+    ch = (ctypes.c_int * n)(*[c[0] for c in comp_geo])
+    cv = (ctypes.c_int * n)(*[c[1] for c in comp_geo])
+    cbx = (ctypes.c_int * n)(*[c[2] for c in comp_geo])
+    cwb = (ctypes.c_int * n)(*[c[3] for c in comp_geo])
+    chb = (ctypes.c_int * n)(*[c[4] for c in comp_geo])
+    dsel = (ctypes.c_int * n)(*dc_sel)
+    asel = (ctypes.c_int * n)(*ac_sel)
+    dct = (HuffDecTableC * 4)(*dc_tables)
+    act = (HuffDecTableC * 4)(*ac_tables)
+    ptrs = [b.ctypes.data_as(ctypes.c_void_p) for b in blocks] + [None] * (4 - n)
+    rc = lib.jpeg_decode_progressive_scan(
+        data, len(data), scan_start, n, ch, cv, cbx, cwb, chb,
+        dct, act, dsel, asel, mcux, mcuy, restart_interval,
+        1 if interleaved else 0, ss, se, ah, al,
+        ptrs[0], ptrs[1], ptrs[2], ptrs[3],
+    )
+    if rc != 0:
+        from ..errors import StitchError
+
+        raise StitchError(f"JPEG progressive scan decode failed (native rc={rc})")
     return True
 
 

@@ -1917,14 +1917,19 @@ typedef struct {
 } BitReader;
 
 static inline void br_fill(BitReader* br) {
-    if (br->n > 56) return;
+    if (br->n >= 56) return;
     if (br->pos + 8 <= br->len) {
         uint64_t be;
         memcpy(&be, br->data + br->pos, 8);
         // any byte == 0xFF?  (haszero over be ^ 0xFF...)
         uint64_t x = be ^ 0xFFFFFFFFFFFFFFFFull;
         if (!((x - 0x0101010101010101ull) & ~x & 0x8080808080808080ull)) {
-            const int m = (64 - br->n) >> 3;  // >= 1 bytes to insert
+            // At most 7 bytes so every shift below stays < 64 (m = 8 at
+            // n == 0 would be bb << 64: UB, and x86's masked shift ORs
+            // STALE consumed bits over the fresh ones — a desync found
+            // by the progressive DC-refine parity fuzz, where 1-bit
+            // takes drain n to exactly 0).
+            const int m = (63 - br->n) >> 3;  // 1..7 bytes
             be = __builtin_bswap64(be);
             br->bb = (br->bb << (m * 8)) | (be >> (64 - m * 8));
             br->n += m * 8;
@@ -4229,3 +4234,213 @@ void jpeg_h2v2_upsample(const uint8_t* p, int64_t h, int64_t w, int64_t sp,
 }
 
 }  // extern "C" (jpeg decode finish)
+
+// ===========================================================================
+// Progressive JPEG scan decode (T.81 G.2, structure mirrors jdphuff.c and
+// the Python tier owned_decoder._decode_progressive_scan — which remains
+// the fallback and parity oracle). One call decodes one scan into the
+// persistent coefficient arrays; the Python marker walk stays in Python.
+// ===========================================================================
+
+extern "C" {
+
+static inline int br_take1(BitReader* br) {
+    if (br->n < 1) br_fill(br);
+    br->n -= 1;
+    return (int)((br->bb >> br->n) & 1);
+}
+
+// blocks0..3: per-SCAN-component coefficient arrays ((by*bx, 64) int32).
+// sc_*: per-scan-component sampling (h, v), row stride in blocks (bx),
+// and single-component block-grid bounds (wb, hb). interleaved selects
+// MCU order (DC scans; AC scans are always single-component).
+int jpeg_decode_progressive_scan(
+    const uint8_t* data, int64_t data_len, int64_t scan_start,
+    int n_scan, const int* sc_h, const int* sc_v, const int* sc_bx,
+    const int* sc_wb, const int* sc_hb,
+    const HuffDecTable* dc_tables, const HuffDecTable* ac_tables,
+    const int* dc_sel, const int* ac_sel,
+    int mcux, int mcuy, int restart_interval, int interleaved,
+    int ss, int se, int ah, int al,
+    int32_t* blocks0, int32_t* blocks1, int32_t* blocks2, int32_t* blocks3) {
+    int32_t* blocks_c[4] = {blocks0, blocks1, blocks2, blocks3};
+    if (n_scan < 1 || n_scan > 4 || se > 63 || ss < 0 || al > 13) return -10;
+    BitReader br = {data + scan_start, data_len - scan_start, 0, 0, 0};
+    int32_t preds[4] = {0, 0, 0, 0};
+    int64_t eobrun = 0;
+    const int32_t p1 = (int32_t)1 << al;
+    const int32_t m1 = -p1;
+
+    HuffFastLut dc_luts[4], ac_luts[4];
+    int built_dc[4] = {0, 0, 0, 0}, built_ac[4] = {0, 0, 0, 0};
+    if (ss == 0 && ah == 0) {
+        for (int c = 0; c < n_scan; ++c) {
+            const int d = dc_sel[c];
+            if (d < 0 || d > 3) return -6;
+            if (!built_dc[d]) {
+                build_fast_lut(dc_tables + d, &dc_luts[d]);
+                built_dc[d] = 1;
+            }
+        }
+    }
+    if (ss > 0) {
+        const int a = ac_sel[0];
+        if (a < 0 || a > 3) return -6;
+        build_fast_lut(ac_tables + a, &ac_luts[a]);
+        built_ac[a] = 1;
+    }
+
+    if (ss == 0) {
+        if (se != 0) return -11;
+        int64_t unit = 0;
+        if (interleaved) {
+            for (int my = 0; my < mcuy; ++my) {
+                for (int mx = 0; mx < mcux; ++mx) {
+                    if (restart_interval && unit &&
+                        unit % restart_interval == 0) {
+                        if (br_sync_restart(&br) != 0) return -2;
+                        preds[0] = preds[1] = preds[2] = preds[3] = 0;
+                    }
+                    for (int c = 0; c < n_scan; ++c) {
+                        for (int v = 0; v < sc_v[c]; ++v) {
+                            for (int h = 0; h < sc_h[c]; ++h) {
+                                int32_t* blk = blocks_c[c] +
+                                    ((int64_t)(my * sc_v[c] + v) * sc_bx[c] +
+                                     (mx * sc_h[c] + h)) * 64;
+                                if (ah == 0) {
+                                    if (br.n < 32) br_fill(&br);
+                                    int s = huff_decode(&br, dc_tables + dc_sel[c],
+                                                        &dc_luts[dc_sel[c]]);
+                                    if (s < 0 || s > 16) return -3;
+                                    preds[c] += extend_val(br_take(&br, s), s);
+                                    blk[0] = preds[c] << al;
+                                } else {
+                                    blk[0] |= (int32_t)br_take1(&br) << al;
+                                }
+                            }
+                        }
+                    }
+                    ++unit;
+                }
+            }
+        } else {
+            const int wb = sc_wb[0], hb = sc_hb[0];
+            for (int by = 0; by < hb; ++by) {
+                for (int bx = 0; bx < wb; ++bx) {
+                    if (restart_interval && unit &&
+                        unit % restart_interval == 0) {
+                        if (br_sync_restart(&br) != 0) return -2;
+                        preds[0] = 0;
+                    }
+                    int32_t* blk =
+                        blocks_c[0] + ((int64_t)by * sc_bx[0] + bx) * 64;
+                    if (ah == 0) {
+                        if (br.n < 32) br_fill(&br);
+                        int s = huff_decode(&br, dc_tables + dc_sel[0],
+                                            &dc_luts[dc_sel[0]]);
+                        if (s < 0 || s > 16) return -3;
+                        preds[0] += extend_val(br_take(&br, s), s);
+                        blk[0] = preds[0] << al;
+                    } else {
+                        blk[0] |= (int32_t)br_take1(&br) << al;
+                    }
+                    ++unit;
+                }
+            }
+        }
+        return 0;
+    }
+
+    // AC scans: single component, block order over (hb, wb).
+    if (interleaved || n_scan != 1) return -12;
+    const HuffDecTable* act = ac_tables + ac_sel[0];
+    const HuffFastLut* acf = &ac_luts[ac_sel[0]];
+    const int wb = sc_wb[0], hb = sc_hb[0];
+    int64_t unit = 0;
+    for (int by = 0; by < hb; ++by) {
+        for (int bx = 0; bx < wb; ++bx) {
+            if (restart_interval && unit && unit % restart_interval == 0) {
+                if (br_sync_restart(&br) != 0) return -2;
+                eobrun = 0;
+            }
+            int32_t* blk = blocks_c[0] + ((int64_t)by * sc_bx[0] + bx) * 64;
+            if (ah == 0) {
+                // AC first scan (blk[zz] = extend << al; EOB runs).
+                if (eobrun > 0) {
+                    --eobrun;
+                } else {
+                    int k = ss;
+                    while (k <= se) {
+                        if (br.n < 32) br_fill(&br);
+                        int rs = huff_decode(&br, act, acf);
+                        if (rs < 0) return -4;
+                        int r = rs >> 4, s = rs & 0x0F;
+                        if (s == 0) {
+                            if (r < 15) {
+                                eobrun = ((int64_t)1 << r) - 1;
+                                if (r) eobrun += br_take(&br, r);
+                                break;
+                            }
+                            k += 16;
+                            continue;
+                        }
+                        k += r;
+                        if (k > se) return -5;
+                        blk[kZigzag[k]] =
+                            (int32_t)(extend_val(br_take(&br, s), s)) << al;
+                        k += 1;
+                    }
+                }
+            } else {
+                // AC refinement scan (jdphuff decode_mcu_AC_refine shape;
+                // every nonzero-history coefficient consumes a bit).
+                int k = ss;
+                if (eobrun == 0) {
+                    while (k <= se) {
+                        if (br.n < 32) br_fill(&br);
+                        int rs = huff_decode(&br, act, acf);
+                        if (rs < 0) return -4;
+                        int r = rs >> 4, s = rs & 0x0F;
+                        int32_t val = 0;
+                        if (s == 0) {
+                            if (r < 15) {
+                                eobrun = (int64_t)1 << r;
+                                if (r) eobrun += br_take(&br, r);
+                                break;
+                            }
+                            // r == 15: pass 16 zero-history coefficients.
+                        } else {
+                            val = br_take1(&br) ? p1 : m1;
+                        }
+                        while (k <= se) {
+                            const int z = kZigzag[k];
+                            if (blk[z] != 0) {
+                                if (br_take1(&br) && (blk[z] & p1) == 0)
+                                    blk[z] += blk[z] >= 0 ? p1 : m1;
+                            } else {
+                                if (--r < 0) break;
+                            }
+                            k += 1;
+                        }
+                        if (val && k <= se) blk[kZigzag[k]] = val;
+                        k += 1;
+                    }
+                }
+                if (eobrun > 0) {
+                    for (; k <= se; ++k) {
+                        const int z = kZigzag[k];
+                        if (blk[z] != 0) {
+                            if (br_take1(&br) && (blk[z] & p1) == 0)
+                                blk[z] += blk[z] >= 0 ? p1 : m1;
+                        }
+                    }
+                    --eobrun;
+                }
+            }
+            ++unit;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C" (progressive scan decode)

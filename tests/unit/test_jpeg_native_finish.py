@@ -97,3 +97,38 @@ def test_owned_decode_bit_identical_to_pil_all_samplings():
     own = od.decode_baseline_jpeg(buf.getvalue())
     pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("L"))
     assert np.array_equal(own[:, :, 0], pil)
+
+
+def test_native_progressive_scan_matches_python_and_pil():
+    """The C++ progressive scan decoder (DC/AC first + refinement, EOB
+    runs) must match both the Python tier (coefficient arrays, scan by
+    scan via the no-native env elsewhere) and PIL end to end. The 64-px
+    444 case is the one that caught the br_fill shift-by-64 stale-bit
+    desync (DC-refine scans drain the bit buffer to exactly 0)."""
+    from PIL import Image
+
+    import image_stitch_tpu.codecs.jpeg.owned_decoder as od
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 6, 64)
+    base = (
+        np.sin(x)[:, None] * np.cos(x)[None, :] * 80 + 128
+    )
+    img = np.clip(
+        np.stack(
+            [base + rng.normal(0, 18, base.shape) for _ in range(3)], -1
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for sub in (0, 2):
+        for shape in (img, img[:37, :53]):
+            buf = io.BytesIO()
+            Image.fromarray(shape).save(
+                buf, "JPEG", quality=88, subsampling=sub, progressive=True
+            )
+            own = od.decode_baseline_jpeg(buf.getvalue())
+            pil = np.asarray(
+                Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+            )
+            assert np.array_equal(own, pil)
