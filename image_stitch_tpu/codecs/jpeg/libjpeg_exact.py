@@ -223,12 +223,16 @@ def int_upsample(plane: np.ndarray, v: int, h: int) -> np.ndarray:
 
 def upsample_plane(plane: np.ndarray, h_expand: int, v_expand: int) -> np.ndarray:
     """Select the upsampler libjpeg would (jdsample.c jinit_upsampler with
-    do_fancy_upsampling=TRUE)."""
+    do_fancy_upsampling=TRUE). The fancy filters are only selected when
+    downsampled_width > 2 — narrower planes use plain replication
+    (jinit_upsampler's `do_fancy && compptr->downsampled_width > 2`
+    condition; session-5 soak found 1-4 px subsampled images decoding
+    off-by-rounding without this)."""
     if h_expand == 1 and v_expand == 1:
         return plane
-    if h_expand == 2 and v_expand == 1:
+    if h_expand == 2 and v_expand == 1 and plane.shape[1] > 2:
         return h2v1_fancy_upsample(plane)
-    if h_expand == 2 and v_expand == 2:
+    if h_expand == 2 and v_expand == 2 and plane.shape[1] > 2:
         return h2v2_fancy_upsample(plane)
     return int_upsample(plane, v_expand, h_expand)
 

@@ -321,7 +321,7 @@ def _decode_scan(
         c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
 
     if _decode_scan_native(
-        data, scan_start, comps, order, dc_tables, ac_tables,
+        data, scan_start, width, height, comps, order, dc_tables, ac_tables,
         mcux, mcuy, restart_interval,
     ):
         return _finish_decode(width, height, comps, qtables)
@@ -330,41 +330,62 @@ def _decode_scan(
     preds = {c.comp_id: 0 for c in comps}
     mcu_count = 0
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                for cid in preds:
-                    preds[cid] = 0
-            for c in order:
-                dc_t = dc_tables.get(c.td)
-                ac_t = ac_tables.get(c.ta)
-                if dc_t is None or ac_t is None:
-                    raise StitchError("Missing Huffman table for scan")
-                for v in range(c.v):
-                    for hh in range(c.h):
-                        bx = mx * c.h + hh
-                        by = my * c.v + v
-                        blk = c.blocks[by * c.bx + bx]
-                        s = dc_t.decode(br)
-                        diff = _extend(br.bits(s), s)
-                        preds[c.comp_id] += diff
-                        blk[0] = preds[c.comp_id]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(br)
-                            r, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise StitchError("AC coefficient index out of range")
-                            blk[ZIGZAG[k]] = _extend(br.bits(size), size)
-                            k += 1
-            mcu_count += 1
+    # A scan with ONE component is non-interleaved (T.81 A.2 / libjpeg
+    # jdinput.c): the data unit is a single block traversed over the
+    # component's own block grid — no h x v sub-block grouping, no MCU
+    # padding columns — and the restart interval counts BLOCKS. Gray
+    # JPEGs written with sampling factors > 1 (PIL subsampling=1/2)
+    # decode wrong under MCU traversal (found by the session-5 soak).
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    if len(order) == 1:
+        c = order[0]
+        comp_w = -(-width * c.h // hmax)
+        comp_h = -(-height * c.v // vmax)
+        wb, hb = -(-comp_w // 8), -(-comp_h // 8)
+        units = [(c, my, mx) for my in range(hb) for mx in range(wb)]
+    else:
+        units = [(None, my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+    for uc, my, mx in units:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            br.sync_restart()
+            for cid in preds:
+                preds[cid] = 0
+        scan_units = (
+            [(uc, my, mx, 1, 1)]
+            if uc is not None
+            else [(c, my, mx, c.v, c.h) for c in order]
+        )
+        for c, my_u, mx_u, nv, nh in scan_units:
+            dc_t = dc_tables.get(c.td)
+            ac_t = ac_tables.get(c.ta)
+            if dc_t is None or ac_t is None:
+                raise StitchError("Missing Huffman table for scan")
+            for v in range(nv):
+                for hh in range(nh):
+                    bx = mx_u * nh + hh
+                    by = my_u * nv + v
+                    blk = c.blocks[by * c.bx + bx]
+                    s = dc_t.decode(br)
+                    diff = _extend(br.bits(s), s)
+                    preds[c.comp_id] += diff
+                    blk[0] = preds[c.comp_id]
+                    k = 1
+                    while k < 64:
+                        rs = ac_t.decode(br)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise StitchError("AC coefficient index out of range")
+                        blk[ZIGZAG[k]] = _extend(br.bits(size), size)
+                        k += 1
+        mcu_count += 1
 
     return _finish_decode(width, height, comps, qtables)
 
@@ -486,9 +507,14 @@ def _decode_progressive_scan(
     if ss == 0:
         if se != 0:
             raise StitchError("Invalid progressive scan: DC scan with Se != 0")
-        # DC scans may be interleaved (MCU order) or single-component.
+        # DC scans are interleaved (MCU order) only with >1 component in
+        # the scan; a single-component scan is ALWAYS non-interleaved
+        # (T.81 A.2) — one block per data unit over the component's own
+        # block grid, restarts counted in blocks. This matters for
+        # single-component images whose SOF carries sampling factors > 1
+        # (PIL writes gray with the requested subsampling's factors).
         unit_count = 0
-        if len(order) > 1 or (len(comps) == 1):
+        if len(order) > 1:
             iterspace = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
             for my, mx in iterspace:
                 if restart_interval and unit_count and unit_count % restart_interval == 0:
@@ -594,7 +620,10 @@ def _decode_progressive_scan_native(
         vmax = max(c.v for c in comps)
         mcux = -(-width // (8 * hmax))
         mcuy = -(-height // (8 * vmax))
-        interleaved = ss == 0 and (len(order) > 1 or len(comps) == 1)
+        # Single-component scans are NON-interleaved even when the image
+        # has one component with sampling factors > 1 (T.81 A.2; the
+        # session-5 soak caught gray 2x1 images decoding MCU-padded).
+        interleaved = ss == 0 and len(order) > 1
         geo = []
         blocks = []
         for c in order:
@@ -619,7 +648,7 @@ def _decode_progressive_scan_native(
 
 
 def _decode_scan_native(
-    data, scan_start, comps, order, dc_tables, ac_tables,
+    data, scan_start, width, height, comps, order, dc_tables, ac_tables,
     mcux, mcuy, restart_interval,
 ) -> bool:
     """Run the scan through the C++ tier; False -> python fallback."""
@@ -649,9 +678,17 @@ def _decode_scan_native(
             if c.td not in dc_tables or c.ta not in ac_tables:
                 return False
         blocks = [np.ascontiguousarray(c.blocks, dtype=np.int32) for c in order]
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+
+        def grid(c):
+            comp_w = -(-width * c.h // hmax)
+            comp_h = -(-height * c.v // vmax)
+            return (-(-comp_w // 8), -(-comp_h // 8))
+
         ok = jpeg_decode_scan_native(
             bytes(data[scan_start:]),
-            [(c.h, c.v, c.bx) for c in order],
+            [(c.h, c.v, c.bx) + grid(c) for c in order],
             dc_slots,
             ac_slots,
             [c.td for c in order],
@@ -713,7 +750,13 @@ def _finish_decode(width, height, comps, qtables) -> np.ndarray:
         plane = plane[:comp_h, :comp_w]
         h_exp, v_exp = hmax // c.h, vmax // c.v
         if h_exp != 1 or v_exp != 1:
-            up = jpeg_fancy_upsample_native(plane, h_exp, v_exp)
+            # Fancy filters only at downsampled_width > 2 (libjpeg
+            # jinit_upsampler); narrower planes replicate.
+            up = (
+                jpeg_fancy_upsample_native(plane, h_exp, v_exp)
+                if plane.shape[1] > 2
+                else None
+            )
             plane = up if up is not None else upsample_plane(
                 plane, h_exp, v_exp
             )

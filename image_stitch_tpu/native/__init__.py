@@ -195,6 +195,7 @@ def get_native_lib():
     lib.jpeg_decode_scan.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.POINTER(HuffDecTableC), ctypes.POINTER(HuffDecTableC),
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -471,7 +472,7 @@ def make_huff_dec_table(min_code, max_code, val_ptr, vals) -> HuffDecTableC:
 
 def jpeg_decode_scan_native(
     scan_data: bytes,
-    comp_hv: list,  # [(h, v, bx)] per scan component
+    comp_hv: list,  # [(h, v, bx, wb, hb)] per scan component
     dc_tables: list,  # HuffDecTableC slots (4)
     ac_tables: list,
     dc_sel: list,
@@ -489,13 +490,15 @@ def jpeg_decode_scan_native(
     ch = (ctypes.c_int * n)(*[c[0] for c in comp_hv])
     cv = (ctypes.c_int * n)(*[c[1] for c in comp_hv])
     cbx = (ctypes.c_int * n)(*[c[2] for c in comp_hv])
+    cwb = (ctypes.c_int * n)(*[c[3] for c in comp_hv])
+    chb = (ctypes.c_int * n)(*[c[4] for c in comp_hv])
     dsel = (ctypes.c_int * n)(*dc_sel)
     asel = (ctypes.c_int * n)(*ac_sel)
     dct = (HuffDecTableC * 4)(*dc_tables)
     act = (HuffDecTableC * 4)(*ac_tables)
     ptrs = [b.ctypes.data_as(ctypes.c_void_p) for b in blocks] + [None] * (3 - n)
     rc = lib.jpeg_decode_scan(
-        scan_data, len(scan_data), n, ch, cv, cbx,
+        scan_data, len(scan_data), n, ch, cv, cbx, cwb, chb,
         dct, act, dsel, asel, mcux, mcuy, restart_interval,
         ptrs[0], ptrs[1], ptrs[2],
     )

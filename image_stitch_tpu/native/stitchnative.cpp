@@ -2033,13 +2033,21 @@ static inline int extend_val(int v, int size) {
 
 // blocks_c: per-component output buffers, each (by*bx, 64) int32 zeroed.
 // Returns 0 on success, negative error otherwise.
+// comp_wb/comp_hb: per-component true block-grid bounds. A scan with ONE
+// component is non-interleaved (T.81 A.2 / libjpeg jdinput.c): data unit
+// = one block over the component's own (hb, wb) grid — no h x v MCU
+// grouping, no padding columns — and restart_interval counts BLOCKS.
 int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
                      int n_comps, const int* comp_h, const int* comp_v,
-                     const int* comp_bx,
+                     const int* comp_bx, const int* comp_wb, const int* comp_hb,
                      const HuffDecTable* dc_tables, const HuffDecTable* ac_tables,
                      const int* dc_sel, const int* ac_sel,
                      int mcux, int mcuy, int restart_interval,
                      int32_t* blocks0, int32_t* blocks1, int32_t* blocks2) {
+    if (n_comps == 1) {
+        mcux = comp_wb[0];
+        mcuy = comp_hb[0];
+    }
     int32_t* blocks_c[3] = {blocks0, blocks1, blocks2};
     int32_t preds[3] = {0, 0, 0};
     BitReader br = {data, data_len, 0, 0, 0};
@@ -2066,10 +2074,12 @@ int jpeg_decode_scan(const uint8_t* data, int64_t data_len,
                 const HuffDecTable* act = ac_tables + ac_sel[c];
                 const HuffFastLut* dcf = &dc_luts[dc_sel[c]];
                 const HuffFastLut* acf = &ac_luts[ac_sel[c]];
-                for (int v = 0; v < comp_v[c]; ++v) {
-                    for (int h = 0; h < comp_h[c]; ++h) {
-                        int bx = mx * comp_h[c] + h;
-                        int by = my * comp_v[c] + v;
+                const int nv = n_comps == 1 ? 1 : comp_v[c];
+                const int nh = n_comps == 1 ? 1 : comp_h[c];
+                for (int v = 0; v < nv; ++v) {
+                    for (int h = 0; h < nh; ++h) {
+                        int bx = mx * nh + h;
+                        int by = my * nv + v;
                         int32_t* blk =
                             blocks_c[c] + ((int64_t)by * comp_bx[c] + bx) * 64;
                         // 32 buffered bits cover code (<=16) +

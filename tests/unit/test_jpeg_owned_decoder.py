@@ -218,3 +218,51 @@ def test_differential_fuzz_vs_pil(seed):
         decode_baseline_jpeg(data), pil_decode(data),
         err_msg=f"seed {seed} kwargs {kwargs} dims {w}x{h}",
     )
+
+
+def test_gray_subsampled_single_component_scans_match_pil():
+    """Single-component scans are NON-interleaved (T.81 A.2): one block
+    per data unit over the component's own grid, restarts in blocks —
+    even when the SOF carries sampling factors > 1 (PIL writes gray with
+    the requested subsampling's factors). The session-5 soak caught both
+    tiers decoding these MCU-interleaved (wrong order + wrong restart
+    cadence). Covers baseline + progressive, with and without restarts."""
+    from PIL import Image
+
+    import image_stitch_tpu.codecs.jpeg.owned_decoder as od
+
+    rng = np.random.default_rng(3)
+    for h, w, kw in (
+        (20, 43, dict(subsampling=1, restart_marker_blocks=3)),
+        (132, 98, dict(subsampling=1)),
+        (93, 50, dict(subsampling=2, progressive=True,
+                      restart_marker_blocks=4)),
+        (64, 40, dict(subsampling=2, progressive=True)),
+    ):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=40, **kw)
+        own = od.decode_baseline_jpeg(buf.getvalue())
+        pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("L"))
+        assert np.array_equal(own[:, :, 0], pil), kw
+
+
+def test_narrow_subsampled_images_use_replication_upsample():
+    """libjpeg selects the fancy h2v1/h2v2 filters only when the
+    downsampled chroma width > 2 (jinit_upsampler); 1-4 px wide
+    subsampled images replicate instead. Session-5 soak find."""
+    from PIL import Image
+
+    import image_stitch_tpu.codecs.jpeg.owned_decoder as od
+
+    rng = np.random.default_rng(4)
+    for w in (1, 2, 3, 4):
+        for sub in (1, 2):
+            img = rng.integers(0, 256, (151, w, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=74, subsampling=sub)
+            own = od.decode_baseline_jpeg(buf.getvalue())
+            pil = np.asarray(
+                Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+            )
+            assert np.array_equal(own, pil), (w, sub)
