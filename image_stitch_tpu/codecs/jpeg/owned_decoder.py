@@ -268,14 +268,6 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 order.append(comp)
             scan_start = pos + 2 + seg_len
-            if not progressive:
-                return _decode_scan(
-                    data, scan_start, width, height, comps, order,
-                    qtables, dc_tables, ac_tables, restart_interval,
-                )
-            # Progressive: accumulate coefficients scan by scan
-            # (T.81 G.2; reference parity: jpeg-decoder.ts:250-262 via
-            # jpeg-js decodeScan successive approximation).
             if not comps or width == 0 or height == 0:
                 raise StitchError("Invalid JPEG: missing SOF before SOS")
             if comps[0].blocks is None:
@@ -287,44 +279,57 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     c.bx = mcux * c.h
                     c.by = mcuy * c.v
                     c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
-            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
-            end = _decode_progressive_scan(
-                data, scan_start, width, height, comps, order,
-                dc_tables, ac_tables, restart_interval, ss, se, ah, al,
-            )
+            # Scans accumulate coefficients into the persistent per-
+            # component arrays; _finish_decode runs once at EOI. Baseline
+            # sequential images may carry SEVERAL scans too (T.81 A.2
+            # non-interleaved scan scripts, e.g. one SOS per component) —
+            # the common single-scan file takes the same path and just
+            # finds EOI right after its scan.
+            if not progressive:
+                _decode_scan(
+                    data, scan_start, width, height, comps, order,
+                    dc_tables, ac_tables, restart_interval,
+                )
+                end = _next_marker_pos(data, scan_start)
+            else:
+                # Progressive: T.81 G.2; reference parity:
+                # jpeg-decoder.ts:250-262 via jpeg-js decodeScan
+                # successive approximation.
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                end = _decode_progressive_scan(
+                    data, scan_start, width, height, comps, order,
+                    dc_tables, ac_tables, restart_interval, ss, se, ah, al,
+                )
             saw_scan = True
             pos = end
             continue
         elif marker == 0xD9:
             break
         pos += 2 + seg_len
-    if progressive and saw_scan:
+    if saw_scan:
         return _finish_decode(width, height, comps, qtables)
     raise StitchError("Invalid JPEG: no SOS marker found")
 
 
 def _decode_scan(
     data, scan_start, width, height, comps, order,
-    qtables, dc_tables, ac_tables, restart_interval,
-) -> np.ndarray:
-    if not comps or width == 0 or height == 0:
-        raise StitchError("Invalid JPEG: missing SOF before SOS")
+    dc_tables, ac_tables, restart_interval,
+) -> None:
+    """Decode one baseline scan into the components' (pre-allocated)
+    coefficient arrays. ``order`` may be a subset of ``comps`` (multi-
+    scan sequential files); a single-component scan is non-interleaved
+    (T.81 A.2)."""
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
 
-    for c in comps:
-        c.bx = mcux * c.h
-        c.by = mcuy * c.v
-        c.blocks = np.zeros((c.by * c.bx, 64), dtype=np.int32)
-
     if _decode_scan_native(
         data, scan_start, width, height, comps, order, dc_tables, ac_tables,
         mcux, mcuy, restart_interval,
     ):
-        return _finish_decode(width, height, comps, qtables)
+        return
 
     br = _BitReader(data, scan_start)
     preds = {c.comp_id: 0 for c in comps}
@@ -386,8 +391,6 @@ def _decode_scan(
                         blk[ZIGZAG[k]] = _extend(br.bits(size), size)
                         k += 1
         mcu_count += 1
-
-    return _finish_decode(width, height, comps, qtables)
 
 
 def _next_marker_pos(data: bytes, pos: int) -> int:

@@ -266,3 +266,133 @@ def test_narrow_subsampled_images_use_replication_upsample():
                 Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
             )
             assert np.array_equal(own, pil), (w, sub)
+
+
+def _jpeg_bit_writer():
+    """Minimal MSB-first JPEG entropy bit writer with 0xFF00 stuffing."""
+    out = bytearray()
+    state = {"acc": 0, "n": 0}
+
+    def put(bits, n):
+        state["acc"] = (state["acc"] << n) | (bits & ((1 << n) - 1))
+        state["n"] += n
+        while state["n"] >= 8:
+            state["n"] -= 8
+            b = (state["acc"] >> state["n"]) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def flush():
+        if state["n"]:
+            pad = 8 - state["n"]
+            put((1 << pad) - 1, pad)
+        return bytes(out)
+
+    return put, flush
+
+
+def _encode_block(put, blk, pred, dc_codes, ac_codes):
+    """Encode one natural-order coefficient block (T.81 F.1.2)."""
+    from image_stitch_tpu.codecs.jpeg.tables import ZIGZAG
+
+    def magnitude(v):
+        size = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    diff = int(blk[0]) - pred
+    size, bits = magnitude(diff)
+    code, length = dc_codes[size]
+    put(code, length)
+    if size:
+        put(bits, size)
+    run = 0
+    zz = [int(blk[ZIGZAG[k]]) for k in range(64)]
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            put(code, length)
+            run -= 16
+        size, bits = magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        put(code, length)
+        put(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        put(code, length)
+    return int(blk[0])
+
+
+def test_multi_scan_sequential_baseline_matches_pil():
+    """T.81 allows baseline sequential files with SEVERAL scans (e.g. a
+    non-interleaved scan per component); libjpeg decodes them. Craft one
+    with the standard tables and verify the owned decoder against PIL
+    pixel-exactly (the decoder must accumulate scans and finish at EOI,
+    not return after the first SOS)."""
+    import io
+
+    from PIL import Image
+
+    from image_stitch_tpu.codecs.jpeg.tables import (
+        STD_AC_LUMA_BITS, STD_AC_LUMA_VALS, STD_DC_LUMA_BITS,
+        STD_DC_LUMA_VALS, ZIGZAG, build_huffman_codes,
+    )
+
+    rng = np.random.default_rng(23)
+    h, w = 16, 24
+    by, bx = h // 8, w // 8
+
+    # One shared quant table / Huffman table pair keeps the file small.
+    qtab = np.full(64, 16, np.int32)
+    dc = build_huffman_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac = build_huffman_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+
+    comps_blocks = []
+    for _ in range(3):
+        blocks = np.zeros((by * bx, 64), np.int32)
+        blocks[:, 0] = rng.integers(-40, 40, by * bx)
+        for b in range(by * bx):
+            for k in rng.choice(np.arange(1, 20), 5, replace=False):
+                blocks[b, ZIGZAG[k]] = int(rng.integers(-15, 16))
+        comps_blocks.append(blocks)
+
+    out = bytearray(b"\xff\xd8")
+    # DQT (table 0, zigzag order)
+    zz_q = bytes(int(qtab[ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + zz_q
+    # SOF0: 3 components, h=v=1, all quant table 0
+    sof = bytearray()
+    sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    # DHT: DC table 0 + AC table 0
+    dht = bytearray()
+    # DHT Li fields are L1..L16 (the tables module keeps index 0 unused).
+    dht += b"\x00" + bytes(STD_DC_LUMA_BITS[1:17]) + bytes(STD_DC_LUMA_VALS)
+    dht += b"\x10" + bytes(STD_AC_LUMA_BITS[1:17]) + bytes(STD_AC_LUMA_VALS)
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    # One non-interleaved scan per component.
+    for ci, cid in enumerate((1, 2, 3)):
+        sos = bytes([1, cid, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        put, flush = _jpeg_bit_writer()
+        pred = 0
+        for b in range(by * bx):
+            pred = _encode_block(put, comps_blocks[ci][b], pred, dc, ac)
+        out += flush()
+    out += b"\xff\xd9"
+    data = bytes(out)
+
+    from image_stitch_tpu.codecs.jpeg.owned_decoder import decode_baseline_jpeg
+
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    own = decode_baseline_jpeg(data)
+    assert np.array_equal(own, pil)
