@@ -799,8 +799,14 @@ class BufferPool:
         self._free: dict[int, list[np.ndarray]] = {}
         # host_threads decode workers share this pool; the check-then-pop
         # sequence needs the lock (uncontended acquire is ~100ns, noise
-        # against a band decode).
-        self._lock = threading.Lock()
+        # against a band decode). It must be RE-ENTRANT: allocations
+        # inside the locked region (setdefault/append) can trigger GC,
+        # and NativeInflater.__del__ calls put() on this same pool — a
+        # plain Lock self-deadlocks the thread (hit by the round-4 PNG
+        # soak, single-threaded). Re-entry is benign: the inner put may
+        # append to the same free list mid-append, overshooting
+        # per_size by at most one entry.
+        self._lock = threading.RLock()
 
     def get(self, size: int) -> np.ndarray:
         with self._lock:

@@ -284,3 +284,41 @@ def test_verify_crc_reachable_from_public_options():
             {"inputs": [bytes(bad)], "layout": {"columns": 1},
              "decoderOptions": {"verifyCrc": True}}
         )
+
+
+def test_buffer_pool_reentrant_from_finalizer():
+    """put() allocates inside its locked region (setdefault/append), which
+    can trigger GC; NativeInflater.__del__ returns its state buffer to the
+    same pool. With a non-reentrant lock that self-deadlocks the thread
+    (found by the round-4 PNG soak, single-threaded). The pool lock must
+    admit re-entry from a finalizer running in the same thread."""
+    import threading
+
+    import numpy as np
+
+    from image_stitch_tpu.native import BufferPool
+
+    pool = BufferPool()
+
+    def worker():
+        class Fin:
+            def __init__(self):
+                self.buf = np.empty(64, np.uint8)
+
+            def __del__(self):
+                pool.put(self.buf)
+
+        import gc
+
+        f = Fin()
+        cyc = [f]
+        cyc.append(cyc)
+        del f, cyc  # now only reachable via the collector
+        with pool._lock:  # simulate being inside put()'s critical section
+            gc.collect()  # runs Fin.__del__ -> pool.put -> re-entry
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(10)
+    assert not t.is_alive(), "BufferPool deadlocked on finalizer re-entry"
+    assert pool.get(64) is not None
