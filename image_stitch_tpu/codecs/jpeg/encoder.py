@@ -312,13 +312,15 @@ class StreamingJpegEncoder:
 
     def _fused_native_band(self, band) -> bytes | None:
         """Fused native convert+FDCT+quantize+entropy for a whole band (one
-        DRAM pass; blocks stay strip-local in L2). Applies only on the host
-        4:4:4 path with no restart markers to interleave; byte stream
-        identical to the split quantize->entropy path. None = inapplicable."""
+        DRAM pass; blocks stay strip-local in L2). Host path only; byte
+        stream identical to the split quantize->entropy path. With restart
+        markers on, the fused call runs per restart GROUP (groups are
+        byte-aligned and DC-reset, so per-group fused encode + the shared
+        _restart_boundary bookkeeping reproduces the split path's bytes
+        exactly). None = inapplicable (caller falls back)."""
         if (
             self._native_coder is None
             or self._device is not None
-            or self._restart_rows
             or not isinstance(band, np.ndarray)
         ):
             return None
@@ -326,12 +328,42 @@ class StreamingJpegEncoder:
             band = np.concatenate(
                 [band, np.repeat(band[:, -1:, :], self._pad_w, axis=1)], axis=1
             )
-        data = self._native_coder.encode_rgba_band(band, self.luma_q, self.chroma_q)
-        if data is None:
-            return None
-        self._rows_consumed += band.shape[0]
-        self._mcu_rows_done += band.shape[0] // self._mcu_h
-        return data
+        if not self._restart_rows:
+            data = self._native_coder.encode_rgba_band(
+                band, self.luma_q, self.chroma_q
+            )
+            if data is None:
+                return None
+            self._rows_consumed += band.shape[0]
+            self._mcu_rows_done += band.shape[0] // self._mcu_h
+            return data
+        # Restart path: the applicability conditions of encode_rgba_band
+        # (native lib present, dims MCU-aligned) are invariant across the
+        # group chunks below, so probe them on the FIRST chunk only — a
+        # None mid-band would otherwise leave half a band emitted.
+        ri = self._restart_rows
+        mh = self._mcu_h
+        h = band.shape[0]
+        parts = []
+        row = 0
+        while row < h:
+            boundary = self._restart_boundary()
+            rows_left_in_group = ri - (self._mcu_rows_done % ri)
+            take = min(rows_left_in_group * mh, h - row)
+            data = self._native_coder.encode_rgba_band(
+                band[row : row + take], self.luma_q, self.chroma_q
+            )
+            if data is None:
+                if row == 0:
+                    return None
+                raise StitchError(
+                    "fused JPEG tier became unavailable mid-band"
+                )  # pragma: no cover - conditions are chunk-invariant
+            parts.append(boundary + data)
+            self._rows_consumed += take
+            self._mcu_rows_done += take // mh
+            row += take
+        return b"".join(parts)
 
     def _encode_strip(self, strip: np.ndarray) -> bytes:
         """Encode one full MCU strip to entropy-coded bytes."""

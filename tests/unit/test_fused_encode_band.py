@@ -164,3 +164,43 @@ def test_420_fused_split_numpy_bytes_equal(shape):
 
     fused, split, numpy_tier = enc(False, False), enc(True, False), enc(True, True)
     assert fused == split == numpy_tier
+
+
+@pytest.mark.skipif(not native_available(), reason="native tier unavailable")
+@pytest.mark.parametrize("sampling", ["444", "420"])
+@pytest.mark.parametrize("ri", [1, 2, 3])
+def test_fused_restart_groups_equal_split(sampling, ri):
+    # The grouped fused restart path (one fused native call per restart
+    # group + shared _restart_boundary bookkeeping) must be byte-identical
+    # to the split quantize -> per-strip entropy path. Bands deliberately
+    # do NOT align to group boundaries so groups span band edges, and the
+    # image tail leaves a short final group.
+    rng = np.random.default_rng(13 * ri + (0 if sampling == "444" else 1))
+    w = 100 if sampling == "444" else 96  # 444: pad_w=4 exercises padding
+    h = 8 * (16 if sampling == "420" else 8) + (8 if sampling == "444" else 16)
+    band_h = 3 * (16 if sampling == "420" else 8)  # 3 MCU rows per band
+    bands = []
+    row = 0
+    while row < h:
+        take = min(band_h, h - row)
+        bands.append(rng.integers(0, 256, (take, w, 4), dtype=np.uint8))
+        row += take
+
+    def run(force_split):
+        enc = StreamingJpegEncoder(
+            w, h, 85, sampling=sampling, restart_interval_rows=ri
+        )
+        if force_split:
+            enc._fused_native_band = lambda b: None
+        out = b""
+        for band in bands:
+            out += b"".join(enc.encode_band(band))
+        out += b"".join(enc.finish())
+        return out
+
+    fused = run(False)
+    split = run(True)
+    assert fused == split
+    # Sanity: restart markers actually present (not vacuously equal).
+    n_rst = sum(fused.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst > 0
