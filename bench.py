@@ -279,26 +279,39 @@ def device_side_subprocess(budget_s: float) -> dict:
     env = dict(os.environ)
     env["TIME_JSON"] = "1"
     env.pop("JAX_PLATFORMS", None)  # must see the real accelerator
-    try:
-        out = subprocess.run(
-            [sys.executable, script, "512", "8192", "3"],
-            capture_output=True, text=True, timeout=budget_s, env=env,
-        )
-        row = json.loads(out.stdout.strip().splitlines()[-1])
-        if row.get("platform") == "cpu":
-            return {"skipped": "no accelerator (platform=cpu)"}
-        return {
-            "value": row["pipelined_mpps"],
-            "unit": "MP/s device-side (pipelined marginal)",
-            "ms_per_band": row["pipelined_ms_per_band"],
-            "single_dispatch_mpps": row["single_mpps"],
-            "band": row["band"],
-        }
-    except subprocess.TimeoutExpired:
-        return {"skipped": f"device-side run exceeded {budget_s:.0f}s "
-                "budget (chip unreachable or compile stalled)"}
-    except Exception as exc:  # noqa: BLE001 - report, don't crash the bench
-        return {"skipped": f"device-side run failed: {type(exc).__name__}"}
+    # The tunnel's health swings minute to minute (a 600 s single shot
+    # observed timing out at 10:15 while the identical run finished in
+    # 50 s at 10:28). Sample SEVERAL windows: split the budget into short
+    # attempts — a healthy minute completes in ~30-60 s with a warm
+    # compile cache, and each retry lands in a fresh window.
+    attempts = max(1, int(os.environ.get("BENCH_DEVICE_SIDE_ATTEMPTS", "3")))
+    per_attempt = max(90.0, budget_s / attempts)
+    last_reason = "not attempted"
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, script, "512", "8192", "3"],
+                capture_output=True, text=True, timeout=per_attempt, env=env,
+            )
+            row = json.loads(out.stdout.strip().splitlines()[-1])
+            if row.get("platform") == "cpu":
+                return {"skipped": "no accelerator (platform=cpu)"}
+            return {
+                "value": row["pipelined_mpps"],
+                "unit": "MP/s device-side (pipelined marginal)",
+                "ms_per_band": row["pipelined_ms_per_band"],
+                "single_dispatch_mpps": row["single_mpps"],
+                "band": row["band"],
+                "attempt": i + 1,
+            }
+        except subprocess.TimeoutExpired:
+            last_reason = (
+                f"{attempts} x {per_attempt:.0f}s attempts all exceeded "
+                "budget (chip unreachable or compile stalled)"
+            )
+        except Exception as exc:  # noqa: BLE001 - report, don't crash
+            last_reason = f"device-side run failed: {type(exc).__name__}"
+    return {"skipped": last_reason}
 
 
 def main() -> None:
