@@ -187,6 +187,14 @@ class StreamingJpegEncoder:
                 local_words = 16  # 512-bit blocks
             else:
                 local_words = 24  # 768-bit (q100 noise falls back anyway)
+            # Batch-N device dispatch (restart mode): group-aligned bands
+            # coalesce into one flat program — per-dispatch latency and the
+            # sequential packing chain amortize over the batch. Depth x
+            # batch bands of input stay resident on device, so the knob
+            # trades HBM for throughput.
+            batch_bands = max(
+                1, int(os.environ.get("STITCH_TPU_DEVICE_BATCH", "1"))
+            )
             self._dev_encoder = DeviceJpegEncoder(
                 self.luma_q, self.chroma_q,
                 self._dc_luma, self._ac_luma, self._dc_chroma, self._ac_chroma,
@@ -195,6 +203,7 @@ class StreamingJpegEncoder:
                 mesh=mesh,
                 sampling=sampling,
                 local_words=local_words,
+                batch_bands=batch_bands,
             )
 
     # ----- headers ------------------------------------------------------ #
@@ -492,7 +501,8 @@ class StreamingJpegEncoder:
                     )
                 handle = self._dev_encoder.submit(full)
                 self._rows_consumed += n_full * self._mcu_h
-                self._inflight.append(handle)
+                if handle is not None:  # None = accumulated into a batch
+                    self._inflight.append(handle)
                 while len(self._inflight) > self._inflight_depth:
                     data = self._dev_encoder.wait(self._inflight.popleft())
                     if data:
@@ -552,8 +562,13 @@ class StreamingJpegEncoder:
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(part)
-                self._inflight.append(handle)
+                if handle is not None:
+                    self._inflight.append(handle)
                 self._rows_consumed += part.shape[0]
+            # Drain any batch still accumulating (partial final batch).
+            flush_handle = self._dev_encoder.flush_pending()
+            if flush_handle is not None:
+                self._inflight.append(flush_handle)
             while self._inflight:
                 out += self._dev_encoder.wait(self._inflight.popleft())
             out += self._dev_encoder.flush()

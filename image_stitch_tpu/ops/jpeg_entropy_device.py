@@ -1041,7 +1041,7 @@ class DeviceJpegEncoder:
                  cap_bits_per_px: int = DEFAULT_CAP_BITS_PER_PX,
                  restart_interval_rows: int = 0, mcus_per_row: int | None = None,
                  mesh=None, sampling: str = "444",
-                 local_words: int = LOCAL_WORDS):
+                 local_words: int = LOCAL_WORDS, batch_bands: int = 1):
         # local_words bounds the per-block bit budget (local_words*32); the
         # phase-2 merge gathers from a (nb, local_words+1) array, so a
         # tighter budget shrinks its working set. Blocks that exceed it take
@@ -1065,6 +1065,15 @@ class DeviceJpegEncoder:
         self._mcus_per_row = mcus_per_row
         self._groups_emitted = 0
         self._rst_n = 0
+        # Batch-N dispatch (restart mode only): group-aligned bands
+        # accumulate device-resident and dispatch as ONE flat program.
+        # Restart groups carry no inter-band state, so N stacked bands are
+        # just N x n_groups independent groups in one dispatch — the
+        # sequential phase-1 packing chain, the ~1 ms gather dispatch
+        # floors, and the per-dispatch link latency all amortize over the
+        # batch while per-step data grows toward the bandwidth roofline.
+        self._batch_bands = max(1, int(batch_bands))
+        self._batch_pending: list = []
         self._mesh = mesh
         self._sampling = sampling
         self._mcu_px = 16 if sampling == "420" else 8
@@ -1191,38 +1200,33 @@ class DeviceJpegEncoder:
 
     def _submit_groups(self, band: np.ndarray):
         """Restart-group dispatch: the band must hold whole ri-row groups,
-        except a single final shorter group (tail of the image)."""
+        except a single final shorter group (tail of the image).
+
+        With ``batch_bands > 1`` group-aligned bands accumulate (device-
+        resident; uploads overlap accumulation) and dispatch as one flat
+        program when the batch fills or a tail arrives. Returns ``None``
+        when the call only accumulated — the caller must drain via
+        ``flush_pending()`` at end of stream."""
         ri = self._restart_rows
         mcu_px = self._mcu_px
         band = jnp.asarray(band)
         mcu_rows = band.shape[0] // mcu_px
         tail_rows = mcu_rows % ri
         handles = []
-        cap_bits_px = self._group_cap_bits_px()
         if mcu_rows - tail_rows:
-            main = band[: (mcu_rows - tail_rows) * mcu_px]
-            n_groups = (mcu_rows - tail_rows) // ri
-            px_per_group = ri * mcu_px * band.shape[1]
-            cap_words = max(64, (int(px_per_group * cap_bits_px) + 31) // 32)
-            jit_g = self._groups_jit_for(main.shape)
-            if jit_g is self._jit_groups and self._mesh is not None:
-                # Committed device arrays (fused positioned handoff) must
-                # match the sharded jit's in_sharding — reshard lazily.
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                main = jax.device_put(
-                    main, NamedSharding(self._mesh, P("band", "x", None))
-                )
-            out = jit_g(
-                main, self._lq, self._cq, self._luts, n_groups, cap_words,
-                self._use_pallas, self._sampling, self._local_words,
-                self._merge_mode,
-            )
-            self._async_copy(out)
-            handles.append((out, n_groups, cap_words, px_per_group))
+            self._batch_pending.append(band[: (mcu_rows - tail_rows) * mcu_px])
+            if len(self._batch_pending) >= self._batch_bands:
+                handles += self._dispatch_pending()
         if tail_rows:
+            # Any accumulating batch must dispatch BEFORE the tail: wait()
+            # emits handles in order, and the tail is later in the stream
+            # (a tail-only submit — finish() of a group-aligned stream plus
+            # a padded partial strip — would otherwise emit its group ahead
+            # of the batched mains).
+            handles += self._dispatch_pending()
             tail = band[(mcu_rows - tail_rows) * mcu_px :]
             px = tail_rows * mcu_px * band.shape[1]
+            cap_bits_px = self._group_cap_bits_px()
             cap_words = max(64, (int(px * cap_bits_px) + 31) // 32)
             out = self._groups_jit_for(tail.shape)(
                 tail, self._lq, self._cq, self._luts, 1, cap_words,
@@ -1231,7 +1235,47 @@ class DeviceJpegEncoder:
             )
             self._async_copy(out)
             handles.append((out, 1, cap_words, px))
+        if not handles:
+            return None
         return ("groups", handles)
+
+    def _dispatch_pending(self) -> list:
+        """Dispatch the accumulated group-aligned bands as one program."""
+        if not self._batch_pending:
+            return []
+        if len(self._batch_pending) == 1:
+            main = self._batch_pending[0]
+        else:
+            main = jnp.concatenate(self._batch_pending, axis=0)
+        self._batch_pending = []
+        ri = self._restart_rows
+        mcu_px = self._mcu_px
+        n_groups = (main.shape[0] // mcu_px) // ri
+        px_per_group = ri * mcu_px * main.shape[1]
+        cap_bits_px = self._group_cap_bits_px()
+        cap_words = max(64, (int(px_per_group * cap_bits_px) + 31) // 32)
+        jit_g = self._groups_jit_for(main.shape)
+        if jit_g is self._jit_groups and self._mesh is not None:
+            # Committed device arrays (fused positioned handoff) must
+            # match the sharded jit's in_sharding — reshard lazily.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            main = jax.device_put(
+                main, NamedSharding(self._mesh, P("band", "x", None))
+            )
+        out = jit_g(
+            main, self._lq, self._cq, self._luts, n_groups, cap_words,
+            self._use_pallas, self._sampling, self._local_words,
+            self._merge_mode,
+        )
+        self._async_copy(out)
+        return [(out, n_groups, cap_words, px_per_group)]
+
+    def flush_pending(self):
+        """Dispatch any batched bands still accumulating (end of stream).
+        Returns a ``wait()``-able handle or None."""
+        handles = self._dispatch_pending()
+        return ("groups", handles) if handles else None
 
     @staticmethod
     def _async_copy(out) -> None:

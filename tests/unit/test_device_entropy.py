@@ -355,6 +355,64 @@ def test_merge_strategies_bit_identical():
     np.testing.assert_array_equal(d_s, d_h)
 
 
+def test_batched_dispatch_bytes_identical():
+    """batch_bands > 1 coalesces group-aligned bands into ONE flat device
+    dispatch (restart groups carry no inter-band state — VERDICT r4 item 1);
+    bytes must be identical to unbatched across: full batches, a partial
+    final batch, and a tail (shorter final group)."""
+    from image_stitch_tpu.codecs.jpeg.encoder import StreamingJpegEncoder
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (88, 64, 4), dtype=np.uint8)  # 11 MCU rows
+
+    def run(backend, batch, band_h):
+        e = StreamingJpegEncoder(64, 88, 85, backend=backend,
+                                 restart_interval_rows=2)
+        if batch and e._dev_encoder is not None:
+            e._dev_encoder._batch_bands = batch
+        out = b""
+        for y in range(0, img.shape[0], band_h):
+            for c in e.encode_band(img[y : y + band_h]):
+                out += c
+        for c in e.finish():
+            out += c
+        return out
+
+    # 88 rows at ri=2 -> 5 full 16-row groups + a 1-MCU-row tail. band_h=32
+    # gives 2-group bands; batch=3 leaves a partial batch for the tail
+    # dispatch to flush; batch=8 never fills and relies on flush_pending.
+    ref = run("numpy", 0, 32)
+    assert run("jax", 0, 32) == ref
+    assert run("jax", 3, 32) == ref
+    assert run("jax", 8, 32) == ref
+    assert run("jax", 2, 16) == ref
+
+
+def test_batched_dispatch_env_knob(monkeypatch):
+    """STITCH_TPU_DEVICE_BATCH wires through to the device encoder and the
+    batched stream still matches the host bytes exactly."""
+    from image_stitch_tpu.codecs.jpeg.encoder import StreamingJpegEncoder
+
+    monkeypatch.setenv("STITCH_TPU_DEVICE_BATCH", "4")
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+
+    def run(backend):
+        e = StreamingJpegEncoder(64, 64, 85, backend=backend,
+                                 restart_interval_rows=1)
+        if backend == "jax":
+            assert e._dev_encoder._batch_bands == 4
+        out = b""
+        for y in range(0, img.shape[0], 16):
+            for c in e.encode_band(img[y : y + 16]):
+                out += c
+        for c in e.finish():
+            out += c
+        return out
+
+    assert run("jax") == run("numpy")
+
+
 def test_zz_permute_matmul_exact():
     """The TPU zigzag path (0/1 permutation matmul on the MXU) must equal
     the plain gather for the full quantized-coefficient range: each output
