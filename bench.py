@@ -243,6 +243,7 @@ def device_row_subprocess(budget_s: float) -> dict:
         "BENCH_BACKEND": "jax",
         "BENCH_RESTART": "1",
         "BENCH_DUAL": "0",
+        "BENCH_OTHER_CONFIGS": "0",  # no config sweep inside the device row
         "BENCH_REPS": os.environ.get("BENCH_DEVICE_REPS", "2"),
     })
     try:
@@ -283,15 +284,31 @@ def device_side_subprocess(budget_s: float) -> dict:
     # observed timing out at 10:15 while the identical run finished in
     # 50 s at 10:28). Sample SEVERAL windows: split the budget into short
     # attempts — a healthy minute completes in ~30-60 s with a warm
-    # compile cache, and each retry lands in a fresh window.
+    # compile cache, and each retry lands in a fresh window. A deadline
+    # keeps the TOTAL wall time within budget_s even with the per-attempt
+    # floor (ADVICE r4): when the remaining budget drops below a minimum
+    # useful attempt, stop retrying.
     attempts = max(1, int(os.environ.get("BENCH_DEVICE_SIDE_ATTEMPTS", "3")))
     per_attempt = max(90.0, budget_s / attempts)
-    last_reason = "not attempted"
-    for i in range(attempts):
+    deadline = time.monotonic() + budget_s
+    # Batched dispatch (2048 rows = 4x512 bands coalesced) is the round-5
+    # throughput shape; the final attempt falls back to the long-proven
+    # 512-row program in case the bigger compile is what's stalling.
+    band_h = os.environ.get("BENCH_DEVICE_SIDE_BAND_H", "2048")
+    reasons: list[str] = []
+    i = 0
+    while i < attempts:
+        remaining = deadline - time.monotonic()
+        if remaining < 60.0 and i > 0:
+            reasons.append(f"budget exhausted after {i} attempts")
+            break
+        this_attempt = min(per_attempt, max(60.0, remaining))
+        i += 1
+        this_band_h = band_h if i < attempts or attempts == 1 else "512"
         try:
             out = subprocess.run(
-                [sys.executable, script, "512", "8192", "3"],
-                capture_output=True, text=True, timeout=per_attempt, env=env,
+                [sys.executable, script, this_band_h, "8192", "3"],
+                capture_output=True, text=True, timeout=this_attempt, env=env,
             )
             row = json.loads(out.stdout.strip().splitlines()[-1])
             if row.get("platform") == "cpu":
@@ -302,16 +319,54 @@ def device_side_subprocess(budget_s: float) -> dict:
                 "ms_per_band": row["pipelined_ms_per_band"],
                 "single_dispatch_mpps": row["single_mpps"],
                 "band": row["band"],
-                "attempt": i + 1,
+                "attempt": i,
             }
         except subprocess.TimeoutExpired:
-            last_reason = (
-                f"{attempts} x {per_attempt:.0f}s attempts all exceeded "
-                "budget (chip unreachable or compile stalled)"
-            )
+            reasons.append(f"attempt {i}: exceeded {this_attempt:.0f}s")
         except Exception as exc:  # noqa: BLE001 - report, don't crash
-            last_reason = f"device-side run failed: {type(exc).__name__}"
-    return {"skipped": last_reason}
+            reasons.append(f"attempt {i}: {type(exc).__name__}")
+    return {"skipped": "; ".join(reasons) or "not attempted"}
+
+
+def other_configs_subprocess() -> dict:
+    """Run the non-headline BASELINE.md configs (pair_png, png_out,
+    positioned, pngsuite, northstar) at reps 1-2 in kill-safe subprocesses
+    so the judged artifact carries machine-readable movement on every
+    config, not just grid_jpeg (VERDICT r4 item 4). Each row reports
+    {mps, cpu_mps, seconds}; failures degrade to a skip reason."""
+    import subprocess
+    import sys
+
+    rows: dict[str, object] = {}
+    base_env = dict(os.environ)
+    base_env["BENCH_DUAL"] = "0"  # no device probing in the sweep rows
+    plans = (
+        ("pair_png", "2", 120.0),
+        ("png_out", "2", 600.0),
+        ("positioned", "2", 600.0),
+        ("pngsuite", "2", 300.0),
+        ("northstar", "1", 900.0),
+    )
+    for config, reps, budget in plans:
+        env = dict(base_env)
+        env.update({"BENCH_CONFIG": config, "BENCH_REPS": reps})
+        budget = float(os.environ.get("BENCH_OTHER_BUDGET_S", str(budget)))
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=budget, env=env,
+            )
+            row = json.loads(out.stdout.strip().splitlines()[-1])
+            rows[config] = {
+                "mps": row["value"],
+                "cpu_mps": row["detail"].get("cpu_mps"),
+                "seconds": row["detail"].get("seconds"),
+            }
+        except subprocess.TimeoutExpired:
+            rows[config] = {"skipped": f"exceeded {budget:.0f}s budget"}
+        except Exception as exc:  # noqa: BLE001 - report, don't crash
+            rows[config] = {"skipped": f"failed: {type(exc).__name__}"}
+    return rows
 
 
 def main() -> None:
@@ -409,6 +464,11 @@ def main() -> None:
             detail["backends"]["jax_device_side"] = (
                 device_side_subprocess(side_budget)
             )
+
+    # All five BASELINE configs ride the headline artifact so every judged
+    # config's round-over-round movement is machine-readable.
+    if CONFIG == "grid_jpeg" and os.environ.get("BENCH_OTHER_CONFIGS", "1") != "0":
+        detail["other_configs"] = other_configs_subprocess()
 
     result = {
         "metric": f"{name} (MP/s/chip, end-to-end)",

@@ -222,8 +222,18 @@ class DeviceCompositor:
         h_bucket = _next_pow2(max(8, h_canvas))
         dev_canvas = _bg_canvas_jit(self._mesh)(bg, h=h_bucket, w=w_bucket)
         tie_counts = []
+        from .program_cache import note_program
+
         for (hmax, wmax), run in runs:
             s_cap = _next_pow2(len(run))
+            # Bounded executable-cache hygiene: bucketing caps shape
+            # diversity but not to a constant — adversarial streams still
+            # walk distinct (canvas, run) bucket combos; the registry
+            # flushes the jit caches past the configured limit.
+            note_program(
+                "composite", h_bucket, w_bucket, s_cap, hmax, wmax,
+                self._mesh is not None,
+            )
             srcs = np.zeros((s_cap, hmax, wmax, 4), dtype=np.uint8)
             metas = np.zeros((s_cap, 4), dtype=np.int32)
             for i, (rows, y0, x0) in enumerate(run):

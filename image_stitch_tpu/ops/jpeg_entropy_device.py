@@ -1152,6 +1152,12 @@ class DeviceJpegEncoder:
         bit_base_in = self._bit_base
         n_pixels = band.shape[0] * band.shape[1]
         cap_words = max(64, (n_pixels * self._cap_bits_per_px + 31) // 32)
+        from .program_cache import note_program
+
+        note_program(
+            "jpeg_band", tuple(band.shape), cap_words, self._sampling,
+            self._local_words,
+        )
         words, total_bits, new_dc, max_bb, max_ov, yb, cbb, crb = self._jit(
             band,
             self._lq,
@@ -1228,6 +1234,12 @@ class DeviceJpegEncoder:
             px = tail_rows * mcu_px * band.shape[1]
             cap_bits_px = self._group_cap_bits_px()
             cap_words = max(64, (int(px * cap_bits_px) + 31) // 32)
+            from .program_cache import note_program
+
+            note_program(
+                "jpeg_groups", tuple(tail.shape), 1, cap_words,
+                self._sampling, self._local_words, self._merge_mode,
+            )
             out = self._groups_jit_for(tail.shape)(
                 tail, self._lq, self._cq, self._luts, 1, cap_words,
                 self._use_pallas, self._sampling, self._local_words,
@@ -1254,6 +1266,12 @@ class DeviceJpegEncoder:
         px_per_group = ri * mcu_px * main.shape[1]
         cap_bits_px = self._group_cap_bits_px()
         cap_words = max(64, (int(px_per_group * cap_bits_px) + 31) // 32)
+        from .program_cache import note_program
+
+        note_program(
+            "jpeg_groups", tuple(main.shape), n_groups, cap_words,
+            self._sampling, self._local_words, self._merge_mode,
+        )
         jit_g = self._groups_jit_for(main.shape)
         if jit_g is self._jit_groups and self._mesh is not None:
             # Committed device arrays (fused positioned handoff) must
@@ -1326,6 +1344,12 @@ class DeviceJpegEncoder:
         used = (bits_h + 31) // 32
         need_per_group = -(-int(used.sum()) // n_groups)
         cap_words = max(64, -(-need_per_group // 256) * 256)
+        from .program_cache import note_program
+
+        note_program(
+            "jpeg_repack", tuple(blocks[0].shape), n_groups, cap_words,
+            self._sampling, local_words, self._merge_mode,
+        )
         dense, bits2, max_bb2, max_ov2 = self._jit_pack(
             *blocks, self._luts, n_groups=n_groups, cap_words=cap_words,
             sampling=self._sampling, local_words=local_words,
