@@ -291,10 +291,12 @@ def device_side_subprocess(budget_s: float) -> dict:
     attempts = max(1, int(os.environ.get("BENCH_DEVICE_SIDE_ATTEMPTS", "3")))
     per_attempt = max(90.0, budget_s / attempts)
     deadline = time.monotonic() + budget_s
-    # Batched dispatch (2048 rows = 4x512 bands coalesced) is the round-5
-    # throughput shape; the final attempt falls back to the long-proven
-    # 512-row program in case the bigger compile is what's stalling.
-    band_h = os.environ.get("BENCH_DEVICE_SIDE_BAND_H", "2048")
+    # 512 rows is the measured-best pipelined shape: the round-5 batch
+    # sweep (BENCHMARKS.md) showed the marginal per pixel DEGRADES with
+    # dispatch size (512: 394 MP/s; 1024: 336; 4096: 273) — the program is
+    # compute-bound, not dispatch-latency-bound, so batching only helps
+    # the single-dispatch (one-shot) case (78 -> 225 MP/s at 4096).
+    band_h = os.environ.get("BENCH_DEVICE_SIDE_BAND_H", "512")
     reasons: list[str] = []
     i = 0
     while i < attempts:
@@ -304,10 +306,9 @@ def device_side_subprocess(budget_s: float) -> dict:
             break
         this_attempt = min(per_attempt, max(60.0, remaining))
         i += 1
-        this_band_h = band_h if i < attempts or attempts == 1 else "512"
         try:
             out = subprocess.run(
-                [sys.executable, script, this_band_h, "8192", "3"],
+                [sys.executable, script, band_h, "8192", "3"],
                 capture_output=True, text=True, timeout=this_attempt, env=env,
             )
             row = json.loads(out.stdout.strip().splitlines()[-1])

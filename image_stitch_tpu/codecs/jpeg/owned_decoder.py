@@ -158,6 +158,43 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_jpeg_impl(data: bytes) -> np.ndarray:
+    width, height, comps, qtables = _decode_to_coefficients(bytes(data))
+    return _finish_decode(width, height, comps, qtables)
+
+
+def decode_coefficients(data: bytes):
+    """Host Huffman stage only — the device decode tier's input (SURVEY
+    build-plan step 6: host Huffman decode -> TPU dequant/IDCT/upsample/
+    color; ops/jpeg_idct_device consumes these).
+
+    Returns (blocks, qtabs, geom, width, height): per component,
+    ``blocks`` (by*bx, 64) int32 natural-order quantized coefficients,
+    ``qtabs`` (64,) int32 natural-order quant table, and ``geom``
+    (by, bx, comp_w, comp_h, h_expand, v_expand) static tuples matching
+    ops/jpeg_idct_device.decode_rgb_trace.
+    """
+    try:
+        width, height, comps, qtables = _decode_to_coefficients(bytes(data))
+    except StitchError:
+        raise
+    except (IndexError, ValueError, ZeroDivisionError) as exc:
+        raise StitchError("Invalid JPEG: malformed stream", exc) from exc
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    blocks, qts, geom = [], [], []
+    for c in comps:
+        q = qtables.get(c.tq)
+        if q is None:
+            raise StitchError(f"Missing quantization table {c.tq}")
+        comp_w = -(-width * c.h // hmax)
+        comp_h = -(-height * c.v // vmax)
+        geom.append((c.by, c.bx, comp_w, comp_h, hmax // c.h, vmax // c.v))
+        blocks.append(c.blocks)
+        qts.append(q)
+    return blocks, qts, geom, width, height
+
+
+def _decode_to_coefficients(data: bytes):
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise StitchError("Invalid JPEG: missing SOI")
@@ -308,7 +345,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             break
         pos += 2 + seg_len
     if saw_scan:
-        return _finish_decode(width, height, comps, qtables)
+        return width, height, comps, qtables
     raise StitchError("Invalid JPEG: no SOS marker found")
 
 
