@@ -115,6 +115,7 @@ class JpegDecoder:
         self._header: ImageHeader | None = None
         self._pixels: np.ndarray | None = None
         self._band_height = self._options.band_height or DEFAULT_BAND_HEIGHT
+        self._dev_decoder = None  # None = untried, False = unavailable
 
     def get_header(self) -> ImageHeader:
         """Header-only parse — no pixel decode (jpeg-decoder.ts:46-97)."""
@@ -158,8 +159,34 @@ class JpegDecoder:
             for row in band:
                 yield row
 
+    def device_band_decoder(self):
+        """The device band tier for this stream (host Huffman once,
+        cached): random-access ``decode_band`` of device-resident RGBA,
+        bit-identical to the host tiers. None when the stream is outside
+        the tier's exactness bounds (DeviceJpegDecoder.safe), the header
+        disagrees, or pixels are contract-defined by an injected custom
+        decoder."""
+        if (self._options.custom_decoders or {}).get("jpeg") is not None:
+            return None
+        if self._dev_decoder is None:
+            dev = None
+            try:
+                from .device_decoder import DeviceJpegDecoder
+
+                cand = DeviceJpegDecoder(self._data)
+                hdr = self.get_header()
+                if cand.safe and (cand.width, cand.height) == (
+                    hdr.width, hdr.height
+                ):
+                    dev = cand
+            except StitchError:
+                dev = None
+            self._dev_decoder = dev if dev is not None else False
+        return self._dev_decoder or None
+
     def close(self) -> None:
         self._pixels = None
+        self._dev_decoder = None
 
 
 class JpegFileDecoder(JpegDecoder):

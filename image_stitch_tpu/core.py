@@ -172,6 +172,7 @@ class RowSource:
         self.rows_served = 0
         self._progress = progress
         self._context: tuple[int, int] | None = None  # (grid_row, grid_col) 1-based
+        self._dev_state: tuple | None = None  # lazily probed device tier
 
     def _make_iter(self) -> None:
         decoder, band_height = self._decoder, self._band_height
@@ -286,6 +287,31 @@ class RowSource:
         if n <= 0:
             return
         self.take(n)
+
+    def device_decoder(self):
+        """The underlying decoder's device band tier (random-access
+        ``decode_band`` of device-resident RGBA, bit-identical to the host
+        tiers), or None. A source that exposes one is served EXCLUSIVELY
+        through it by the grid device path — ``take()`` is never mixed in,
+        so the sequential iterator cursor can't diverge."""
+        if self._dev_state is None:
+            dev = None
+            get = getattr(self._decoder, "device_band_decoder", None)
+            if get is not None and self.header.bit_depth == 8:
+                dev = get()
+                if dev is not None and (dev.width, dev.height) != (
+                    self.header.width, self.header.height
+                ):  # pragma: no cover - decoder validates its own header
+                    dev = None
+            self._dev_state = (dev,)
+        return self._dev_state[0]
+
+    def note_rows_served(self, n: int) -> None:
+        """Account rows served OUTSIDE take() (the device decode path
+        reads by random access); progress + completion bookkeeping only."""
+        self.rows_served += n
+        if self._progress is not None:
+            self._progress.consumed(self.image_idx, n)
 
 
 def _bands_from_rows(rows: Iterator[np.ndarray], band_height: int):
@@ -592,44 +618,126 @@ class CoreStreamingConcatenator:
         ]
         pool = self._host_pool()
 
-        def submit_band(band_y0: int, h: int):
-            """Fan the band's pulls out to the pool. One pull per input
-            (each input owns one grid cell, so takes touch disjoint
-            sources); results are placed in placement order, so the canvas
-            bytes — and the first error raised — match the serial path
-            exactly."""
+        # ---- device decode fast path (grid) --------------------------- #
+        # JPEG sources expose a device band tier (host Huffman once,
+        # dequant/IDCT/upsample/color on-device — SURVEY build-plan step
+        # 6); when the device encoder consumes the bands too, a band fully
+        # tiled by such sources is assembled ON DEVICE (one concat) and
+        # decoded pixels never cross the link in either direction. Output
+        # bytes are identical by the tier's bit-exactness contract, so the
+        # gate is purely a routing decision.
+        import os as _os
+
+        from .ops.backend import resolve_backend_name
+
+        dev_gate = (
+            opts.output_format == "jpeg"
+            and dtype == np.uint8
+            and _os.environ.get("STITCH_TPU_DEVICE_DECODE", "1") != "0"
+            and (
+                self._resolved_mesh() is not None
+                or resolve_backend_name(opts.backend, width * total_h)
+                in ("jax", "tpu")
+            )
+        )
+        placement_y0 = {p[0]: p[1] for p in placements}
+        dev_cache: dict[int, object] = {}
+
+        def dev_for(image_idx: int):
+            """Device tier for a source (None = host-served). Deterministic
+            per source: a device-served source never mixes with take()."""
+            if not dev_gate:
+                return None
+            if image_idx not in dev_cache:
+                dev_cache[image_idx] = sources[image_idx].device_decoder()
+            return dev_cache[image_idx]
+
+        def dev_rows(image_idx: int, seg_y0: int, seg_y1: int, device: bool):
+            dev = dev_cache[image_idx]
+            ly0 = seg_y0 - placement_y0[image_idx]
+            out = dev.decode_band(ly0, ly0 + (seg_y1 - seg_y0),
+                                  return_device=device)
+            src = sources[image_idx]
+            src.note_rows_served(seg_y1 - seg_y0)
+            if src.rows_served >= src.header.height:
+                dev_cache[image_idx] = None  # free coefficient arrays
+                sources[image_idx]._dev_state = (None,)
+            return out
+
+        def make_plan(band_y0: int, h: int):
+            """("device", segs) when the band is fully tiled by full-band
+            device-decodable segments; else ("host", active, futs) with
+            pool futures for the take()-served segments only."""
             active = band_active(band_y0, h)
-            futs = [
-                pool.submit(sources[image_idx].take, seg_y1 - seg_y0)
-                for image_idx, _x0, _w, seg_y0, seg_y1 in active
-            ]
-            return active, futs
+            if dev_gate and active:
+                segs = sorted(active, key=lambda a: a[1])
+                x_cursor = 0
+                ok = True
+                for image_idx, x0, img_w, seg_y0, seg_y1 in segs:
+                    if (
+                        seg_y0 != band_y0
+                        or seg_y1 != band_y0 + h
+                        or x0 != x_cursor
+                        or dev_for(image_idx) is None
+                    ):
+                        ok = False
+                        break
+                    x_cursor = x0 + img_w
+                if ok and x_cursor == width:
+                    return ("device", segs, None)
+            futs = None
+            if pool is not None:
+                # One pull per take()-served input (each input owns one
+                # grid cell, so takes touch disjoint sources); placement
+                # order keeps bytes and first-error identical to serial.
+                futs = [
+                    pool.submit(sources[image_idx].take, seg_y1 - seg_y0)
+                    if dev_for(image_idx) is None
+                    else None
+                    for image_idx, _x0, _w, seg_y0, seg_y1 in active
+                ]
+            return ("host", active, futs)
 
         pending = None  # lookahead: band N+1 decodes while N encodes
         for band_idx, (band_y0, h) in enumerate(band_specs):
             if band_idx and band_idx % 16 == 0:
                 trim_malloc()  # keep RSS at the live set, not the high-water
+            plan = pending if pending is not None else make_plan(band_y0, h)
+            pending = None
+            if plan[0] == "device":
+                import jax.numpy as jnp
+
+                parts = [
+                    dev_rows(image_idx, seg_y0, seg_y1, device=True)
+                    for image_idx, _x0, _w, seg_y0, seg_y1 in plan[1]
+                ]
+                band_dev = (
+                    parts[0]
+                    if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1)
+                )
+                if band_idx + 1 < len(band_specs):
+                    pending = make_plan(*band_specs[band_idx + 1])
+                yield band_dev
+                continue
+            active, futs = plan[1], plan[2]
             canvas = np.empty((h, width, 4), dtype=dtype)
             if not covered_rows[band_y0 : band_y0 + h].all():
                 canvas[:] = bg
-            if pool is not None:
-                active, futs = pending if pending is not None else submit_band(
-                    band_y0, h
-                )
-                for fut, (image_idx, x0, img_w, seg_y0, seg_y1) in zip(futs, active):
-                    rows = fut.result()
-                    canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
-                # Submit the NEXT band's pulls before yielding: the consumer
-                # encodes this band (native entropy/deflate release the GIL)
-                # while the workers decode ahead. Bounded lookahead: one
-                # band of rows per source.
-                pending = None
-                if band_idx + 1 < len(band_specs):
-                    pending = submit_band(*band_specs[band_idx + 1])
-            else:
-                for image_idx, x0, img_w, seg_y0, seg_y1 in band_active(band_y0, h):
+            for i, (image_idx, x0, img_w, seg_y0, seg_y1) in enumerate(active):
+                if dev_gate and dev_for(image_idx) is not None:
+                    rows = dev_rows(image_idx, seg_y0, seg_y1, device=False)
+                elif futs is not None and futs[i] is not None:
+                    rows = futs[i].result()
+                else:
                     rows = sources[image_idx].take(seg_y1 - seg_y0)
-                    canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+                canvas[seg_y0 - band_y0 : seg_y1 - band_y0, x0 : x0 + img_w] = rows
+            # Submit the NEXT band's pulls before yielding: the consumer
+            # encodes this band (native entropy/deflate release the GIL)
+            # while the workers decode ahead. Bounded lookahead: one
+            # band of rows per source.
+            if band_idx + 1 < len(band_specs):
+                pending = make_plan(*band_specs[band_idx + 1])
             yield canvas
 
     # -------------------------- positioned mode ------------------------ #

@@ -81,6 +81,12 @@ def main() -> None:
     t0 = time.perf_counter()
     run_once()
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    # Content check for the synth-vs-real A/B (VERDICT r4 item 5): entropy
+    # cost is content-dependent, so the band's actual bits/px is part of
+    # the record, not just ms/band.
+    out = fn(band, lqd, cqd, lutsd, n_groups, cap_g)
+    total_bits = float(jnp.sum(out[1]))
+    print(f"content: {total_bits / (BAND_H * CANVAS_W):.3f} bits/px", flush=True)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
