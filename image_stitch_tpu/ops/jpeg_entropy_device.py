@@ -716,6 +716,24 @@ def _pack_blocks_aligned(codes, lens, starts, local_words: int,
     return local.T  # (nb, AW)
 
 
+def _pack_dispatch(codes, lens, starts, local_words: int,
+                   transpose: bool = True):
+    """Route phase-1 packing to the Pallas kernel when enabled.
+
+    The XLA fori_loop re-reads and re-writes the whole (AW, nb) buffer
+    from HBM every one of its 33 steps; the Pallas kernel
+    (ops/pallas_kernels.pack_blocks_aligned_pallas, bit-identical) keeps
+    the accumulator in VMEM for the entire chain so HBM sees the symbol
+    stream once and the packed buffer once. Gated exactly like the other
+    pallas kernels (STITCH_TPU_PALLAS=1 + a real TPU backend)."""
+    from .pallas_kernels import pack_blocks_aligned_pallas, pallas_enabled
+
+    if pallas_enabled():
+        local = pack_blocks_aligned_pallas(codes, lens, starts, local_words)
+        return local.T if transpose else local
+    return _pack_blocks_aligned(codes, lens, starts, local_words, transpose)
+
+
 def _merge_aligned(aligned, starts, block_bits, cap_words: int,
                    k_overlap: int = K_OVERLAP):
     """Phase 2, flat: OR pre-aligned per-block buffers into the global
@@ -985,14 +1003,14 @@ def jpeg_pack_groups_from_blocks_trace(
 
     total = n_groups * cap_words
     if merge == "hybrid":
-        local = _pack_blocks_aligned(
+        local = _pack_dispatch(
             codes, lens, starts, local_words, transpose=False
         )
         dense = _merge_aligned_hybrid(local, starts, block_bits, total)
         # Exact for any per-word overlap; 0 keeps the host check inert.
         max_overlap = jnp.int32(0)
     elif merge == "segsum":
-        local = _pack_blocks_aligned(
+        local = _pack_dispatch(
             codes, lens, starts, local_words, transpose=False
         )
         dense = _merge_aligned_segsum(local, starts, total)
@@ -1000,7 +1018,7 @@ def jpeg_pack_groups_from_blocks_trace(
         # a constant 0 so the host-side K_OVERLAP check is inert.
         max_overlap = jnp.int32(0)
     else:
-        aligned = _pack_blocks_aligned(codes, lens, starts, local_words)
+        aligned = _pack_dispatch(codes, lens, starts, local_words)
         dense, max_overlap = _merge_aligned(
             aligned, starts, block_bits, total, k_overlap=k_overlap
         )

@@ -166,6 +166,111 @@ def filter_select_pallas(
     )
 
 
+PACK_TILE = 512  # block lanes per grid step of the pack kernel
+
+
+def _pack_kernel(codes_ref, lens_ref, off_ref, out_ref, *, n_pairs: int,
+                 n_aw: int):
+    """Phase-1 symbol packing for one (AW_pad, PACK_TILE) block tile.
+
+    Same math as ops/jpeg_entropy_device._pack_blocks_aligned's step(),
+    but the accumulator lives in VMEM/VREGs for the whole 33-step chain:
+    the XLA fori_loop re-reads and re-writes the (AW, nb) buffer from HBM
+    every step (33x2 full-buffer round trips ~ 0.8 GB per 4 MP band —
+    the bulk of the measured 2.7 ms); here HBM sees the symbol stream
+    once and the packed buffer once, and the roofline is the read of
+    codes+lens.
+    """
+    aw_pad = out_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (aw_pad, codes_ref.shape[1]), 0)
+    local = jnp.zeros((aw_pad, codes_ref.shape[1]), jnp.uint32)
+    off = off_ref[0, :].astype(jnp.int32)
+    for s in range(n_pairs):
+        c1 = codes_ref[2 * s, :]
+        c2 = codes_ref[2 * s + 1, :]
+        l1 = lens_ref[2 * s, :]
+        l2 = lens_ref[2 * s + 1, :]
+        tl = l1 + l2
+        l2u = l2.astype(jnp.uint32)
+        v_lo = (c1 << l2u) | c2
+        v_hi = jnp.where(
+            l2 == 0,
+            jnp.uint32(0),
+            c1 >> jnp.clip(32 - l2, 0, 31).astype(jnp.uint32),
+        )
+        end = off + tl
+        sh = ((32 - (end & 31)) & 31).astype(jnp.uint32)
+        inv = jnp.clip(32 - sh.astype(jnp.int32), 0, 31).astype(jnp.uint32)
+        lo_spill = jnp.where(sh == 0, jnp.uint32(0), v_lo >> inv)
+        hi_spill = jnp.where(sh == 0, jnp.uint32(0), v_hi >> inv)
+        d_lo = v_lo << sh
+        d_mid = (v_hi << sh) | lo_spill
+        d_hi = hi_spill
+        w_e = (end - 1) >> 5
+        w0c = jnp.clip(w_e, 0, n_aw - 1)
+        w1c = jnp.clip(w_e - 1, 0, n_aw - 1)
+        w2c = jnp.clip(w_e - 2, 0, n_aw - 1)
+        local = local | (
+            jnp.where(lane == w0c[None, :], d_lo[None, :], 0)
+            | jnp.where(lane == w1c[None, :], d_mid[None, :], 0)
+            | jnp.where(lane == w2c[None, :], d_hi[None, :], 0)
+        )
+        off = end
+    out_ref[:] = local
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pairs", "n_aw", "aw_pad", "interpret")
+)
+def _pack_call(codes_t, lens_t, off0, n_pairs: int, n_aw: int, aw_pad: int,
+               interpret: bool):
+    n_sym_pad, nb_pad = codes_t.shape
+    grid = (nb_pad // PACK_TILE,)
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, n_pairs=n_pairs, n_aw=n_aw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_sym_pad, PACK_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sym_pad, PACK_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PACK_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((aw_pad, PACK_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((aw_pad, nb_pad), jnp.uint32),
+        interpret=interpret,
+    )(codes_t, lens_t, off0)
+
+
+def pack_blocks_aligned_pallas(codes, lens, starts, local_words: int,
+                               interpret: bool = False):
+    """Pallas phase-1 pack: (nb, n_sym) symbol streams -> (AW, nb) uint32
+    pre-aligned local buffers, bit-identical to the XLA
+    ``_pack_blocks_aligned(..., transpose=False)`` path."""
+    nb, n_sym = codes.shape
+    if n_sym % 2:
+        codes = jnp.pad(codes, ((0, 0), (0, 1)))
+        lens = jnp.pad(lens, ((0, 0), (0, 1)))
+        n_sym += 1
+    n_aw = local_words + 2
+    aw_pad = -(-n_aw // 8) * 8
+    nb_pad = -(-nb // PACK_TILE) * PACK_TILE
+    n_sym_pad = -(-n_sym // 8) * 8
+    codes_t = jnp.pad(
+        codes.T.astype(jnp.uint32), ((0, n_sym_pad - n_sym), (0, nb_pad - nb))
+    )
+    lens_t = jnp.pad(
+        lens.T.astype(jnp.int32), ((0, n_sym_pad - n_sym), (0, nb_pad - nb))
+    )
+    off0 = jnp.pad((starts & 31).astype(jnp.int32)[None, :], ((0, 0), (0, nb_pad - nb)))
+    local = _pack_call(
+        codes_t, lens_t, off0, n_sym // 2, n_aw, aw_pad, interpret
+    )
+    return local[:n_aw, :nb]
+
+
 def pallas_enabled() -> bool:
     """Production gate for the pallas kernels: explicitly requested AND a
     real TPU backend is active (on CPU pallas only runs in interpret mode,
