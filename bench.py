@@ -246,6 +246,8 @@ def device_row_subprocess(budget_s: float) -> dict:
         "BENCH_OTHER_CONFIGS": "0",  # no config sweep inside the device row
         "BENCH_REPS": os.environ.get("BENCH_DEVICE_REPS", "2"),
     })
+    # Same rationale as device_side_subprocess: bit-exact +9% on v5e.
+    env.setdefault("STITCH_TPU_PALLAS", "1")
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -280,6 +282,10 @@ def device_side_subprocess(budget_s: float) -> dict:
     env = dict(os.environ)
     env["TIME_JSON"] = "1"
     env.pop("JAX_PLATFORMS", None)  # must see the real accelerator
+    # Pallas phase-1 pack: bit-exact (tests/unit/test_device_entropy.py)
+    # and measured +9% same-window on v5e (10.5 vs 11.5 ms/band, ROUND5.md);
+    # pallas_enabled() no-ops the gate off a real TPU.
+    env.setdefault("STITCH_TPU_PALLAS", "1")
     # The tunnel's health swings minute to minute (a 600 s single shot
     # observed timing out at 10:15 while the identical run finished in
     # 50 s at 10:28). Sample SEVERAL windows: split the budget into short

@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+NOISE_AMP = 12
+"""Noise amplitude calibrated against REAL bench content (r5 A/B,
+scripts/ab_synth_vs_real.py): band 4 of the production grid_jpeg canvas
+codes at 1.982 bits/px; uniform +-12 noise on the gradient base gives
+1.934 bits/px (+-10 gave 1.588, a 20% friendlier stream). The program's
+ms/band is content-INSENSITIVE (real 15.03 vs synth 14.90 ms same
+window, 0.9%), but the artifact's device row should still time
+production-density content."""
+
+
 def make_bench_band(band_h: int, canvas_w: int, host: bool = False):
     """(band_h, canvas_w, 4) uint8 bench band, device-resident."""
     if host:
@@ -29,7 +39,7 @@ def make_bench_band(band_h: int, canvas_w: int, host: bool = False):
         band_np[..., 3] = 255
         band_np[:, :, :3] = np.clip(
             band_np[:, :, :3].astype(np.int16)
-            + rng.integers(-10, 11, (band_h, canvas_w, 3)),
+            + rng.integers(-NOISE_AMP, NOISE_AMP + 1, (band_h, canvas_w, 3)),
             0, 255,
         ).astype(np.uint8)
         return jax.device_put(jnp.asarray(band_np), jax.devices()[0])
@@ -41,7 +51,8 @@ def make_bench_band(band_h: int, canvas_w: int, host: bool = False):
         b = jnp.broadcast_to(base[::-1][None, :], (band_h, canvas_w))
         rgb = jnp.stack([r, g, b], axis=-1)
         noise = jax.random.randint(
-            jax.random.PRNGKey(0), (band_h, canvas_w, 3), -10, 11, jnp.int16
+            jax.random.PRNGKey(0), (band_h, canvas_w, 3),
+            -NOISE_AMP, NOISE_AMP + 1, jnp.int16,
         )
         rgb = jnp.clip(rgb + noise, 0, 255).astype(jnp.uint8)
         alpha = jnp.full((band_h, canvas_w, 1), 255, jnp.uint8)
