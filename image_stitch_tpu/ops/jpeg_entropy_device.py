@@ -757,16 +757,10 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int,
     # cumsum (flat segment_sum with sorted indices is fast; a binary
     # search per word would be ~log(nb) slow gathers each).
     end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(end_word), end_word, num_segments=cap_words,
-        indices_are_sorted=True,
-    )
+    counts = _hist_sorted(end_word, cap_words)
     j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
     start_word = jnp.clip(starts >> 5, 0, cap_words - 1)
-    start_counts = jax.ops.segment_sum(
-        jnp.ones_like(start_word), start_word, num_segments=cap_words,
-        indices_are_sorted=True,
-    )
+    start_counts = _hist_sorted(start_word, cap_words)
     j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
     max_overlap = jnp.max(j_hi - j_lo)
 
@@ -814,6 +808,84 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int,
     return words, max_overlap
 
 
+def _hist_sorted(idx, cap_words: int):
+    """Histogram of sorted int32 ``idx`` over [0, cap_words).
+
+    TPU segment_sum/scatter costs ~20-40 ns per ELEMENT (serial scalar
+    walk — scripts/bench_merge_primitives.py), ~1.3 ms for the 65K-block
+    j_lo histogram. A histogram over a static range is also a factored
+    one-hot MXU contraction: with w = hi*512 + lo,
+    ``counts2d[hi, lo] = sum_b oh_hi[b, hi] * oh_lo[b, lo]`` — one
+    (cap/512, nb) x (nb, 512) matmul. Exact: one-hot 0/1 is bf16-exact,
+    every product is 0/1, and the f32 accumulator is exact for counts
+    < 2^24 (nb is ~65K). CPU (the test mesh) keeps segment_sum;
+    equivalence is asserted in tests/unit/test_device_entropy.py.
+    """
+    if jax.default_backend() != "tpu":
+        return jax.ops.segment_sum(
+            jnp.ones_like(idx), idx, num_segments=cap_words,
+            indices_are_sorted=True,
+        )
+    return _hist_matmul(idx, cap_words)
+
+
+def _hist_matmul(idx, cap_words: int, factor: int = 512):
+    cap_pad = -(-cap_words // factor) * factor
+    oh_hi = jax.nn.one_hot(idx // factor, cap_pad // factor,
+                           dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(idx % factor, factor, dtype=jnp.bfloat16)
+    counts2d = jax.lax.dot_general(
+        oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (cap_pad/factor, factor)
+    return counts2d.reshape(-1)[:cap_words].astype(jnp.int32)
+
+
+def _scatter_or_disjoint(idx, vals, cap_words: int):
+    """``out[w] = OR of vals[b] where idx[b] == w`` for values whose set
+    bits are mutually disjoint within each target word (then OR == ADD,
+    the invariant the segsum starters path already relies on).
+
+    TPU route: the same factored one-hot contraction as _hist_sorted,
+    with the uint32 values split into four byte limbs woven into the lo
+    factor — bf16 holds integers <= 256 exactly, per-byte sums of
+    disjoint-bit contributions stay <= 255, and the f32 accumulator is
+    exact, so the recombined word equals the OR bit-for-bit (CPU
+    equivalence: tests/unit/test_device_entropy.py).
+
+    Out-of-range idx rows drop (one_hot of an OOB index is all-zero),
+    matching segment_sum's clip-free drop semantics.
+    """
+    if jax.default_backend() != "tpu":
+        return jax.ops.segment_sum(
+            vals, idx, num_segments=cap_words, indices_are_sorted=True,
+        )
+    return _scatter_or_matmul(idx, vals, cap_words)
+
+
+def _scatter_or_matmul(idx, vals, cap_words: int, factor: int = 512):
+    cap_pad = -(-cap_words // factor) * factor
+    oh_hi = jax.nn.one_hot(idx // factor, cap_pad // factor,
+                           dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(idx % factor, factor, dtype=jnp.bfloat16)
+    limbs = jnp.stack(
+        [((vals >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+         for k in range(4)],
+        axis=1,
+    )  # (nb, 4)
+    rhs = (oh_lo[:, None, :] * limbs[:, :, None]).reshape(
+        idx.shape[0], 4 * factor
+    )  # (nb, 4*factor), limb-major blocks
+    out = jax.lax.dot_general(
+        oh_hi, rhs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(cap_pad // factor, 4, factor)
+    words = sum(
+        out[:, k, :].astype(jnp.uint32) << (8 * k) for k in range(4)
+    )
+    return words.reshape(-1)[:cap_words]
+
+
 def _merge_aligned_hybrid(local, starts, block_bits, cap_words: int):
     """Phase 2 as one gather round + one sorted scatter-add.
 
@@ -839,10 +911,7 @@ def _merge_aligned_hybrid(local, starts, block_bits, cap_words: int):
     ends = starts + block_bits
     word_ids = jnp.arange(cap_words, dtype=jnp.int32)
     end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(end_word), end_word, num_segments=cap_words,
-        indices_are_sorted=True,
-    )
+    counts = _hist_sorted(end_word, cap_words)
     j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     wstart = (starts >> 5).astype(jnp.int32)
@@ -870,9 +939,7 @@ def _merge_aligned_hybrid(local, starts, block_bits, cap_words: int):
     cover = jax.lax.reduce(val2d, jnp.uint32(0), jax.lax.bitwise_or, (1,))
     cover = jnp.where(valid, cover, jnp.uint32(0))
 
-    starters = jax.ops.segment_sum(
-        local[0], wstart, num_segments=cap_words, indices_are_sorted=True,
-    )
+    starters = _scatter_or_disjoint(wstart, local[0], cap_words)
     return cover | starters
 
 

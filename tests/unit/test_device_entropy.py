@@ -461,3 +461,53 @@ def test_bit_size_exponent_trick_exhaustive():
     got = np.asarray(_bit_size(jnp.asarray(v), 13))
     exp = np.array([int(abs(int(x))).bit_length() for x in v], dtype=np.int32)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_hist_matmul_exact():
+    """The factored one-hot MXU histogram (_hist_matmul, the TPU-side
+    j_lo path) must equal the sorted segment_sum bin-for-bin, including
+    the cap_words % factor padded tail."""
+    import jax.numpy as jnp
+
+    from image_stitch_tpu.ops.jpeg_entropy_device import _hist_matmul
+
+    rng = np.random.default_rng(7)
+    for cap in (700, 4096, 6145):
+        gaps = np.clip(rng.poisson(5.0, 2048), 1, 14)
+        idx = np.minimum(np.cumsum(gaps), cap - 1).astype(np.int32)
+        want = np.bincount(idx, minlength=cap).astype(np.int32)
+        got = np.asarray(_hist_matmul(jnp.asarray(idx), cap))
+        assert (got == want).all()
+
+
+def test_scatter_or_matmul_exact():
+    """_scatter_or_matmul (TPU starters path) must equal the segment_sum
+    it replaces for disjoint-bit values: synthesize word-tiling blocks
+    (contiguous bit ranges, several tiny blocks sharing a start word) and
+    compare bit-for-bit."""
+    import jax.numpy as jnp
+
+    from image_stitch_tpu.ops.jpeg_entropy_device import _scatter_or_matmul
+
+    rng = np.random.default_rng(11)
+    for cap in (700, 6144):
+        # Contiguous bit tiling -> disjoint in-word bit ranges per start.
+        bits = rng.integers(2, 200, 4096)
+        starts = np.concatenate([[0], np.cumsum(bits)[:-1]])
+        starts = starts[starts < cap * 32 - 200]
+        ends = np.concatenate([starts[1:], [starts[-1] + 200]])
+        wstart = (starts >> 5).astype(np.int32)
+        off = (starts & 31).astype(np.int32)
+        nbits0 = np.minimum(ends - starts, 32 - off)  # bits in word 0
+        vals = np.zeros(len(starts), np.uint32)
+        for i in range(len(starts)):
+            payload = rng.integers(0, 1 << 31, dtype=np.uint32) | 1
+            mask = ((1 << int(nbits0[i])) - 1) & 0xFFFFFFFF
+            vals[i] = (payload & mask) << off[i]
+        want = np.zeros(cap, np.uint64)
+        np.add.at(want, wstart, vals.astype(np.uint64))
+        assert (want >> 32 == 0).all()  # disjointness sanity
+        got = np.asarray(_scatter_or_matmul(
+            jnp.asarray(wstart), jnp.asarray(vals), cap
+        ))
+        assert (got == want.astype(np.uint32)).all()
