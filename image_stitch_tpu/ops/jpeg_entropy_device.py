@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -820,8 +821,11 @@ def _hist_sorted(idx, cap_words: int):
     every product is 0/1, and the f32 accumulator is exact for counts
     < 2^24 (nb is ~65K). CPU (the test mesh) keeps segment_sum;
     equivalence is asserted in tests/unit/test_device_entropy.py.
+    STITCH_TPU_MXU_HIST=0 falls back to segment_sum (A/B flip; read at
+    trace time — A/B in fresh processes).
     """
-    if jax.default_backend() != "tpu":
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("STITCH_TPU_MXU_HIST", "1") == "0"):
         return jax.ops.segment_sum(
             jnp.ones_like(idx), idx, num_segments=cap_words,
             indices_are_sorted=True,
@@ -855,8 +859,13 @@ def _scatter_or_disjoint(idx, vals, cap_words: int):
 
     Out-of-range idx rows drop (one_hot of an OOB index is all-zero),
     matching segment_sum's clip-free drop semantics.
+
+    FLOP-marginal by estimate (the 4-limb rhs is ~4x the histogram's
+    traffic) — STITCH_TPU_MXU_SCATTER=0 flips back to segment_sum for
+    the device A/B (trace-time; A/B in fresh processes).
     """
-    if jax.default_backend() != "tpu":
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("STITCH_TPU_MXU_SCATTER", "1") == "0"):
         return jax.ops.segment_sum(
             vals, idx, num_segments=cap_words, indices_are_sorted=True,
         )
