@@ -822,10 +822,11 @@ def _hist_sorted(idx, cap_words: int):
     < 2^24 (nb is ~65K). CPU (the test mesh) keeps segment_sum;
     equivalence is asserted in tests/unit/test_device_entropy.py.
     STITCH_TPU_MXU_HIST=0 falls back to segment_sum (A/B flip; read at
-    trace time — A/B in fresh processes).
+    trace time — A/B in fresh processes); =force uses the matmul even
+    off-TPU so the CPU suite exercises the full TPU-shaped trace.
     """
-    if (jax.default_backend() != "tpu"
-            or os.environ.get("STITCH_TPU_MXU_HIST", "1") == "0"):
+    mode = os.environ.get("STITCH_TPU_MXU_HIST", "1")
+    if mode != "force" and (jax.default_backend() != "tpu" or mode == "0"):
         return jax.ops.segment_sum(
             jnp.ones_like(idx), idx, num_segments=cap_words,
             indices_are_sorted=True,
@@ -862,10 +863,11 @@ def _scatter_or_disjoint(idx, vals, cap_words: int):
 
     FLOP-marginal by estimate (the 4-limb rhs is ~4x the histogram's
     traffic) — STITCH_TPU_MXU_SCATTER=0 flips back to segment_sum for
-    the device A/B (trace-time; A/B in fresh processes).
+    the device A/B (trace-time; A/B in fresh processes); =force uses
+    the matmul even off-TPU (CPU full-trace wiring test).
     """
-    if (jax.default_backend() != "tpu"
-            or os.environ.get("STITCH_TPU_MXU_SCATTER", "1") == "0"):
+    mode = os.environ.get("STITCH_TPU_MXU_SCATTER", "1")
+    if mode != "force" and (jax.default_backend() != "tpu" or mode == "0"):
         return jax.ops.segment_sum(
             vals, idx, num_segments=cap_words, indices_are_sorted=True,
         )

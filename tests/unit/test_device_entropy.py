@@ -463,6 +463,29 @@ def test_bit_size_exponent_trick_exhaustive():
     np.testing.assert_array_equal(got, exp)
 
 
+def test_mxu_merge_paths_full_trace_exact(monkeypatch):
+    """Full streaming-groups encode with the MXU matmul hist/scatter paths
+    FORCED on CPU (STITCH_TPU_MXU_*=force) — catches wiring bugs in the
+    TPU-default trace that the backend gate would otherwise hide from CI.
+    Bytes must match the host coder on both flat (deep word sharing) and
+    noisy content. Trace-time env: clear jit caches around the flip."""
+    monkeypatch.setenv("STITCH_TPU_MXU_HIST", "force")
+    monkeypatch.setenv("STITCH_TPU_MXU_SCATTER", "force")
+    jax.clear_caches()
+    try:
+        rng = np.random.default_rng(23)
+        for img in (
+            np.full((32, 128, 4), 128, np.uint8),
+            rng.integers(0, 256, (32, 128, 4), dtype=np.uint8),
+        ):
+            dev_bytes, _ = _stream_jpeg("jax", img)
+            host_bytes, _ = _stream_jpeg("numpy", img)
+            assert dev_bytes == host_bytes
+    finally:
+        # Executables traced under force must not leak into later tests.
+        jax.clear_caches()
+
+
 def test_hist_matmul_exact():
     """The factored one-hot MXU histogram (_hist_matmul, the TPU-side
     j_lo path) must equal the sorted segment_sum bin-for-bin, including
