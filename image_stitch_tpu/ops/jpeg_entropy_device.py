@@ -861,13 +861,15 @@ def _scatter_or_disjoint(idx, vals, cap_words: int):
     Out-of-range idx rows drop (one_hot of an OOB index is all-zero),
     matching segment_sum's clip-free drop semantics.
 
-    FLOP-marginal by estimate (the 4-limb rhs is ~4x the histogram's
-    traffic) — STITCH_TPU_MXU_SCATTER=0 flips back to segment_sum for
-    the device A/B (trace-time; A/B in fresh processes); =force uses
-    the matmul even off-TPU (CPU full-trace wiring test).
+    MEASURED SLOWER on v5e (12.0 vs 9.8 ms/band with the matmul
+    histogram, 2026-08-19 window) — the 4-limb rhs is ~4x the
+    histogram's traffic and the FLOPs don't pay for the ~1.2 ms
+    segment_sum it replaces. Default OFF; STITCH_TPU_MXU_SCATTER=1
+    re-enables for A/B (trace-time; A/B in fresh processes); =force
+    uses the matmul even off-TPU (CPU full-trace wiring test).
     """
-    mode = os.environ.get("STITCH_TPU_MXU_SCATTER", "1")
-    if mode != "force" and (jax.default_backend() != "tpu" or mode == "0"):
+    mode = os.environ.get("STITCH_TPU_MXU_SCATTER", "0")
+    if mode != "force" and (jax.default_backend() != "tpu" or mode != "1"):
         return jax.ops.segment_sum(
             vals, idx, num_segments=cap_words, indices_are_sorted=True,
         )
