@@ -754,15 +754,14 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int,
     ends = starts + block_bits
     word_ids = jnp.arange(cap_words, dtype=jnp.int32)
 
-    # j_lo[w] = #{b : end_b <= 32w} via end-word histogram + exclusive
-    # cumsum (flat segment_sum with sorted indices is fast; a binary
-    # search per word would be ~log(nb) slow gathers each).
+    # j_lo[w] = #{b : end_b <= 32w} — fused histogram + exclusive cumsum
+    # (_rank_sorted: MXU contraction on TPU, segment_sum + cumsum on
+    # CPU; a binary search per word would be ~log(nb) slow gathers
+    # each).
     end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
-    counts = _hist_sorted(end_word, cap_words)
-    j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    j_lo = _rank_sorted(end_word, cap_words, inclusive=False)
     start_word = jnp.clip(starts >> 5, 0, cap_words - 1)
-    start_counts = _hist_sorted(start_word, cap_words)
-    j_hi = jnp.cumsum(start_counts).astype(jnp.int32)
+    j_hi = _rank_sorted(start_word, cap_words, inclusive=True)
     max_overlap = jnp.max(j_hi - j_lo)
 
     # Record rows: [wstart | aligned words]. K sentinel rows (wstart = INT
@@ -809,32 +808,15 @@ def _merge_aligned(aligned, starts, block_bits, cap_words: int,
     return words, max_overlap
 
 
-def _hist_sorted(idx, cap_words: int):
-    """Histogram of sorted int32 ``idx`` over [0, cap_words).
-
-    TPU segment_sum/scatter costs ~20-40 ns per ELEMENT (serial scalar
-    walk — scripts/bench_merge_primitives.py), ~1.3 ms for the 65K-block
-    j_lo histogram. A histogram over a static range is also a factored
-    one-hot MXU contraction: with w = hi*512 + lo,
-    ``counts2d[hi, lo] = sum_b oh_hi[b, hi] * oh_lo[b, lo]`` — one
-    (cap/512, nb) x (nb, 512) matmul. Exact: one-hot 0/1 is bf16-exact,
-    every product is 0/1, and the f32 accumulator is exact for counts
-    < 2^24 (nb is ~65K). CPU (the test mesh) keeps segment_sum;
-    equivalence is asserted in tests/unit/test_device_entropy.py.
-    STITCH_TPU_MXU_HIST=0 falls back to segment_sum (A/B flip; read at
-    trace time — A/B in fresh processes); =force uses the matmul even
-    off-TPU so the CPU suite exercises the full TPU-shaped trace.
-    """
-    mode = os.environ.get("STITCH_TPU_MXU_HIST", "1")
-    if mode != "force" and (jax.default_backend() != "tpu" or mode == "0"):
-        return jax.ops.segment_sum(
-            jnp.ones_like(idx), idx, num_segments=cap_words,
-            indices_are_sorted=True,
-        )
-    return _hist_matmul(idx, cap_words)
-
-
 def _hist_matmul(idx, cap_words: int, factor: int = 512):
+    """Histogram of int32 ``idx`` over [0, cap_words) as a factored
+    one-hot MXU contraction (the building block _rank_matmul extends):
+    with w = hi*factor + lo,
+    ``counts2d[hi, lo] = sum_b oh_hi[b, hi] * oh_lo[b, lo]`` — one
+    (cap/factor, nb) x (nb, factor) matmul. Exact: one-hot 0/1 is
+    bf16-exact, every product is 0/1, and the f32 accumulator is exact
+    for counts < 2^24 (nb is ~100K). TPU segment_sum by contrast walks
+    ~20-40 ns per ELEMENT (scripts/bench_merge_primitives.py)."""
     cap_pad = -(-cap_words // factor) * factor
     oh_hi = jax.nn.one_hot(idx // factor, cap_pad // factor,
                            dtype=jnp.bfloat16)
@@ -846,12 +828,62 @@ def _hist_matmul(idx, cap_words: int, factor: int = 512):
     return counts2d.reshape(-1)[:cap_words].astype(jnp.int32)
 
 
+def _rank_sorted(idx, cap_words: int, inclusive: bool):
+    """rank[w] = #{b : idx[b] < w} (or <= w when ``inclusive``) for
+    sorted int32 ``idx``, w in [0, cap_words) — i.e. the exclusive
+    (inclusive) cumsum of the histogram, fused.
+
+    The segment_sum histogram + 393K-element ``jnp.cumsum`` pair costs
+    ~1.4 ms on v5e (profile_merge_substages.py r5-s3: the CUMSUM is the
+    dominant half once the histogram rides the MXU). Both fuse into ONE
+    contraction: with w = hi*F + lo,
+      #{idx < w} = #{idx_hi < hi} + #{idx_hi == hi and idx_lo < lo}
+    The first term is a tiny F-row exclusive cumsum of the hi histogram;
+    the second is ``oh_hi[b, hi] * (idx_lo[b] < lo)`` — the same
+    (cap/F, nb) x (nb, F) bf16 matmul as _hist_matmul with the lo factor
+    a comparison row instead of a one-hot. Exact: products are 0/1 and
+    the f32 accumulator is exact for counts < 2^24 (nb ~100K).
+
+    Gated by the same STITCH_TPU_MXU_HIST knob (one subsystem): CPU and
+    =0 use segment_sum + cumsum; =force uses the matmul off-TPU.
+    """
+    mode = os.environ.get("STITCH_TPU_MXU_HIST", "1")
+    if mode != "force" and (jax.default_backend() != "tpu" or mode == "0"):
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(idx), idx, num_segments=cap_words,
+            indices_are_sorted=True,
+        )
+        csum = jnp.cumsum(counts)
+        return (csum if inclusive else csum - counts).astype(jnp.int32)
+    return _rank_matmul(idx, cap_words, inclusive)
+
+
+def _rank_matmul(idx, cap_words: int, inclusive: bool, factor: int = 512):
+    cap_pad = -(-cap_words // factor) * factor
+    n_hi = cap_pad // factor
+    hi = idx // factor
+    lo = idx % factor
+    oh_hi = jax.nn.one_hot(hi, n_hi, dtype=jnp.bfloat16)
+    lanes = jnp.arange(factor, dtype=jnp.int32)[None, :]
+    cmp = (lo[:, None] < lanes) if not inclusive else (lo[:, None] <= lanes)
+    within = jax.lax.dot_general(
+        oh_hi, cmp.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (n_hi, factor): #{idx_hi==hi, idx_lo <(=) lo}
+    # #{idx_hi < hi}: exclusive cumsum of the n_hi-bin hi histogram
+    # (oh_hi column sums — tiny, n_hi ~768 elements).
+    hist_hi = jnp.sum(oh_hi.astype(jnp.float32), axis=0).astype(jnp.int32)
+    before = (jnp.cumsum(hist_hi) - hist_hi).astype(jnp.int32)
+    rank2d = within + before[:, None]
+    return rank2d.reshape(-1)[:cap_words]
+
+
 def _scatter_or_disjoint(idx, vals, cap_words: int):
     """``out[w] = OR of vals[b] where idx[b] == w`` for values whose set
     bits are mutually disjoint within each target word (then OR == ADD,
     the invariant the segsum starters path already relies on).
 
-    TPU route: the same factored one-hot contraction as _hist_sorted,
+    TPU route: the same factored one-hot contraction as _hist_matmul,
     with the uint32 values split into four byte limbs woven into the lo
     factor — bf16 holds integers <= 256 exactly, per-byte sums of
     disjoint-bit contributions stay <= 255, and the f32 accumulator is
@@ -924,8 +956,7 @@ def _merge_aligned_hybrid(local, starts, block_bits, cap_words: int):
     ends = starts + block_bits
     word_ids = jnp.arange(cap_words, dtype=jnp.int32)
     end_word = jnp.clip((ends - 1) >> 5, 0, cap_words - 1)
-    counts = _hist_sorted(end_word, cap_words)
-    j_lo = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    j_lo = _rank_sorted(end_word, cap_words, inclusive=False)
 
     wstart = (starts >> 5).astype(jnp.int32)
     rec = jnp.concatenate(

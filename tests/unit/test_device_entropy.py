@@ -503,6 +503,27 @@ def test_hist_matmul_exact():
         assert (got == want).all()
 
 
+def test_rank_matmul_exact():
+    """_rank_matmul (fused histogram + cumsum, the TPU j_lo/j_hi path)
+    must equal numpy searchsorted for both polarities, including the
+    cap % factor padded tail and repeated indices."""
+    import jax.numpy as jnp
+
+    from image_stitch_tpu.ops.jpeg_entropy_device import _rank_matmul
+
+    rng = np.random.default_rng(13)
+    for cap in (700, 4096, 6145):
+        gaps = np.clip(rng.poisson(3.0, 4096), 0, 14)  # gap 0 = repeats
+        idx = np.minimum(np.cumsum(gaps), cap - 1).astype(np.int32)
+        w = np.arange(cap)
+        want_lt = np.searchsorted(idx, w, side="left").astype(np.int32)
+        want_le = np.searchsorted(idx, w, side="right").astype(np.int32)
+        got_lt = np.asarray(_rank_matmul(jnp.asarray(idx), cap, False))
+        got_le = np.asarray(_rank_matmul(jnp.asarray(idx), cap, True))
+        assert (got_lt == want_lt).all()
+        assert (got_le == want_le).all()
+
+
 def test_scatter_or_matmul_exact():
     """_scatter_or_matmul (TPU starters path) must equal the segment_sum
     it replaces for disjoint-bit values: synthesize word-tiling blocks
