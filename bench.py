@@ -335,6 +335,43 @@ def device_side_subprocess(budget_s: float) -> dict:
     return {"skipped": "; ".join(reasons) or "not attempted"}
 
 
+def device_decode_subprocess(budget_s: float) -> dict:
+    """Device-RESIDENT pipelined marginal of the JPEG decode compute
+    (dequant + exact islow IDCT + upsample + color —
+    scripts/time_device_decode.py): the jpeg-input-side analog of
+    jax_device_side, measurable on any link (coefficients synthesized on
+    device). VERDICT r4 item 2's jpeg_tiles device evidence."""
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts", "time_device_decode.py",
+    )
+    env = dict(os.environ)
+    env["TIME_JSON"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "512", "8192", "32", "2"],
+            capture_output=True, text=True, timeout=budget_s, env=env,
+        )
+        row = json.loads(out.stdout.strip().splitlines()[-1])
+        if row.get("platform") == "cpu":
+            return {"skipped": "no accelerator (platform=cpu)"}
+        return {
+            "value": row["pipelined_mpps"],
+            "unit": "MP/s device-side (pipelined marginal)",
+            "ms_per_band": row["pipelined_ms_per_band"],
+            "band": row["band"],
+            "k": row["k"],
+        }
+    except subprocess.TimeoutExpired:
+        return {"skipped": f"exceeded {budget_s:.0f}s budget"}
+    except Exception as exc:  # noqa: BLE001 - report, don't crash
+        return {"skipped": f"failed: {type(exc).__name__}"}
+
+
 def other_configs_subprocess() -> dict:
     """Run the non-headline BASELINE.md configs (pair_png, png_out,
     positioned, pngsuite, northstar) at reps 1-2 in kill-safe subprocesses
@@ -470,6 +507,12 @@ def main() -> None:
             )
             detail["backends"]["jax_device_side"] = (
                 device_side_subprocess(side_budget)
+            )
+            decode_budget = float(
+                os.environ.get("BENCH_DEVICE_DECODE_BUDGET_S", "420")
+            )
+            detail["backends"]["jax_decode_device_side"] = (
+                device_decode_subprocess(decode_budget)
             )
 
     # All five BASELINE configs ride the headline artifact so every judged
