@@ -44,6 +44,18 @@ import numpy as np
 
 from ..codecs.jpeg.libjpeg_exact import (
     CONST_BITS,
+    FIX_0_298631336,
+    FIX_0_390180644,
+    FIX_0_541196100,
+    FIX_0_765366865,
+    FIX_0_899976223,
+    FIX_1_175875602,
+    FIX_1_501321110,
+    FIX_1_847759065,
+    FIX_1_961570560,
+    FIX_2_053119869,
+    FIX_2_562915447,
+    FIX_3_072711026,
     PASS1_BITS,
     _islow_pass1,
     _islow_pass2,
@@ -180,6 +192,204 @@ def idct_islow_exact(coefq, xp):
 
 
 # ------------------------------------------------------------------------- #
+# Butterfly two-limb IDCT (the production device form)
+# ------------------------------------------------------------------------- #
+#
+# The dense-matrix form above is the readable contract/spec; the device
+# runs the jidctint.c butterflies directly on limb PAIRS instead: ~12
+# int32 multiplies per limb per 8-point pass (vs 64 for the dense
+# contraction), and — decisively for TPU — every elementwise op runs on
+# (8, N) arrays whose minor dim is the huge block axis. The dense form's
+# (..., 8)-minor arrays pad each register tile's 128 lanes with 8 values,
+# wasting 15/16 of the VPU; measured 13.6 ms/band for the IDCT alone at
+# 512x8192 (r5-s4 profile). Exactness is the same two-limb argument:
+# every intermediate is a pair (hi, lo) with value = hi*2^s + lo, adds are
+# limb-wise, constant multiplies scale both limbs, and descale folds the
+# limbs exactly (_descale_limbs proof). No limb ever overflows int32 for
+# |input| <= _BF_M_MAX — machine-checked at import by running the SAME
+# butterfly code over interval arithmetic (_IV).
+
+_BS1 = 10  # pass-1 limb split (lo width); n1 = 11 > _BS1 required
+_BS2 = 14  # pass-2 limb split; n2 = 18 > _BS2 required
+
+
+def _bf_pass(ih, il, s: int, n: int):
+    """One islow 1-D IDCT pass (jidctint.c butterfly order, identical to
+    _islow_pass1/_islow_pass2) over 8 two-limb values. ih[r]/il[r] hold
+    hi/lo limbs of input r (value = hi << s | lo); returns 8 plain
+    descaled arrays. Generic over array type: used with numpy, jax.numpy
+    AND the _IV interval scalar (the import-time overflow proof)."""
+
+    def mul(a, c):
+        return a[0] * c, a[1] * c
+
+    def add(a, b):
+        return a[0] + b[0], a[1] + b[1]
+
+    def sub(a, b):
+        return a[0] - b[0], a[1] - b[1]
+
+    def shl(a):
+        return a[0] << CONST_BITS, a[1] << CONST_BITS
+
+    i = list(zip(ih, il))
+    z2, z3 = i[2], i[6]
+    z1 = mul(add(z2, z3), FIX_0_541196100)
+    tmp2 = add(z1, mul(z3, -FIX_1_847759065))
+    tmp3 = add(z1, mul(z2, FIX_0_765366865))
+    z2, z3 = i[0], i[4]
+    tmp0 = shl(add(z2, z3))
+    tmp1 = shl(sub(z2, z3))
+    tmp10, tmp13 = add(tmp0, tmp3), sub(tmp0, tmp3)
+    tmp11, tmp12 = add(tmp1, tmp2), sub(tmp1, tmp2)
+    t0, t1, t2, t3 = i[7], i[5], i[3], i[1]
+    z1 = add(t0, t3)
+    z2 = add(t1, t2)
+    z3 = add(t0, t2)
+    z4 = add(t1, t3)
+    z5 = mul(add(z3, z4), FIX_1_175875602)
+    t0 = mul(t0, FIX_0_298631336)
+    t1 = mul(t1, FIX_2_053119869)
+    t2 = mul(t2, FIX_3_072711026)
+    t3 = mul(t3, FIX_1_501321110)
+    z1 = mul(z1, -FIX_0_899976223)
+    z2 = mul(z2, -FIX_2_562915447)
+    z3 = add(mul(z3, -FIX_1_961570560), z5)
+    z4 = add(mul(z4, -FIX_0_390180644), z5)
+    t0 = add(add(t0, z1), z3)
+    t1 = add(add(t1, z2), z4)
+    t2 = add(add(t2, z2), z3)
+    t3 = add(add(t3, z1), z4)
+    pairs = [
+        add(tmp10, t3), add(tmp11, t2), add(tmp12, t1), add(tmp13, t0),
+        sub(tmp13, t0), sub(tmp12, t1), sub(tmp11, t2), sub(tmp10, t3),
+    ]
+    # Exact descale((hi << s) + lo, n): the _descale_limbs argument, with
+    # the rounding constant folded into the hi limb (int + array keeps the
+    # expression namespace-generic).
+    return [
+        (p[0] + ((1 << (n - 1 - s)) + (p[1] >> s))) >> (n - s) for p in pairs
+    ]
+
+
+class _IV:
+    """Interval scalar: raises OverflowError when a bound leaves int32.
+    Fed through _bf_pass at import to machine-check every limb."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self, lo: int, hi: int):
+        if not (-(1 << 31) <= lo <= hi < (1 << 31)):
+            raise OverflowError((lo, hi))
+        self.lo, self.hi = lo, hi
+
+    def __add__(self, o):
+        o = o if isinstance(o, _IV) else _IV(o, o)
+        return _IV(self.lo + o.lo, self.hi + o.hi)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        o = o if isinstance(o, _IV) else _IV(o, o)
+        return _IV(self.lo - o.hi, self.hi - o.lo)
+
+    def __mul__(self, c: int):
+        v = (self.lo * c, self.hi * c)
+        return _IV(min(v), max(v))
+
+    def __lshift__(self, n: int):
+        return _IV(self.lo << n, self.hi << n)
+
+    def __rshift__(self, n: int):
+        return _IV(self.lo >> n, self.hi >> n)
+
+    def __and__(self, m: int):
+        return _IV(0, m)
+
+
+def _butterfly_fits(m: int) -> bool:
+    try:
+        x = _IV(-m, m)
+        ih, il = [x >> _BS1] * 8, [x & ((1 << _BS1) - 1)] * 8
+        ws = _bf_pass(ih, il, _BS1, CONST_BITS - PASS1_BITS)
+        w = _IV(min(v.lo for v in ws), max(v.hi for v in ws))
+        ih2, il2 = [w >> _BS2] * 8, [w & ((1 << _BS2) - 1)] * 8
+        _bf_pass(ih2, il2, _BS2, CONST_BITS + PASS1_BITS + 3)
+        return True
+    except OverflowError:
+        return False
+
+
+def _butterfly_bound() -> int:
+    lo, hi = 0, 1 << 28
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _butterfly_fits(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+_BF_M_MAX = _butterfly_bound()
+# The published M_SAFE must cover BOTH forms (the host gate reads it once).
+M_SAFE = min(M_SAFE, _BF_M_MAX)
+assert M_SAFE >= 1_000_000  # legal streams max 2047 * 255 = 522,185
+
+
+def _range_limit(out, xp):
+    """jdmaster.c post-IDCT wraparound clamp, closed arithmetic form."""
+    j = out & 1023
+    return xp.where(
+        j < 128,
+        j + 128,
+        xp.where(j < 512, 255, xp.where(j < 896, 0, j - 896)),
+    ).astype(xp.uint8)
+
+
+def idct_islow_exact_t(coefq_t, xp):
+    """(8, 8, N) int32 dequantized natural-order blocks [row, col, block]
+    -> (8, 8, N) uint8 samples [row, col, block]; bit-identical to
+    idct_islow_blocks / idct_islow_exact for |coefq| <= M_SAFE."""
+    x = coefq_t.astype(xp.int32)
+    m1 = (1 << _BS1) - 1
+    ih = [x[r] >> _BS1 for r in range(8)]
+    il = [x[r] & m1 for r in range(8)]
+    ws = _bf_pass(ih, il, _BS1, CONST_BITS - PASS1_BITS)  # r -> (8, N) [c,n]
+    ws_arr = xp.stack(ws)  # (8r, 8c, N)
+    m2 = (1 << _BS2) - 1
+    ih2 = [ws_arr[:, c, :] >> _BS2 for c in range(8)]
+    il2 = [ws_arr[:, c, :] & m2 for c in range(8)]
+    outs = _bf_pass(ih2, il2, _BS2, CONST_BITS + PASS1_BITS + 3)
+    out = xp.stack(outs, axis=1)  # (8r, 8c, N)
+    return _range_limit(out, xp)
+
+
+def dezigzag_pad_t(zz_prefix, k: int, xp):
+    """(N, k) zigzag-prefix int coefficients -> (64, N) natural order
+    (transposed layout feeding idct_islow_exact_t): the constant 0/1
+    permutation contracts zz's k axis directly via dot_general, producing
+    the transposed result without materializing zz.T."""
+    import jax
+
+    if xp is np or jax.default_backend() != "tpu":
+        out_idx = np.asarray(ZIGZAG[:k])
+        nat = xp.zeros((64, zz_prefix.shape[0]), dtype=xp.int32)
+        if xp is np:
+            nat[out_idx, :] = zz_prefix.T
+            return nat
+        return nat.at[out_idx, :].set(zz_prefix.T.astype(xp.int32))
+    import jax.numpy as jnp
+
+    m = jnp.asarray(_inv_zigzag_matrix(k).T)  # (64, k)
+    nat = jax.lax.dot_general(
+        m, zz_prefix.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return nat.astype(jnp.int32)
+
+
+# ------------------------------------------------------------------------- #
 # Upsampling (jdsample.c fancy filters) and color — jnp-generic exact ports
 # ------------------------------------------------------------------------- #
 
@@ -302,11 +512,16 @@ def dezigzag_pad(zz_prefix, k: int, xp):
 
 def decode_plane_trace(zz_prefix, q_nat, by: int, bx: int, k: int, xp):
     """(by*bx, k) zigzag-prefix quantized coefficients + (64,) natural-order
-    quant table -> (by*8, bx*8) uint8 samples."""
-    nat = dezigzag_pad(zz_prefix, k, xp)
-    coefq = nat * q_nat[None, :].astype(xp.int32)
-    pix = idct_islow_exact(coefq.reshape(-1, 8, 8), xp)
-    return xp.transpose(pix.reshape(by, bx, 8, 8), (0, 2, 1, 3)).reshape(
+    quant table -> (by*8, bx*8) uint8 samples.
+
+    Transposed-layout pipeline: dezigzag lands (64, N) directly, dequant
+    broadcasts the table down the block axis, and the butterfly IDCT works
+    on (8, N) minor-dim-N arrays (see idct_islow_exact_t)."""
+    nat_t = dezigzag_pad_t(zz_prefix, k, xp)
+    coefq_t = nat_t * q_nat[:, None].astype(xp.int32)
+    pix = idct_islow_exact_t(coefq_t.reshape(8, 8, -1), xp)  # [r, c, n]
+    # plane[8i + r, 8j + c] with n = i*bx + j.
+    return xp.transpose(pix.reshape(8, 8, by, bx), (2, 0, 3, 1)).reshape(
         by * 8, bx * 8
     )
 

@@ -29,17 +29,27 @@ CANVAS_W = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
 
+def _touch(out):
+    # ONE dependent scalar fetch per call: an XLA executable materializes
+    # all outputs before any is readable, so fetching the first leaf
+    # proves completion. Fetching every leaf skews multi-output stages by
+    # (n_outputs - 1) tunnel round trips — observed as a NEGATIVE stage
+    # marginal in the r5-s4 window.
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(leaves[0].ravel()[0])
+
+
 def pipelined_ms(fn, args, n=8):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[0]), out)
+    _touch(out)
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[0]), out)
+    _touch(out)
     single = time.perf_counter() - t0
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(n)]
     for o in outs:
-        jax.tree_util.tree_map(lambda a: np.asarray(a.ravel()[0]), o)
+        _touch(o)
     t1 = time.perf_counter()
     for o in outs:
         jax.tree_util.tree_map(lambda a: a.delete(), o)

@@ -77,6 +77,72 @@ def test_idct_exact_at_bound(xp_name):
     np.testing.assert_array_equal(np.asarray(got), _oracle_idct(coefq))
 
 
+def _to_t(coefq: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) -> (8, 8, N) transposed layout."""
+    return np.transpose(coefq, (1, 2, 0))
+
+
+@pytest.mark.parametrize("xp_name", ["numpy", "jnp"])
+def test_butterfly_idct_exact_random_legal_range(xp_name):
+    xp = np if xp_name == "numpy" else jnp
+    rng = np.random.default_rng(11)
+    coefq = (
+        rng.integers(-2047, 2048, (256, 8, 8))
+        * rng.integers(1, 256, (256, 1, 1))
+    ).astype(np.int32)
+    got = dev.idct_islow_exact_t(xp.asarray(_to_t(coefq)), xp)
+    np.testing.assert_array_equal(
+        np.asarray(got), _to_t(_oracle_idct(coefq))
+    )
+
+
+@pytest.mark.parametrize("xp_name", ["numpy", "jnp"])
+def test_butterfly_idct_exact_at_bound(xp_name):
+    """Adversarial blocks at exactly +-M_SAFE through the butterfly form
+    (the machine-checked interval bound must hold at its own edge)."""
+    xp = np if xp_name == "numpy" else jnp
+    m = dev.M_SAFE
+    blocks = [
+        np.full((8, 8), m, np.int32),
+        np.full((8, 8), -m, np.int32),
+        np.fromfunction(lambda r, c: ((r + c) % 2 * 2 - 1) * m, (8, 8)).astype(
+            np.int32
+        ),
+    ]
+    for r in range(8):
+        for c in range(8):
+            b = np.zeros((8, 8), np.int32)
+            b[r, c] = m
+            blocks.append(b)
+            blocks.append(-b)
+    rng = np.random.default_rng(12)
+    blocks.append(rng.integers(-m, m + 1, (8, 8)).astype(np.int32))
+    coefq = np.stack(blocks)
+    got = dev.idct_islow_exact_t(xp.asarray(_to_t(coefq)), xp)
+    np.testing.assert_array_equal(
+        np.asarray(got), _to_t(_oracle_idct(coefq))
+    )
+
+
+def test_butterfly_bound_covers_published_m_safe():
+    """The interval proof must hold at (and the published bound never
+    exceed) the butterfly's machine-checked maximum."""
+    assert dev._butterfly_fits(dev.M_SAFE)
+    assert dev.M_SAFE <= dev._BF_M_MAX
+    assert not dev._butterfly_fits(dev._BF_M_MAX + 1)
+
+
+@pytest.mark.parametrize("k", [1, 5, 32, 64])
+def test_dezigzag_pad_t_matches_row_form(k):
+    rng = np.random.default_rng(13)
+    zz = rng.integers(-2047, 2048, (37, k)).astype(np.int32)
+    ref = dev.dezigzag_pad(zz, k, np)
+    got = dev.dezigzag_pad_t(zz, k, np)
+    np.testing.assert_array_equal(got, ref.T)
+    got_j = dev.dezigzag_pad_t(jnp.asarray(zz), k, jnp)
+    np.testing.assert_array_equal(np.asarray(got_j), ref.T)
+
+
 def test_idct_exact_under_jit():
     rng = np.random.default_rng(3)
     coefq = rng.integers(-500_000, 500_001, (128, 8, 8)).astype(np.int32)
