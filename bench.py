@@ -374,7 +374,8 @@ def device_decode_subprocess(budget_s: float) -> dict:
 
 def other_configs_subprocess() -> dict:
     """Run the non-headline BASELINE.md configs (pair_png, png_out,
-    positioned, pngsuite, northstar) at reps 1-2 in kill-safe subprocesses
+    jpeg_tiles, positioned, pngsuite, northstar) at reps 1-2 in kill-safe
+    subprocesses
     so the judged artifact carries machine-readable movement on every
     config, not just grid_jpeg (VERDICT r4 item 4). Each row reports
     {mps, cpu_mps, seconds}; failures degrade to a skip reason."""
@@ -387,6 +388,7 @@ def other_configs_subprocess() -> dict:
     plans = (
         ("pair_png", "2", 120.0),
         ("png_out", "2", 600.0),
+        ("jpeg_tiles", "2", 300.0),
         ("positioned", "2", 600.0),
         ("pngsuite", "2", 300.0),
         ("northstar", "1", 900.0),

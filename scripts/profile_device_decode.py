@@ -90,19 +90,19 @@ def main() -> None:
     def s_dequant(bl):
         outs = []
         for b, q, (by, bx, *_r) in zip(bl, qtabs, geom):
-            nat = D.dezigzag_pad(b, K, jnp)
-            outs.append(nat * q[None, :].astype(jnp.int32))
+            nat_t = D.dezigzag_pad_t(b, K, jnp)
+            outs.append(nat_t * q[:, None].astype(jnp.int32))
         return outs
 
     def s_idct(bl):
-        return [D.idct_islow_exact(c.reshape(-1, 8, 8), jnp)
+        return [D.idct_islow_exact_t(c.reshape(8, 8, -1), jnp)
                 for c in s_dequant(bl)]
 
     def s_planes(bl):
         outs = []
         for pix, (by, bx, *_r) in zip(s_idct(bl), geom):
             outs.append(jnp.transpose(
-                pix.reshape(by, bx, 8, 8), (0, 2, 1, 3)
+                pix.reshape(8, 8, by, bx), (2, 0, 3, 1)
             ).reshape(by * 8, bx * 8))
         return outs
 
