@@ -140,6 +140,38 @@ def main() -> None:
         lambda: make_bench_band(BAND_H, CANVAS_W),
     )
 
+    # 2d. The device decode program (bench.py's jax_decode_device_side row
+    # = scripts/time_device_decode.py at 512x8192 k=32 q85 4:2:0). Cold
+    # compile measured 479 s in a degraded window vs a 420 s row budget —
+    # without this warm the driver's decode row can skip on compile alone.
+    from image_stitch_tpu.codecs.jpeg.tables import quality_scaled_tables
+    from image_stitch_tpu.ops.jpeg_idct_device import decode_rgb_trace
+
+    lq, cq = quality_scaled_tables(85)
+    k_dec = 32
+    by_y, bx_y = BAND_H // 8, CANVAS_W // 8
+    by_c, bx_c = BAND_H // 16, CANVAS_W // 16
+    dec_geom = [
+        (by_y, bx_y, CANVAS_W, BAND_H, 1, 1),
+        (by_c, bx_c, CANVAS_W // 2, BAND_H // 2, 2, 2),
+        (by_c, bx_c, CANVAS_W // 2, BAND_H // 2, 2, 2),
+    ]
+    dec_qt = [jnp.asarray(lq, jnp.int32), jnp.asarray(cq, jnp.int32),
+              jnp.asarray(cq, jnp.int32)]
+    dec_blocks = [
+        S((by * bx, k_dec), jnp.int32) for by, bx, *_r in dec_geom
+    ]
+    timed(
+        f"decode band ({BAND_H}x{CANVAS_W} k={k_dec} 420)",
+        lambda: jax.jit(
+            lambda bl: decode_rgb_trace(
+                bl, dec_qt, dec_geom, k_dec, CANVAS_W, BAND_H, jnp
+            )
+        )
+        .lower(dec_blocks)
+        .compile(),
+    )
+
     # 3. PNG filter-select (XLA trace) at the png_out width
     raw = S((BAND_H, CANVAS_W * 4), jnp.uint8)
     prev = S((CANVAS_W * 4,), jnp.uint8)
