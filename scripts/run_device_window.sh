@@ -51,6 +51,13 @@ for depth in 1 2 4; do
   done
 done
 
-echo "== 7. link probe again (window still healthy?) =="
+echo "== 7. decode tier: output-format sweep (r5-s4 question) =="
+timeout 2400 python scripts/sweep_device_decode.py rgb planar packed || echo "rc=$?"
+echo "== 7b. decode tier: checksummed stage attribution =="
+timeout 2400 python scripts/profile_decode_checksum.py 512 8192 32 || echo "rc=$?"
+echo "== 7c. decode row refresh =="
+TIME_JSON=1 timeout 900 python scripts/time_device_decode.py 512 8192 32 3 || echo "rc=$?"
+
+echo "== 8. link probe again (window still healthy?) =="
 timeout 180 python scripts/probe_link.py || echo "probe degraded/failed (rc=$?)"
 echo "== queue done: $(date -u) =="
