@@ -54,9 +54,15 @@ def _band_window(y0: int, y1: int, comp_h: int, v_exp: int, fancy_v: bool):
     return wa, wb, r0
 
 
-def _decode_band_trace(comp_zz, qtabs, geoms, k_list, band_h, width, gray):
+def _decode_band_trace(comp_zz, qtabs, geoms, k_list, band_h, width, gray,
+                       packed=False):
     """Fused band decode: per component (zz slice, q, static geometry) ->
-    (band_h, width, 4) uint8 RGBA (opaque alpha).
+    (band_h, width, 4) uint8 RGBA (opaque alpha), or — ``packed`` — the
+    byte-identical (band_h, width) uint32 little-endian pack
+    r | g<<8 | b<<16 | 255<<24, built by shifts/ORs on the int32 color
+    planes so the program never pays the (H, W, 4) channel-interleave
+    relayout (the device encoder's ycbcr_int ingests the packed form
+    directly).
 
     geoms rows: (n_brows, bx, w0l, w1l, comp_w, h_exp, v_exp, r0).
     """
@@ -65,6 +71,7 @@ def _decode_band_trace(comp_zz, qtabs, geoms, k_list, band_h, width, gray):
     from ...ops.jpeg_idct_device import (
         decode_plane_trace,
         upsample_plane_x,
+        ycc_to_rgb_planes_x,
         ycc_to_rgb_x,
     )
 
@@ -75,6 +82,16 @@ def _decode_band_trace(comp_zz, qtabs, geoms, k_list, band_h, width, gray):
         plane = plane[w0l:w1l, :comp_w]
         plane = upsample_plane_x(plane, h_exp, v_exp, jnp)
         planes.append(plane[r0 : r0 + band_h, :width])
+    if packed:
+        if gray:
+            g = planes[0].astype(jnp.uint32)
+            r, gg, b = g, g, g
+        else:
+            r, gg, b = ycc_to_rgb_planes_x(
+                planes[0], planes[1], planes[2], jnp
+            )
+            r, gg, b = (c.astype(jnp.uint32) for c in (r, gg, b))
+        return r | (gg << 8) | (b << 16) | jnp.uint32(0xFF000000)
     if gray:
         g = planes[0]
         rgb = jnp.stack([g, g, g], axis=-1)
@@ -97,7 +114,9 @@ def _get_jit():
 
         _JIT = jax.jit(
             _decode_band_trace,
-            static_argnames=("geoms", "k_list", "band_h", "width", "gray"),
+            static_argnames=(
+                "geoms", "k_list", "band_h", "width", "gray", "packed",
+            ),
         )
     return _JIT
 
@@ -132,9 +151,13 @@ class DeviceJpegDecoder:
             self._zz_blocks.append(zz)
         self._jit = _get_jit()
 
-    def decode_band(self, y0: int, y1: int, return_device: bool = False):
+    def decode_band(self, y0: int, y1: int, return_device: bool = False,
+                    packed: bool = False):
         """Decode image rows [y0, y1) to (y1-y0, width, 4) uint8 RGBA —
-        a device-resident array when ``return_device``."""
+        a device-resident array when ``return_device``. ``packed`` emits
+        the byte-identical (y1-y0, width) uint32 little-endian RGBA pack
+        instead (device-side: skips the channel-interleave relayout; host
+        returns are bitcast back to the uint8 view)."""
         if not (0 <= y0 < y1 <= self.height):
             raise StitchError(f"Invalid band range [{y0}, {y1})")
         import jax.numpy as jnp
@@ -160,13 +183,19 @@ class DeviceJpegDecoder:
         gray = len(comp_zz) == 1
         note_program(
             "jpeg_decode_band", tuple(geoms), tuple(k_list), band_h,
-            self.width, gray,
+            self.width, gray, packed,
         )
         out = self._jit(
             tuple(comp_zz), tuple(qtabs), tuple(geoms), tuple(k_list),
-            band_h, self.width, gray,
+            band_h, self.width, gray, packed,
         )
-        return out if return_device else np.asarray(out)
+        if return_device:
+            return out
+        if packed:
+            return (
+                np.asarray(out).view(np.uint8).reshape(band_h, self.width, 4)
+            )
+        return np.asarray(out)
 
     def decode_full(self, band_height: int = 512) -> np.ndarray:
         """Whole image via banded device decode (host assembly)."""

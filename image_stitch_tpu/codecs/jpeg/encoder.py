@@ -44,6 +44,21 @@ from .tables import (
 MCU_HEIGHT = 8
 
 
+def _unpack_rgba(band):
+    """(H, W) uint32 byte-packed little-endian RGBA -> the byte-identical
+    (H, W, 4) uint8 form: a zero-copy view on host arrays, a bitcast on
+    device arrays (jax bitcast_convert_type enumerates bytes LE, matching
+    the r | g<<8 | b<<16 | a<<24 pack)."""
+    if isinstance(band, np.ndarray):
+        return np.ascontiguousarray(band).view(np.uint8).reshape(
+            band.shape[0], band.shape[1], 4
+        )
+    import jax
+    import jax.numpy as jnp
+
+    return jax.lax.bitcast_convert_type(band, jnp.uint8)
+
+
 def _band_to_blocks_numpy(
     band_rgba: np.ndarray, luma_q: np.ndarray, chroma_q: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -455,6 +470,16 @@ class StreamingJpegEncoder:
         is_device = not isinstance(band, np.ndarray) and (
             self._device is not None or self._dev_encoder is not None
         )
+        if getattr(band, "ndim", None) == 2:
+            # Byte-packed uint32 RGBA (device decode tier). Only the fused
+            # device pipeline ingests it natively (ycbcr_int unpacks
+            # arithmetically); every other path gets the uint8 view —
+            # byte-identical by the little-endian pack contract.
+            if not is_device or self._dev_encoder is None:
+                band = _unpack_rgba(
+                    band if isinstance(band, np.ndarray) else np.asarray(band)
+                )
+                is_device = False
         if not is_device:
             band = np.asarray(band, dtype=np.uint8)
         if band.shape[1] != self.width:
@@ -465,15 +490,24 @@ class StreamingJpegEncoder:
             self._header_emitted = True
             yield self._header_bytes()
         if self._pending is not None:
-            if is_device or not isinstance(self._pending, np.ndarray):
+            pend = self._pending
+            if getattr(pend, "ndim", 3) != band.ndim:
+                # Mixed packed/interleaved stream (device plan bands are
+                # packed, host plan bands are not): unify on the uint8
+                # view — bytes are identical either way.
+                if pend.ndim == 2:
+                    pend = _unpack_rgba(pend)
+                if band.ndim == 2:
+                    band = _unpack_rgba(band)
+            if is_device or not isinstance(pend, np.ndarray):
                 import jax.numpy as jnp
 
                 band = jnp.concatenate(
-                    [jnp.asarray(self._pending), jnp.asarray(band)], axis=0
+                    [jnp.asarray(pend), jnp.asarray(band)], axis=0
                 )
                 is_device = True
             else:
-                band = np.concatenate([self._pending, band], axis=0)
+                band = np.concatenate([pend, band], axis=0)
             self._pending = None
         xp = np
         if is_device:
@@ -496,7 +530,7 @@ class StreamingJpegEncoder:
                 # band's bytes meanwhile.
                 if self._pad_w:
                     full = xp.concatenate(
-                        [full, xp.repeat(full[:, -1:, :], self._pad_w, axis=1)],
+                        [full, xp.repeat(full[:, -1:], self._pad_w, axis=1)],
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(full)
@@ -558,7 +592,7 @@ class StreamingJpegEncoder:
             if part is not None:
                 if self._pad_w:
                     part = part_xp.concatenate(
-                        [part, part_xp.repeat(part[:, -1:, :], self._pad_w, axis=1)],
+                        [part, part_xp.repeat(part[:, -1:], self._pad_w, axis=1)],
                         axis=1,
                     )
                 handle = self._dev_encoder.submit(part)

@@ -652,11 +652,17 @@ class CoreStreamingConcatenator:
                 dev_cache[image_idx] = sources[image_idx].device_decoder()
             return dev_cache[image_idx]
 
+        # Packed device bands: the decode emits (H, W) uint32 byte-packed
+        # RGBA (no channel-interleave relayout) and the device encoder's
+        # ycbcr_int unpacks arithmetically — byte-identical both ways.
+        dev_packed = _os.environ.get("STITCH_TPU_DECODE_PACKED", "0") == "1"
+
         def dev_rows(image_idx: int, seg_y0: int, seg_y1: int, device: bool):
             dev = dev_cache[image_idx]
             ly0 = seg_y0 - placement_y0[image_idx]
             out = dev.decode_band(ly0, ly0 + (seg_y1 - seg_y0),
-                                  return_device=device)
+                                  return_device=device,
+                                  packed=device and dev_packed)
             src = sources[image_idx]
             src.note_rows_served(seg_y1 - seg_y0)
             if src.rows_served >= src.header.height:
@@ -1032,7 +1038,11 @@ class CoreStreamingConcatenator:
         )
         yield from encoder.header()
         for canvas in bands:
-            if canvas.dtype != np.uint8:
+            # Rank-2 uint32 bands are the device decode tier's byte-packed
+            # RGBA form (STITCH_TPU_DECODE_PACKED); anything else must be
+            # 8-bit interleaved.
+            packed = canvas.ndim == 2 and canvas.dtype == np.uint32
+            if canvas.dtype != np.uint8 and not packed:
                 raise StitchError("JPEG encoding requires 8-bit canvas bands")
             self.stats.record_band(canvas.shape[0], canvas.shape[1])
             yield from encoder.encode_band(canvas)

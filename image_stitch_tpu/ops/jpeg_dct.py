@@ -124,15 +124,23 @@ def fdct8_islow_plane(plane, xp):
 
 
 def ycbcr_int(band_rgba, xp):
-    """(H, W, >=3) uint8 -> three (H, W) int32 planes, integer YCbCr
-    samples (16-bit fixed-point JFIF constants, rounded). Y is in
-    [0, 255]; Cb/Cr reach 256 on saturated inputs (e.g. pure blue:
-    (32768*255 + half + 128<<16) >> 16 == 256 — round-half-up, no clamp).
-    Every downstream range proof (notably the int16 value-range argument
-    in stitchnative.cpp) must use [0, 256], not [0, 255]."""
-    r = band_rgba[:, :, 0].astype(xp.int32)
-    g = band_rgba[:, :, 1].astype(xp.int32)
-    b = band_rgba[:, :, 2].astype(xp.int32)
+    """(H, W, >=3) uint8 — or (H, W) uint32 byte-PACKED little-endian
+    RGBA (r | g<<8 | b<<16 | a<<24, the device decode tier's zero-relayout
+    band format) — -> three (H, W) int32 planes, integer YCbCr samples
+    (16-bit fixed-point JFIF constants, rounded). Y is in [0, 255]; Cb/Cr
+    reach 256 on saturated inputs (e.g. pure blue: (32768*255 + half +
+    128<<16) >> 16 == 256 — round-half-up, no clamp). Every downstream
+    range proof (notably the int16 value-range argument in
+    stitchnative.cpp) must use [0, 256], not [0, 255]."""
+    if band_rgba.ndim == 2:
+        p = band_rgba.astype(xp.uint32)
+        r = (p & xp.uint32(0xFF)).astype(xp.int32)
+        g = ((p >> 8) & xp.uint32(0xFF)).astype(xp.int32)
+        b = ((p >> 16) & xp.uint32(0xFF)).astype(xp.int32)
+    else:
+        r = band_rgba[:, :, 0].astype(xp.int32)
+        g = band_rgba[:, :, 1].astype(xp.int32)
+        b = band_rgba[:, :, 2].astype(xp.int32)
     half = 1 << 15
     y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
     cb = ((-11059) * r + (-21709) * g + 32768 * b + half + (128 << 16)) >> 16

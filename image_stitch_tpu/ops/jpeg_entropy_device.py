@@ -1249,8 +1249,22 @@ class DeviceJpegEncoder:
                 ),
                 in_shardings=(band3d, rep, rep, lut_shardings),
             )
+            # Packed uint32 bands are rank-2: same row/column sharding,
+            # no channel axis.
+            self._jit_groups_packed = jax.jit(
+                jpeg_encode_band_groups_trace,
+                static_argnames=(
+                    "n_groups", "cap_words", "use_pallas", "sampling",
+                    "local_words", "merge",
+                ),
+                in_shardings=(
+                    NamedSharding(mesh, P("band", "x")), rep, rep,
+                    lut_shardings,
+                ),
+            )
         else:
             self._jit_groups = self._jit_groups_plain
+            self._jit_groups_packed = self._jit_groups_plain
 
     def _groups_jit_for(self, shape) -> object:
         """Sharded jit when the (rows, width) divide the mesh; plain
@@ -1259,14 +1273,18 @@ class DeviceJpegEncoder:
             return self._jit_groups
         if shape[0] % self._mesh.shape["band"] or shape[1] % self._mesh.shape["x"]:
             return self._jit_groups_plain
+        if len(shape) == 2:
+            return self._jit_groups_packed
         return self._jit_groups
 
     @staticmethod
     def _strip_alpha(band):
         """JPEG ignores alpha; uploading (H, W, 3) cuts link traffic 25%
         (the traces only read channels 0..2 so the programs are unchanged
-        modulo the input shape)."""
-        if band.shape[-1] == 4:
+        modulo the input shape). Rank-2 bands are byte-packed uint32 RGBA
+        (device-resident, never uploaded) — passed through; ycbcr_int
+        unpacks them arithmetically."""
+        if band.ndim == 3 and band.shape[-1] == 4:
             if isinstance(band, np.ndarray):
                 return np.ascontiguousarray(band[..., :3])
             return band[..., :3]
@@ -1274,6 +1292,14 @@ class DeviceJpegEncoder:
 
     def submit(self, band: np.ndarray):
         band = self._strip_alpha(band)
+        if band.ndim == 2 and self._batch_bands > 1:
+            # Batched dispatch concatenates accumulated bands: normalize
+            # packed uint32 bands to the (H, W, 3) form so a mixed
+            # packed/interleaved stream can share one batch (bitcast is
+            # byte-identical by the little-endian pack contract).
+            band = jax.lax.bitcast_convert_type(
+                jnp.asarray(band), jnp.uint8
+            )[..., :3]
         if self._restart_rows:
             return self._submit_groups(band)
         band = jnp.asarray(band)
@@ -1402,14 +1428,16 @@ class DeviceJpegEncoder:
             self._sampling, self._local_words, self._merge_mode,
         )
         jit_g = self._groups_jit_for(main.shape)
-        if jit_g is self._jit_groups and self._mesh is not None:
-            # Committed device arrays (fused positioned handoff) must
-            # match the sharded jit's in_sharding — reshard lazily.
+        if (
+            jit_g in (self._jit_groups, self._jit_groups_packed)
+            and self._mesh is not None
+        ):
+            # Committed device arrays (fused positioned/decode handoff)
+            # must match the sharded jit's in_sharding — reshard lazily.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            main = jax.device_put(
-                main, NamedSharding(self._mesh, P("band", "x", None))
-            )
+            spec = P("band", "x") if main.ndim == 2 else P("band", "x", None)
+            main = jax.device_put(main, NamedSharding(self._mesh, spec))
         out = jit_g(
             main, self._lq, self._cq, self._luts, n_groups, cap_words,
             self._use_pallas, self._sampling, self._local_words,

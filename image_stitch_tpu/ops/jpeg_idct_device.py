@@ -454,10 +454,11 @@ def _fix(x: float) -> int:
     return int(x * (1 << _SCALEBITS) + 0.5)
 
 
-def ycc_to_rgb_x(y, cb, cr, xp):
+def ycc_to_rgb_planes_x(y, cb, cr, xp):
     """jdcolor.c fixed-point color convert in closed arithmetic form (the
     host tier's 256-entry tables evaluate these exact same expressions;
-    products <= 46802*128 < 2^23, all int32-exact)."""
+    products <= 46802*128 < 2^23, all int32-exact). Returns three clipped
+    (H, W) uint8 planes — no channel interleave."""
     yi = y.astype(xp.int32)
     cbi = cb.astype(xp.int32) - 128
     cri = cr.astype(xp.int32) - 128
@@ -467,8 +468,15 @@ def ycc_to_rgb_x(y, cb, cr, xp):
         ((-_fix(0.34414)) * cbi + _ONE_HALF + (-_fix(0.71414)) * cri)
         >> _SCALEBITS
     )
-    rgb = xp.stack([r, g, b], axis=-1)
-    return xp.clip(rgb, 0, 255).astype(xp.uint8)
+    return tuple(
+        xp.clip(c, 0, 255).astype(xp.uint8) for c in (r, g, b)
+    )
+
+
+def ycc_to_rgb_x(y, cb, cr, xp):
+    """Interleaved (H, W, 3) uint8 form of ycc_to_rgb_planes_x."""
+    r, g, b = ycc_to_rgb_planes_x(y, cb, cr, xp)
+    return xp.stack([r, g, b], axis=-1)
 
 
 # ------------------------------------------------------------------------- #

@@ -56,9 +56,9 @@ def _count_device_decodes(monkeypatch):
     calls = []
     orig = DeviceJpegDecoder.decode_band
 
-    def counted(self, y0, y1, return_device=False):
-        calls.append((y0, y1, return_device))
-        return orig(self, y0, y1, return_device)
+    def counted(self, y0, y1, return_device=False, packed=False):
+        calls.append((y0, y1, return_device, packed))
+        return orig(self, y0, y1, return_device, packed)
 
     monkeypatch.setattr(DeviceJpegDecoder, "decode_band", counted)
     return calls
@@ -131,4 +131,37 @@ def test_grid_with_background_holes_falls_back():
     tiles = [_jpeg_tile(s, 40, 40) for s in range(3)]  # 2x2 grid, one hole
     host = _run(tiles, "numpy")
     dev = _run(tiles, "jax")
+    assert dev == host
+
+
+def test_packed_band_bytes_identical(monkeypatch):
+    """STITCH_TPU_DECODE_PACKED=1: decode emits (H, W) uint32 byte-packed
+    RGBA, the encoder's ycbcr_int unpacks arithmetically — output bytes
+    must equal both the unpacked device route and the host backend."""
+    tiles = [_jpeg_tile(s, 64, 64) for s in range(4)]
+    host = _run(tiles, "numpy")
+    dev_unpacked = _run(tiles, "jax")
+    monkeypatch.setenv("STITCH_TPU_DECODE_PACKED", "1")
+    calls = _count_device_decodes(monkeypatch)
+    dev_packed = _run(tiles, "jax")
+    assert dev_packed == host == dev_unpacked
+    assert any(c[3] for c in calls)  # the packed route actually engaged
+
+
+def test_packed_band_restart_groups(monkeypatch):
+    monkeypatch.setenv("STITCH_TPU_DECODE_PACKED", "1")
+    tiles = [_jpeg_tile(s, 64, 64) for s in range(4)]
+    host = _run(tiles, "numpy", jpeg_restart_interval_rows=1)
+    dev = _run(tiles, "jax", jpeg_restart_interval_rows=1)
+    assert dev == host
+
+
+def test_packed_band_mixed_plan_stream(monkeypatch):
+    """Odd tile heights: some bands are device-planned (packed), others
+    host-planned (interleaved) — the encoder must unify ranks across its
+    pending concat without changing a byte."""
+    monkeypatch.setenv("STITCH_TPU_DECODE_PACKED", "1")
+    tiles = [_jpeg_tile(s, 48, 56) for s in range(4)]
+    host = _run(tiles, "numpy", band_height=16)
+    dev = _run(tiles, "jax", band_height=16)
     assert dev == host

@@ -252,3 +252,48 @@ def test_decode_rgb_trace_gray():
         geom, 64, width, height, jnp,
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_ycbcr_int_packed_matches_interleaved():
+    """The encoder-side packed ingest (ycbcr_int on (H, W) uint32 bands)
+    must equal the interleaved form channel for channel."""
+    from image_stitch_tpu.ops.jpeg_dct import ycbcr_int
+
+    rng = np.random.default_rng(21)
+    rgba = rng.integers(0, 256, (24, 40, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    packed = rgba.view(np.uint32).reshape(24, 40)
+    for xp in (np, jnp):
+        ref = ycbcr_int(xp.asarray(rgba), xp)
+        got = ycbcr_int(xp.asarray(packed), xp)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("gray", [False, True])
+def test_decode_band_trace_packed_is_bitcast_of_rgba(gray):
+    """_decode_band_trace(packed=True) must be the exact little-endian
+    uint32 pack of the RGBA output (same bytes, no relayout drift)."""
+    from image_stitch_tpu.codecs.jpeg.device_decoder import DeviceJpegDecoder
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(22)
+    if gray:
+        arr = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        img = Image.fromarray(arr, mode="L")
+    else:
+        arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=85)
+    dec = DeviceJpegDecoder(buf.getvalue())
+    rgba = dec.decode_band(0, 40)
+    packed_host = dec.decode_band(0, 40, packed=True)
+    np.testing.assert_array_equal(packed_host, rgba)
+    packed_dev = np.asarray(dec.decode_band(0, 40, return_device=True,
+                                            packed=True))
+    np.testing.assert_array_equal(
+        packed_dev.view(np.uint8).reshape(40, dec.width, 4), rgba
+    )
