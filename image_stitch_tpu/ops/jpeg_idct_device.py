@@ -528,10 +528,41 @@ def decode_plane_trace(zz_prefix, q_nat, by: int, bx: int, k: int, xp):
     nat_t = dezigzag_pad_t(zz_prefix, k, xp)
     coefq_t = nat_t * q_nat[:, None].astype(xp.int32)
     pix = idct_islow_exact_t(coefq_t.reshape(8, 8, -1), xp)  # [r, c, n]
-    # plane[8i + r, 8j + c] with n = i*bx + j.
-    return xp.transpose(pix.reshape(8, 8, by, bx), (2, 0, 3, 1)).reshape(
-        by * 8, bx * 8
+    return _assemble_plane_t(pix, by, bx, xp)
+
+
+def _assemble_plane_t(pix, by: int, bx: int, xp):
+    """(8, 8, by*bx) uint8 samples [row-in-block, col-in-block, block]
+    -> (by*8, bx*8) plane with plane[8i + r, 8j + c] = pix[r, c, i*bx + j].
+
+    Default: one XLA transpose (minor output dim 8 — lane-granularity
+    relayout). STITCH_TPU_DECODE_PADASM=1 (TPU) / "force" (anywhere)
+    interleaves the block column into the minor axis with 8 interior-pad
+    adds instead (each a full-width (8, by, bx*8) contribution with
+    exactly one writer per position), then a major-axis-only transpose
+    whose minor dim stays bx*8 — no lane shuffle. Byte-identical by
+    construction (tests/unit/test_jpeg_idct_device.py)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("STITCH_TPU_DECODE_PADASM", "0")
+    use_pad = mode == "force" or (
+        mode == "1" and xp is not np and jax.default_backend() == "tpu"
     )
+    if not use_pad or xp is np:
+        return xp.transpose(pix.reshape(8, 8, by, bx), (2, 0, 3, 1)).reshape(
+            by * 8, bx * 8
+        )
+    blocks = pix.reshape(8, 8, by, bx)
+    zero = xp.zeros((), dtype=pix.dtype)
+    wide = None
+    for c in range(8):
+        contrib = jax.lax.pad(
+            blocks[:, c], zero, ((0, 0, 0), (0, 0, 0), (c, 7 - c, 7))
+        )  # (8, by, bx*8)
+        wide = contrib if wide is None else wide | contrib
+    return xp.transpose(wide, (1, 0, 2)).reshape(by * 8, bx * 8)
 
 
 def decode_rgb_trace(

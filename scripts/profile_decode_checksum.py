@@ -41,8 +41,10 @@ def pipelined_ms(fn, args, n=8):
     single = time.perf_counter() - t0
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(n)]
-    for o in outs:
-        np.asarray(o)
+    # ONE dependent fetch (in-order execution implies the rest done);
+    # per-output fetches serialize ~25 ms round trips each and floor the
+    # marginal at ~28 ms regardless of the program (the r5-s4 artifact).
+    np.asarray(outs[-1])
     t1 = time.perf_counter()
     return (t1 - t0 - single) / (n - 1), single
 

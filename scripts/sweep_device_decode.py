@@ -124,12 +124,15 @@ def run(band_h, w, k, sampling, out_fmt="rgb"):
     touch(out)
     single = time.perf_counter() - t0
     delete(out)
+    # One dependent fetch on the LAST output only: in-order device
+    # execution makes it imply the rest; per-output fetches serialize
+    # ~25 ms round trips and floor everything at ~28 ms/band (the
+    # r5-s4 "scale-invariant base" artifact).
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
         outs = [decode(blocks) for _ in range(8)]
-        for o in outs:
-            touch(o)
+        touch(outs[-1])
         t1 = time.perf_counter()
         for o in outs:
             delete(o)
@@ -144,6 +147,7 @@ def main():
     import image_stitch_tpu.ops.device  # noqa: F401
 
     for v in VARIANTS:
+        os.environ["STITCH_TPU_DECODE_PADASM"] = "0"
         band_h, w, k, sampling, fmt = 512, 8192, 32, "420", "rgb"
         if v.startswith("k"):
             k = int(v[1:])
@@ -153,6 +157,9 @@ def main():
             band_h = int(v[1:])
         elif v in ("planar", "packed", "rgb"):
             fmt = v
+        elif v == "padasm":
+            os.environ["STITCH_TPU_DECODE_PADASM"] = "1"
+            v = "padasm(rgb)"
         t0 = time.perf_counter()
         ms, mpps = run(band_h, w, k, sampling, fmt)
         print(

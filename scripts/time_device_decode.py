@@ -91,11 +91,17 @@ def main() -> None:
     single = time.perf_counter() - t0
     out.delete()
 
+    # Pipelined marginal: N back-to-back dispatches, ONE dependent fetch
+    # on the LAST output — the device executes dispatches in order, so the
+    # last completion implies the rest. Fetching every output serializes
+    # one ~25 ms tunnel round trip PER CALL and floors any program at
+    # ~25-30 ms/band (this polluted every decode number through r5-s4:
+    # the "scale-invariant 28 ms base" was the fetch chain, not compute).
     best_marg = None
     for _ in range(max(1, REPS - 1)):
         t0 = time.perf_counter()
         outs = [decode(blocks) for _ in range(8)]
-        _ = [np.asarray(o[0, 0]) for o in outs]
+        _ = np.asarray(outs[-1][0, 0])
         t1 = time.perf_counter()
         for o in outs:
             o.delete()

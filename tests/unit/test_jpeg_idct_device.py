@@ -143,6 +143,26 @@ def test_dezigzag_pad_t_matches_row_form(k):
     np.testing.assert_array_equal(np.asarray(got_j), ref.T)
 
 
+@pytest.mark.parametrize("by,bx", [(1, 1), (4, 7), (3, 128)])
+def test_assemble_plane_padasm_matches_transpose(monkeypatch, by, bx):
+    """STITCH_TPU_DECODE_PADASM=force (interior-pad column interleave +
+    major-axis transpose) is byte-identical to the default transpose
+    assembly, jitted and eager."""
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (8, 8, by * bx), dtype=np.uint8)
+    ref = np.transpose(pix.reshape(8, 8, by, bx), (2, 0, 3, 1)).reshape(
+        by * 8, bx * 8
+    )
+    monkeypatch.setenv("STITCH_TPU_DECODE_PADASM", "force")
+    got = dev._assemble_plane_t(jnp.asarray(pix), by, bx, jnp)
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    got_jit = jax.jit(
+        lambda p: dev._assemble_plane_t(p, by, bx, jnp)
+    )(jnp.asarray(pix))
+    np.testing.assert_array_equal(np.asarray(got_jit), ref)
+
+
 def test_idct_exact_under_jit():
     rng = np.random.default_rng(3)
     coefq = rng.integers(-500_000, 500_001, (128, 8, 8)).astype(np.int32)
