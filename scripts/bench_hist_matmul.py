@@ -82,7 +82,9 @@ def pipelined(fn, args, n=8):
     _ = np.asarray(out[:1])
     t1 = time.perf_counter()
     outs = [fn(*args) for _ in range(n)]
-    _ = [np.asarray(o[:1]) for o in outs]
+    # One dependent fetch (in-order execution implies the rest): per-output
+    # fetches serialize ~25 ms round trips each and floor the marginal.
+    _ = np.asarray(outs[-1][:1])
     t2 = time.perf_counter()
     single = t1 - t0
     marginal = (t2 - t1 - single) / (n - 1) if n > 1 else single
